@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the catalog's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Usage: python bench.py [--queries q01_pricing_summary,...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from omop_dump_to_parquet_spark import load_catalog  # noqa: E402
+from omop_dump_to_parquet_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",  # scan + 8-agg groupBy
+    "q03_join_inner",  # fact-fact shuffle join
+    "q07_star_broadcast",  # 5-way star join, broadcast dims
+    "q13_topk",  # TakeOrderedAndProject
+    "w02_window_running",  # window frame over full fact table
+    "w04_sessionization",  # layered windows + two-level agg
+    "w05_asof_join",  # as-of via union-and-carry-forward
+    "d02_dedup_hash_keep_first",  # content-hash dedup
+    "d04_dedup_minhash_lsh",  # MinHash+LSH near-dedup
+    "s01_knn_bruteforce",  # embedding cosine top-k
+    "t02_quality_score",  # map-side text profiling
+    "m02_decode_features",  # Arrow mapInPandas decode path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = HEADLINE
+    if len(sys.argv) > 2 and sys.argv[1] == "--queries":
+        names = sys.argv[2].split(",")
+
+    queries, _ = load_catalog()
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        sys.exit(f"unknown queries: {', '.join(unknown)} "
+                 f"(available: {', '.join(sorted(queries))})")
+    spark = get_spark("bench")
+
+    # Warm the JVM/session on a trivial action so q1 doesn't pay startup.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

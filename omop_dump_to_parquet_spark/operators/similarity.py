@@ -1,0 +1,216 @@
+"""Similarity search over the ``embeddings`` table
+(``array<float>``, dim 64):
+
+- S01 brute-force cosine top-k (the exactness baseline),
+- S02 random-hyperplane LSH bucketed ANN (the scale path),
+- S03 per-label vector statistics,
+- S04 embedding-cosine near-dup pairs (the embedding member of the
+  dedup family).
+
+Scale story: brute force is O(|Q|·|C|) — correct only when one side is
+small (broadcast the queries). The LSH variant hashes both sides into
+sign-pattern buckets so each probe compares against |C|/2^planes
+candidates in expectation; recall is tunable by multi-probing /
+OR-ing several hash tables. All vector math is built-in column
+expressions over double arrays (functions/vectors.py) — JVM codegen,
+no Python.
+
+Determinism: ranking orders by ROUND(cos, 6) with vec_id tie-break so
+both engines select identical top-k sets regardless of FP noise.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_d, dot_d, l2norm_d, to_double_array
+from ..registry import query
+from ..sources.parquet import table
+
+N_QUERIES = 5  # vec_id < 5 are the probe vectors
+TOP_K = 5
+
+# ---------------------------------------------------------------------------
+# S01 — brute-force cosine top-k.
+# ---------------------------------------------------------------------------
+
+S01_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(q.qemb, v.emb)
+               / (sqrt(list_dot_product(q.qemb, q.qemb))
+                  * sqrt(list_dot_product(v.emb, v.emb))), 6) AS cos_sim
+  FROM q, v
+  WHERE v.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query("s01_knn_bruteforce", oracle=S01_ORACLE)
+def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_d(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S02 — LSH-bucketed ANN (random hyperplanes, sign-pattern buckets).
+# Planes are generated from a fixed seed at plan-build time and shipped
+# as literals — deterministic across runs. Approximate by design →
+# rows-only correctness check; recall vs S01 is asserted in unit tests.
+# ---------------------------------------------------------------------------
+
+N_PLANES = 6
+EMB_DIM = 64
+
+
+def _hyperplanes(n: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+    rng = random.Random(42)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def bucket_id(emb_col) -> F.Column:
+    """Sign-pattern bucket id from N_PLANES fixed hyperplanes."""
+    planes = _hyperplanes()
+    acc = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = dot_d(emb_col, F.array(*[F.lit(x) for x in plane]))
+        acc = acc + F.when(proj >= 0, F.lit(1 << i)).otherwise(0)
+    return acc
+
+
+@query("s02_ann_lsh")
+def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    bucketed = emb.withColumn("bucket", bucket_id(F.col("emb")))
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # Probe only the query's own bucket: |C|/2^planes candidates each.
+    scored = (
+        bucketed.join(
+            F.broadcast(queries), F.col("bucket") == F.col("qbucket")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_d(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S03 — per-label vector statistics (corpus health profiling).
+# Per-row norms are deterministic; the cross-row average is rounded at
+# 6 decimals (noise ~1e-13 ≪ quantum).
+# ---------------------------------------------------------------------------
+
+S03_ORACLE = """
+WITH v AS (
+  SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       round(AVG(nrm), 6) AS avg_norm,
+       MIN(nrm) AS min_norm,
+       MAX(nrm) AS max_norm
+FROM v GROUP BY label
+"""
+
+
+@query("s03_vector_stats", oracle=S03_ORACLE)
+def s03_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label", l2norm_d(to_double_array("embedding")).alias("nrm")
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S04 — embedding-cosine near-dup pairs (cos ≥ threshold, a < b).
+# Brute force a<b at test scale; the production path buckets with S02's
+# hyperplane LSH first (candidates = same-bucket pairs), turning the
+# O(n²) comparison into per-bucket blocks.
+# ---------------------------------------------------------------------------
+
+COS_DUP_THRESHOLD = 0.5
+
+S04_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb))), 6) >= {COS_DUP_THRESHOLD}
+"""
+
+
+@query("s04_dedup_embedding", oracle=S04_ORACLE)
+def s04_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine_d(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= COS_DUP_THRESHOLD)

@@ -1,0 +1,249 @@
+"""Window-function operators: ranking, running frames, lag/lead,
+gap-based sessionization, as-of join, and bounded range join.
+
+Absent from the reference (SURVEY.md §2.2) but core to the query
+surface of the lake it produces. Design notes per operator cover the
+100 TB story: window partitions shuffle once on the partition key and
+sort within; as-of joins avoid per-row subqueries via the
+union-and-carry-forward trick (one shuffle + one sort, no join
+explosion); range joins bound candidates with an equi key.
+
+Determinism: window ORDER BY always includes a unique tie-break key,
+so running sums accumulate in an engine-independent order (sequential
+IEEE adds over the same sequence are bit-equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.parquet import table
+
+# ---------------------------------------------------------------------------
+# W01 — ranking: top-3 orders per priority class.
+# ---------------------------------------------------------------------------
+
+W01_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@query("w01_window_rank", oracle=W01_ORACLE)
+def w01_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W02 — running (cumulative) frame per supplier over ship time.
+# Unique ordering (shipdate, orderkey, linenumber) → engine-stable
+# sequential accumulation.
+# ---------------------------------------------------------------------------
+
+W02_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       SUM(l_quantity) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+FROM lineitem
+"""
+
+
+@query("w02_window_running", oracle=W02_ORACLE)
+def w02_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).alias("running_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W03 — lag/lead: inter-event gap per user in microseconds.
+# ---------------------------------------------------------------------------
+
+W03_ORACLE = """
+SELECT event_id, user_id,
+       epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)) AS gap_us
+FROM events
+"""
+
+
+@query("w03_window_lag", oracle=W03_ORACLE)
+def w03_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W04 — gap-based sessionization (30-minute inactivity threshold).
+# Classic islands construction: flag gap>threshold, running-sum the
+# flags into session ids. One shuffle on user_id; state is O(1)/row.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+W04_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+@query("w04_sessionization", oracle=W04_ORACLE)
+def w04_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W05 — as-of join: for each purchase event, the most recent error
+# timestamp (≤ its own ts) for the same user.
+#
+# Spark lacks a native ASOF JOIN; the scalable composition is
+# union-and-carry-forward: tag both streams, sort within user, and
+# carry the last error ts forward with last_value(ignorenulls). This
+# costs ONE shuffle + sort over events — no join at all — versus the
+# naive per-row subquery or exploding range join. DuckDB validates via
+# its native ASOF LEFT JOIN.
+# At equal timestamps errors sort before purchases (is_probe ASC
+# after ts) so "≤ ts" semantics match ASOF's >=.
+# ---------------------------------------------------------------------------
+
+W05_ORACLE = """
+SELECT p.event_id, p.ts, e.ts AS last_error_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+
+@query("w05_asof_join", oracle=W05_ORACLE)
+def w05_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_probe"),
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("err_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_error_ts", F.last("err_ts", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        "event_id", "ts", "last_error_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# W06 — bounded range join: signup→purchase conversions within 2 hours,
+# same user. The equi key (user_id) bounds the candidate set, so this
+# plans as a sort-merge join + range filter, not a cartesian product.
+# At 100 TB with a hot user, salt the key or bucket time into the join
+# key (time-bucket equi-join) to keep candidates bounded.
+# ---------------------------------------------------------------------------
+
+RANGE_WINDOW_US = 2 * 3600 * 1_000_000
+
+W06_ORACLE = f"""
+SELECT a.event_id AS signup_event, b.event_id AS purchase_event, a.user_id
+FROM (SELECT * FROM events WHERE event_type = 'signup') a
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + {RANGE_WINDOW_US}
+"""
+
+
+@query("w06_range_join", oracle=W06_ORACLE)
+def w06_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("a_us"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event"),
+        F.col("user_id").alias("b_user"),
+        F.unix_micros("ts").alias("b_us"),
+    )
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user)
+            & (b.b_us > a.a_us)
+            & (b.b_us <= a.a_us + RANGE_WINDOW_US),
+        )
+        .select("signup_event", "purchase_event", "user_id")
+    )

@@ -1,0 +1,65 @@
+"""Sized, sharded Parquet sink.
+
+The reference hand-rolls sharding: buffer 2^19 rows, pivot
+list-of-dicts → pandas → Arrow, write ``omop_notes.{N}.parquet`` with
+row-group size 2^17 and page size 1 MiB (``dump_table.py:156-171,
+182-190, 213-233``). In Spark the buffering/pivoting machinery
+disappears — each task writes its partition directly — and the three
+tuning constants map onto declarative knobs:
+
+- rows per file  → ``maxRecordsPerFile`` (write option);
+- row-group size → ``parquet.block.size`` (Hadoop conf, in BYTES —
+  Spark sizes row groups by bytes, not rows; we keep the spirit of
+  "≈4 row groups per file", ``dump_table.py:186``);
+- page size      → ``parquet.page.size``.
+
+Sharding is per-task and automatic; the reference's verification
+contract is count+schema conservation (``dump_table.py:235-248``), not
+byte-identical file boundaries, so per-task sharding is a faithful —
+and parallel — implementation.
+
+Scale note: at 100 TB the failure mode is many-small-files. A
+deterministic ``repartition(n)`` (or ``repartitionByRange`` on a sort
+key for clustered scans) ahead of the write bounds the file count;
+AQE's coalesce handles the post-shuffle side automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: The reference's tuning constants (dump_table.py:182-190).
+REFERENCE_SIZING = {
+    "rows_per_file": 2**19,  # dump_table.py:182
+    "page_size_bytes": 2**20,  # dump_table.py:189-190
+    "row_groups_per_file": 4,  # dump_table.py:186-187 (2^19 / 2^17)
+}
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    max_records_per_file: int = REFERENCE_SIZING["rows_per_file"],
+    num_files: int | None = None,
+    range_partition_on: str | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Write ``df`` to ``path`` as sharded Parquet.
+
+    ``num_files`` forces a deterministic shard count via repartition;
+    ``range_partition_on`` instead range-partitions on a key so each
+    output file covers a contiguous key range (maximizes downstream
+    min/max row-group pruning).
+    """
+    out = df
+    if range_partition_on is not None and num_files is not None:
+        out = out.repartitionByRange(num_files, range_partition_on)
+    elif num_files is not None:
+        out = out.repartition(num_files)
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .option("compression", compression)
+        .parquet(path)
+    )

@@ -1,0 +1,61 @@
+"""Parquet lake access.
+
+The reference's output product is a directory of sharded Parquet files
+(``dump_table.py:156-157,221-233``); this module is the read side of
+that product plus the driver fixture tables. Reads are plain
+``spark.read.parquet`` so Catalyst applies predicate pushdown, column
+pruning, and (on partitioned layouts) partition pruning — visible as
+``PushedFilters``/``ReadSchema`` in ``.explain("formatted")``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver materializes at each scale factor (TESTDATA.md).
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor —
+#: TPC-H `region`/`nation` are fixed-cardinality (5/25 rows) even at
+#: 100 TB, `supplier` grows but stays MB-scale relative to the facts.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads as
+    a nanosecond long under ``spark.sql.legacy.parquet.nanosAsLong``;
+    normalize to a microsecond timestamp (truncating division — the
+    same conversion DuckDB applies reading ns parquet as its us-native
+    TIMESTAMP, so differential oracles agree).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several fixture tables at once; defaults to all of them."""
+    use = names or FIXTURE_TABLES
+    return {n: table(spark, sf_dir, n) for n in use}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views for SQL-API operators."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

@@ -1,0 +1,125 @@
+"""Structured Streaming operators over the ``events`` table.
+
+The reference is strictly batch (SURVEY.md §2.2) — these extend the
+engine with the streaming surface a continuously-ingested lake needs:
+
+- ST01: tumbling-window aggregation executed as a REAL streaming query
+  (``readStream`` → watermark → windowed agg → memory sink, driven to
+  completion with ``processAllAvailable``). The same parquet rows are
+  replayed as a stream, so the result is oracle-comparable to a batch
+  window aggregation — which is exactly Structured Streaming's
+  unification claim.
+- ST02: session windows via the native ``session_window`` operator
+  (the same operator works under ``readStream`` with a watermark; here
+  it runs in batch mode so the driver can hash-compare it).
+
+Scale: windowed-agg state is bounded by the watermark horizon;
+session-window state by open sessions per key. Both shuffle once on
+the grouping key.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.parquet import table
+
+ST01_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+@query("st01_stream_tumbling", oracle=ST01_ORACLE)
+def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # pre-normalization schema
+    # FileStreamSource requires a directory; stage the fixture file
+    # into a temp dir via symlink (a real deployment streams from a
+    # landing directory anyway).
+    stage = tempfile.mkdtemp(prefix="st01_events_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(raw.schema).parquet(stage)
+    if dict(raw.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) → micros
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"st01_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize the sink table into a plain DataFrame for the caller.
+    return spark.table(sink)
+
+
+ST02_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("st02_session_window", oracle=ST02_ORACLE)
+def st02_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )

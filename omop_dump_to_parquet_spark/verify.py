@@ -1,0 +1,76 @@
+"""Read-back verification — the reference's correctness mechanism.
+
+The reference re-opens its output directory as a ``ParquetDataset``,
+prints the unified schema, and sums per-fragment (footer) row counts
+(``dump_table.py:235-248``). Its golden properties are therefore:
+
+1. count conservation: read-back rows == rows written,
+2. schema stability: every shard agrees with the pinned schema,
+3. shard sizing: no file exceeds the rows-per-file cap.
+
+This module lifts those properties into engine checks. Counting a
+parquet directory in Spark is metadata-cheap (vectorized reader +
+count-star rewrite reads footers, not column data), matching the
+reference's footer trick.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class VerifyReport:
+    total_rows: int
+    n_files: int
+    per_file_rows: dict[str, int] = field(default_factory=dict)
+    schema_matches: bool | None = None
+    count_matches: bool | None = None
+    max_file_rows: int = 0
+
+    @property
+    def ok(self) -> bool:
+        return (self.schema_matches is not False) and (self.count_matches is not False)
+
+
+def verify_parquet(
+    spark: SparkSession,
+    path: str,
+    expected_count: int | None = None,
+    expected_schema=None,
+    max_records_per_file: int | None = None,
+) -> VerifyReport:
+    """Check count conservation + schema stability + shard sizing."""
+    back = spark.read.parquet(path)
+    per_file = {
+        r["file"]: r["rows"]
+        for r in (
+            back.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+    }
+    total = sum(per_file.values())
+    report = VerifyReport(
+        total_rows=total,
+        n_files=len(per_file),
+        per_file_rows=per_file,
+        max_file_rows=max(per_file.values(), default=0),
+    )
+    if expected_count is not None:
+        report.count_matches = total == expected_count
+    if expected_schema is not None:
+        report.schema_matches = [
+            (f.name, f.dataType) for f in back.schema.fields
+        ] == [(f.name, f.dataType) for f in expected_schema.fields]
+    if max_records_per_file is not None and report.max_file_rows > max_records_per_file:
+        report.count_matches = False
+    return report
+
+
+def count_conserved(spark: SparkSession, source: DataFrame, path: str) -> bool:
+    """Reference semantics in one line: rows out == rows in."""
+    return spark.read.parquet(path).count() == source.count()

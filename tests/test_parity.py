@@ -1,0 +1,70 @@
+"""Differential parity: every oracle-bearing catalog query must match
+its DuckDB twin exactly (row count, column names, values) — the local
+mirror of the driver's CORRECTNESS gate, run at sf0.001 for speed.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from omop_dump_to_parquet_spark import load_catalog
+
+QUERIES, ORACLES = load_catalog()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        s = out[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s) or s.dtype == object and all(
+            isinstance(v, int) for v in s.dropna().head(5)
+        ):
+            try:
+                out[c] = s.astype("float64")  # unify int widths / hugeint
+            except (TypeError, ValueError):
+                pass
+    out = out.sort_values(by=list(out.columns), ignore_index=True)
+    return out
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: columns differ: {list(a.columns)} vs {list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        eq = (av == bv) | (av.isna() & bv.isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            diff = ""
+            if pd.api.types.is_float_dtype(av):
+                diff = f" (abs diff {abs(av.iloc[i] - bv.iloc[i])!r})"
+            raise AssertionError(
+                f"{name}.{c}: {(~eq).sum()} mismatches; first at row {i}: "
+                f"{av.iloc[i]!r} vs {bv.iloc[i]!r}{diff}"
+            )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name, spark, duck, sf_small):
+    spark_pdf = QUERIES[name](spark, sf_small).toPandas()
+    duck_pdf = duck.sql(ORACLES[name]).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark, sf_small):
+    df = QUERIES[name](spark, sf_small)
+    n = df.count()
+    assert n >= 0
+    assert df.schema.fields  # stable, non-empty schema
