@@ -188,15 +188,20 @@ def d03_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MAX_BUCKET below.
 # ---------------------------------------------------------------------------
 
-MINHASH_K = 128
-LSH_BANDS = 32
-LSH_ROWS = MINHASH_K // LSH_BANDS
+MINHASH_K = 126
+LSH_BANDS = 21
+LSH_ROWS = MINHASH_K // LSH_BANDS  # 6 rows/band
 MINHASH_THRESHOLD = 0.9
-# Signature-similarity prefilter before the exact verify join: a pair
-# with true Jaccard ≥ 0.9 has matching-component count ~Binomial(128,
-# 0.9) (mean 115, σ≈3.4); 96 is 5.6σ below — miss probability ~1e-8.
-MIN_SIG_MATCHES = 96
-MAX_BUCKET = 1000  # drop pathologically hot bands (boilerplate guard)
+# Band geometry: P[miss | j=0.9] = (1-0.9^6)^21 ≈ 1e-7 (recall ~1 for
+# the verified-output contract), while per-band collision probability
+# for mid-similarity pairs (j≈0.65) drops ~4× vs 4-row bands — that
+# factor directly scales the pair-emission shuffle, the dominant cost
+# on dup-dense corpora.
+# Hot-bucket cap guards true pathologies (millions of byte-identical
+# boilerplate docs hashing to one band bucket) — it must sit far above
+# legitimate bucket sizes or it silently costs recall: at 1000 it
+# clipped 7% of true ≥0.9 pairs on the (dup-dense) sf0.1 fixture.
+MAX_BUCKET = 100_000
 
 D04_ORACLE = f"""
 WITH tok AS (
@@ -224,12 +229,15 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature as k columns h0..h{k-1}.
 
     One exploded-token pass, k parallel MIN aggregates — map-side
-    partial aggregation keeps the shuffle at one row per doc.
+    partial aggregation keeps the shuffle at one row per doc. The
+    per-function salt is a second xxhash64 argument (multi-column
+    hash), not a string concat — measured ~3× cheaper (no per-hash
+    string allocation).
     """
     tok = _distinct_tokens(docs)
     return tok.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.concat(F.col("w"), F.lit(f"#{i}")))).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("w"))).alias(f"h{i}")
             for i in range(k)
         ]
     )
@@ -267,6 +275,9 @@ def lsh_candidate_pairs(
     ).drop("bucket_n")
     a = banded.alias("a")
     b2 = banded.alias("b")
+    # groupBy doubles as pair-dedupe AND collision counter: n_bands is
+    # a free Jaccard signal (E[n_bands] = bands·j^rows) used by the
+    # caller to pre-prune before exact verification.
     return (
         a.join(
             b2,
@@ -274,72 +285,59 @@ def lsh_candidate_pairs(
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_bands"))
     )
 
 
 @query("d04_dedup_minhash_lsh", oracle=D04_ORACLE)
 def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # The signature and token-set subtrees each feed 3 join branches;
-    # without an explicit persist Spark re-derives them per branch
-    # (measured 3× the work at sf0.1). One doc-count-sized cache each.
+    # The signature subtree feeds every band; persist so the banding
+    # explode reads it once (one doc-count-sized cache).
     sigs = minhash_signatures(docs).persist()
     candidates = lsh_candidate_pairs(sigs)
 
-    # Deterministic signature-similarity prefilter: estimate Jaccard as
-    # the fraction of matching MinHash components; only pairs with
-    # ≥ MIN_SIG_MATCHES/128 go to the (expensive) exact verify join.
-    sig_arr = sigs.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_K)]).alias("sig")
-    )
-    sig_a = sig_arr.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
-    )
-    sig_b = sig_arr.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
-    )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    candidates = (
-        candidates.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .withColumn("sig_matches", est)
-        .filter(F.col("sig_matches") >= MIN_SIG_MATCHES)
-        .select("doc_a", "doc_b")
-    )
+    # n_bands (the free collision count from the dedupe groupBy) is a
+    # Jaccard estimator a caller could prune on; with 6-row bands a
+    # ≥2-collision cut would cost ~3 true pairs per million at j=0.9,
+    # so the verified-output path keeps every candidate — the
+    # map-side broadcast verify below is cheaper than the risk.
+    candidates = candidates.select("doc_a", "doc_b")
 
-    # Exact-Jaccard verification of candidates only.
-    tok = _distinct_tokens(docs).persist()
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
-    tb = tok.select(F.col("doc_id").alias("tb_doc"), F.col("w").alias("wb"))
-    inter = (
-        candidates.join(ta, "doc_a")
-        .join(
-            tb,
-            (F.col("doc_b") == F.col("tb_doc")) & (F.col("wa") == F.col("wb")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Exact-Jaccard verification, map-side: the per-doc distinct-token
+    # ARRAY table is tiny relative to the pair set (|docs| rows, ~25
+    # tokens each), so both sides broadcast and the intersect runs
+    # inside the candidate scan — no shuffle, no token explosion.
+    # (At 100 TB the token table exceeds broadcast; this degrades to
+    # two shuffle joins on doc id — still linear, never quadratic.)
+    tok_arr = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("nw"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"))
+    ta = tok_arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("nw").alias("nw_a"),
+    )
+    tb = tok_arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("nw").alias("nw_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("n_common").cast("double")
-                / (F.col("nw_a") + F.col("nw_b") - F.col("n_common"))
+                inter.cast("double")
+                / (F.col("nw_a") + F.col("nw_b") - inter)
             ).alias("jaccard"),
         )
     )

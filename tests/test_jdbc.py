@@ -1,0 +1,110 @@
+"""Real JDBC ingestion against embedded Derby (ships with Spark) —
+exercises the reference's actual core: partitioned streamed table scan
+(O1), source-side row limit (O2), CLOB→string mapping (O7), nullable-
+int normalization (O6), and the full dump pipeline from a JDBC source.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from omop_dump_to_parquet_spark.plans import dump_table
+from omop_dump_to_parquet_spark.sources.jdbc import normalize, read_jdbc_table
+
+N_ROWS = 100
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    """Create a Derby DB with an OMOP-NOTE-shaped table."""
+    path = tmp_path_factory.mktemp("derby") / "notesdb"
+    url = f"jdbc:derby:{path};create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE notes ("
+        "note_id INT PRIMARY KEY, provider_id INT, note_text CLOB)"
+    )
+    ps = conn.prepareStatement("INSERT INTO notes VALUES (?,?,?)")
+    for i in range(N_ROWS):
+        ps.setInt(1, i)
+        if i % 7 == 0:  # the reference's PROVIDER_ID-null hazard
+            ps.setNull(2, jvm.java.sql.Types.INTEGER)
+        else:
+            ps.setInt(2, i * 10)
+        ps.setString(3, f"clinical note {i} " + "lorem " * 20)
+        ps.addBatch()
+    ps.executeBatch()
+    conn.commit()
+    conn.close()
+    return url
+
+
+def test_partitioned_scan(spark, derby_url):
+    df = read_jdbc_table(
+        spark,
+        derby_url,
+        "notes",
+        partition_column="NOTE_ID",
+        lower_bound=0,
+        upper_bound=N_ROWS,
+        num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4  # the 1-connection ceiling, removed
+    assert df.count() == N_ROWS
+
+
+def test_clob_maps_to_string(spark, derby_url):
+    """O7: the reference needs an output-type handler for CLOB
+    (dump_table.py:49-53); Spark's JDBC dialect does it natively."""
+    df = read_jdbc_table(spark, derby_url, "notes")
+    assert dict(df.dtypes)["NOTE_TEXT"] == "string"
+
+
+def test_row_limit(spark, derby_url):
+    """O2: FETCH FIRST N ROWS ONLY semantics (dump_table.py:94)."""
+    df = read_jdbc_table(spark, derby_url, "notes", row_limit=37)
+    assert df.count() == 37
+
+
+def test_fetchsize_option(spark, derby_url):
+    """P2: bounded-memory streaming ≙ chunk_size (dump_table.py:184)."""
+    df = read_jdbc_table(spark, derby_url, "notes", fetch_size=16)
+    assert df.count() == N_ROWS
+
+
+def test_dump_pipeline_from_jdbc(spark, derby_url, tmp_path):
+    """The whole reference program: JDBC → normalize → parquet → verify."""
+    src = read_jdbc_table(
+        spark,
+        derby_url,
+        "notes",
+        partition_column="NOTE_ID",
+        lower_bound=0,
+        upper_bound=N_ROWS,
+        num_partitions=4,
+    )
+    result = dump_table(
+        spark,
+        src,
+        str(tmp_path / "notes_lake"),
+        casts={"PROVIDER_ID": "long"},
+        max_records_per_file=40,
+    )
+    assert result.ok
+    assert result.rows_written == N_ROWS
+    back = spark.read.parquet(str(tmp_path / "notes_lake"))
+    assert dict(back.dtypes)["PROVIDER_ID"] == "bigint"
+    # nulls survived the cast (the exact bug the reference fought)
+    assert back.filter("PROVIDER_ID IS NULL").count() == len(
+        [i for i in range(N_ROWS) if i % 7 == 0]
+    )
+
+
+def test_normalize_noop_and_cast(spark, derby_url):
+    df = read_jdbc_table(spark, derby_url, "notes")
+    assert normalize(df, {}) is df
+    assert dict(normalize(df, {"PROVIDER_ID": "long"}).dtypes)[
+        "PROVIDER_ID"
+    ] == "bigint"

@@ -1,0 +1,79 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correct results are necessary but not sufficient: these assert the
+*plan shapes* that survive a 100× scale-up — filters and projections
+reaching the parquet scan, dimension joins broadcasting, top-k
+avoiding a global sort, semi-joins staying semi. If a refactor
+silently turns a broadcast into a cartesian or drops a pushdown,
+these fail before any benchmark does.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from omop_dump_to_parquet_spark import load_catalog
+
+QUERIES, _ = load_catalog()
+
+
+def formatted_plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_and_projection_pushdown(spark, sf_small):
+    plan = formatted_plan(spark, "q02_filter_project", sf_small)
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThan(l_quantity,45.0)" in pushed
+    assert "l_shipdate" in pushed
+    schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # column pruning: only the 6 referenced columns, not all 11
+    assert "l_returnflag" not in schema and "l_tax" not in schema
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_small):
+    plan = formatted_plan(spark, "q07_star_broadcast", sf_small)
+    joins = set(re.findall(r"BroadcastHashJoin|SortMergeJoin|CartesianProduct", plan))
+    assert "CartesianProduct" not in joins
+    assert "BroadcastHashJoin" in joins
+
+
+def test_topk_avoids_global_sort(spark, sf_small):
+    plan = formatted_plan(spark, "q13_topk", sf_small)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_and_anti_stay_semi(spark, sf_small):
+    semi = formatted_plan(spark, "q05_join_semi", sf_small)
+    anti = formatted_plan(spark, "q06_join_anti", sf_small)
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_aggregation_is_partial(spark, sf_small):
+    """Map-side partial aggregation before the shuffle (two
+    HashAggregate nodes around one Exchange)."""
+    plan = formatted_plan(spark, "q01_pricing_summary", sf_small)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_knn_broadcasts_queries(spark, sf_small):
+    plan = formatted_plan(spark, "s01_knn_bruteforce", sf_small)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q02_filter_project", "q01_pricing_summary"]
+)
+def test_no_python_udfs_in_relational_plans(spark, sf_small, name):
+    """Hot-path relational queries must stay JVM-side end to end."""
+    plan = formatted_plan(spark, name, sf_small)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
