@@ -596,3 +596,59 @@ def q22_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("p_retailprice") / 100).alias("price_bucket"),
         (F.col("p_partkey") % 7).alias("key_mod"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q23 — exact percentiles per group (sort-based, interpolated).
+# Scale: exact percentile needs a per-group sort; for 100 TB profiling
+# prefer approx_percentile (t-digest, one pass, mergeable) — exposed
+# here exactly because the oracle can only check the exact variant.
+# ---------------------------------------------------------------------------
+
+Q23_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("q23_percentiles", oracle=Q23_ORACLE)
+def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q24 — histogram binning (fixed-width buckets, integer arithmetic).
+# ---------------------------------------------------------------------------
+
+Q24_ORACLE = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS bucket_min,
+       MAX(o_totalprice) AS bucket_max
+FROM orders
+GROUP BY price_bucket
+"""
+
+
+@query("q24_histogram", oracle=Q24_ORACLE)
+def q24_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).alias("price_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("bucket_min"),
+            F.max("o_totalprice").alias("bucket_max"),
+        )
+    )

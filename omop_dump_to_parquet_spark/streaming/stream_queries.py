@@ -123,3 +123,69 @@ def st02_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ST03 — custom stateful streaming operator via applyInPandasWithState.
+# Per-user running aggregate state (event count + running max value),
+# emitted in update mode. Replaying the fixture as a single micro-batch
+# makes the final update equal the batch aggregate, so even the
+# stateful path gets a differential oracle.
+# Scale: state is O(distinct users); a watermark-based timeout
+# (ProcessingTimeTimeout) bounds it for unbounded key spaces.
+# ---------------------------------------------------------------------------
+
+ST03_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("st03_stateful_running_agg", oracle=ST03_ORACLE)
+def st03_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="st03_events_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(raw.schema).parquet(stage)
+
+    output_schema = "user_id long, n_events long, max_value double"
+    state_schema = "n long, vmax double"
+
+    def update_state(key, pdf_iter, state):
+        import pandas as _pd
+
+        n, vmax = (state.get if state.exists else (0, float("-inf")))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            m = pdf["value"].max()
+            if m == m and m > vmax:  # NaN-safe
+                vmax = float(m)
+        state.update((n, vmax))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    agg = stream.groupBy("user_id").applyInPandasWithState(
+        update_state,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"st03_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)
