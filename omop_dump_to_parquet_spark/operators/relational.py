@@ -652,3 +652,92 @@ def q24_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("bucket_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q25 — composite analytical query (TPC-H Q3 shape): selective filters
+# on two tables → 3-way join → grouped revenue → top-10. Exercises the
+# full pipeline Catalyst optimizes end to end: both filters push to
+# their scans, the join order follows sizes, the top-k never sorts
+# globally.
+# ---------------------------------------------------------------------------
+
+Q25_ORACLE = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-06-01'
+  AND l_shipdate  > TIMESTAMP '2000-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q25_shipping_priority", oracle=Q25_ORACLE)
+def q25_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-06-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-06-01").cast("timestamp")
+    )
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(ext * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q26 — UNION ALL (bag union, no dedup shuffle).
+# ---------------------------------------------------------------------------
+
+Q26_ORACLE = """
+SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+UNION ALL
+SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+"""
+
+
+@query("q26_union_all", oracle=Q26_ORACLE)
+def q26_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionAll(s)
+
+
+# ---------------------------------------------------------------------------
+# Q27 — sketch aggregates (HLL distinct, t-digest quantiles): the
+# one-pass mergeable forms that replace exact distinct/percentile at
+# 100 TB. Approximate by design (engine-specific sketches) →
+# rows-only check; exactness-bounds asserted in unit tests against
+# the exact operators.
+# ---------------------------------------------------------------------------
+
+
+@query("q27_approx_sketches")
+def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -256,3 +256,63 @@ def s04_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(
         kernel, schema="vec_a long, vec_b long, cos_sim double"
     )
+
+
+# ---------------------------------------------------------------------------
+# S05 — IVF-style ANN: coarse quantization into cells, search within
+# the probe's cell. Cells here are cosine-nearest of NLIST seed
+# centroids (the first NLIST vectors — deterministic; a production
+# build k-means-trains them). Approximate by design → rows-only check;
+# cell-assignment totality + rank contiguity asserted in unit tests.
+# Scale: assignment is map-side; the per-cell search is the same
+# bounded-block pattern as S02 — candidates shrink ~NLIST× per probe,
+# recall recovered by probing the nearest few cells (n_probe).
+# ---------------------------------------------------------------------------
+
+IVF_NLIST = 16
+
+
+@query("s05_ann_ivf")
+def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    cents = [
+        (r["vec_id"], r["emb"])
+        for r in emb.filter(F.col("vec_id") < IVF_NLIST).collect()
+    ]
+    # cell = argmax over centroids of cosine(emb, centroid):
+    # ascending sort on (-cos, cell_id) → deterministic argmax.
+    scored = [
+        F.struct(
+            (-cosine_d(F.col("emb"), F.array(*[F.lit(x) for x in c_emb]))).alias(
+                "neg_cos"
+            ),
+            F.lit(int(c_id)).alias("cell"),
+        )
+        for c_id, c_emb in cents
+    ]
+    cell = F.sort_array(F.array(*scored))[0]["cell"]
+    assigned = emb.withColumn("cell", cell)
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("cell").alias("qcell"),
+    )
+    scored_pairs = (
+        assigned.join(F.broadcast(queries), F.col("cell") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_d(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored_pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

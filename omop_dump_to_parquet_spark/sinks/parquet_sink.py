@@ -43,6 +43,7 @@ def write_parquet(
     max_records_per_file: int = REFERENCE_SIZING["rows_per_file"],
     num_files: int | None = None,
     range_partition_on: str | None = None,
+    partition_by: list[str] | None = None,
     compression: str = "snappy",
 ) -> None:
     """Write ``df`` to ``path`` as sharded Parquet.
@@ -51,15 +52,24 @@ def write_parquet(
     ``range_partition_on`` instead range-partitions on a key so each
     output file covers a contiguous key range (maximizes downstream
     min/max row-group pruning).
+
+    ``partition_by`` lays out a hive-partitioned lake
+    (``path/col=value/…``) so downstream scans with a predicate on the
+    partition column read only matching directories (partition
+    pruning — the coarsest and cheapest pruning level at 100 TB;
+    choose low-cardinality columns or you recreate the small-files
+    problem one directory per value at a time).
     """
     out = df
     if range_partition_on is not None and num_files is not None:
         out = out.repartitionByRange(num_files, range_partition_on)
     elif num_files is not None:
         out = out.repartition(num_files)
-    (
+    writer = (
         out.write.mode(mode)
         .option("maxRecordsPerFile", str(max_records_per_file))
         .option("compression", compression)
-        .parquet(path)
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
