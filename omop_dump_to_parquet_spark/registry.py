@@ -61,6 +61,7 @@ def load_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
             multimodal,
             relational,
             similarity,
+            skew,
             text,
             windows,
         )

@@ -1,0 +1,75 @@
+"""File-format ingestion (CSV / JSON lines) with pinned schemas.
+
+The reference's schema subsystem infers a schema from a bounded sample
+once, pins it, and enforces it on every output shard
+(``schema_from_table``, ``dump_table.py:116-148``; SURVEY.md §1.3).
+These readers carry the same semantics to file ingestion, where it
+matters even more: schema inference over a 100 TB landing directory is
+a full extra pass over the data, and letting every batch re-infer
+invites silent drift (a day of all-null columns inferring as string).
+
+``infer_then_pin`` does the reference's move Spark-first: infer from a
+bounded sample via ``samplingRatio``/limited file list, then re-read
+the FULL path with the pinned schema — the production read is a single
+schema-checked pass, and every downstream parquet shard inherits one
+schema by construction (SURVEY.md §1.3 steps 3-5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """Read CSV; with ``schema=None`` Spark infers (extra pass — use
+    :func:`infer_then_pin` for production paths)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read JSON-lines; same pinning contract as :func:`read_csv`."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def infer_then_pin(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "csv",
+    sample_rows: int = 1000,
+    **options: str,
+) -> tuple[StructType, DataFrame]:
+    """Infer a schema from a bounded sample, then re-read the full
+    path with that schema pinned.
+
+    Returns ``(schema, df)``. The sample read is bounded by
+    ``limit(sample_rows)`` — Spark's CSV/JSON inference still lists the
+    files, but only parses until the limit is satisfied; the second
+    read does zero inference.
+    """
+    read = read_csv if fmt == "csv" else read_json
+    schema = read(spark, path, schema=None, **options).limit(sample_rows).schema
+    return schema, read(spark, path, schema=schema, **options)
