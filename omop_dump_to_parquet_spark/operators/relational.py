@@ -741,3 +741,29 @@ def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q29 — table-generating operator (LATERAL VIEW / explode): one row per
+# token with its position. The UDTF-shaped surface (SURVEY.md §2.2
+# "UDF/UDAF/UDTF — none in the reference") expressed with the built-in
+# generator — posexplode runs inside codegen, no Python row expansion.
+# Row counts multiply here; at 100 TB cap fan-out upstream (filter or
+# slice the array) before the generate, never after.
+# ---------------------------------------------------------------------------
+
+Q29_ORACLE = """
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+"""
+
+
+@query("q29_lateral_explode", oracle=Q29_ORACLE)
+def q29_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    )

@@ -189,3 +189,51 @@ def st03_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink)
+
+# ---------------------------------------------------------------------------
+# ST04 — streaming dedup-on-ingest: dropDuplicatesWithinWatermark.
+# The streaming form of the D01/D02 exact-dedup pass — the operator a
+# continuously-fed training corpus needs so duplicates never land in
+# the lake. State holds one entry per key only within the watermark
+# horizon (expired keys are evicted), so state size is bounded by key
+# arrival rate × horizon, not by stream history — the property that
+# makes it run forever at 100 TB/day.
+# Output = the dedupe keys only (which duplicate row survives is
+# nondeterministic, the key set is not) so the batch oracle is a plain
+# DISTINCT.
+# ---------------------------------------------------------------------------
+
+ST04_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@query("st04_stream_dedup", oracle=ST04_ORACLE)
+def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="st04_events_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(raw.schema).parquet(stage)
+    if dict(raw.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) → micros
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    sink = f"st04_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)
