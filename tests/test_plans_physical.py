@@ -77,3 +77,28 @@ def test_no_python_udfs_in_relational_plans(spark, sf_small, name):
     plan = formatted_plan(spark, name, sf_small)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q25_filters_push_to_all_three_scans(spark, sf_small):
+    """TPC-H Q3 shape: each table's selective filter must reach its own
+    parquet scan, and the final top-10 must not sort globally."""
+    plan = formatted_plan(spark, "q25_shipping_priority", sf_small)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    blob = "\n".join(pushed)
+    assert "c_mktsegment" in blob
+    assert "o_orderdate" in blob
+    assert "l_shipdate" in blob
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_join_spreads_keys_without_udfs(spark, sf_small):
+    plan = formatted_plan(spark, "q28_salted_join", sf_small)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the salt-explode on the replicated side
+
+
+def test_lateral_explode_is_codegen_generate(spark, sf_small):
+    plan = formatted_plan(spark, "q29_lateral_explode", sf_small)
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # pure map-side fan-out, no shuffle
