@@ -96,3 +96,35 @@ def normalize(df: DataFrame, casts: dict[str, str]) -> DataFrame:
             for c in df.columns
         ]
     )
+
+
+def write_jdbc_table(
+    df: DataFrame,
+    url: str,
+    dbtable: str,
+    mode: str = "append",
+    batch_size: int = DEFAULT_FETCH_SIZE,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Write a DataFrame back to a relational table (lake → DB).
+
+    The inverse of :func:`read_jdbc_table` — curated/aggregated lake
+    results served back to an operational store. Each partition opens
+    one connection and inserts in ``batchsize`` batches (the write-side
+    twin of the reference's ``fetchmany(chunk_size)`` streaming,
+    ``dump_table.py:105-111``). ``num_partitions`` caps concurrent
+    connections — at scale the DB is the bottleneck: repartition DOWN
+    to what it can absorb, never fan out to executor count.
+    """
+    out = df.repartition(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

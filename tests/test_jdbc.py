@@ -108,3 +108,18 @@ def test_normalize_noop_and_cast(spark, derby_url):
     assert dict(normalize(df, {"PROVIDER_ID": "long"}).dtypes)[
         "PROVIDER_ID"
     ] == "bigint"
+
+
+def test_write_jdbc_roundtrip(spark, derby_url):
+    """Lake → DB write-back: aggregate the notes, write to a new table,
+    read it back identical."""
+    from omop_dump_to_parquet_spark.sources.jdbc import write_jdbc_table
+
+    df = read_jdbc_table(spark, derby_url, "notes")
+    agg = df.groupBy("PROVIDER_ID").count()
+    write_jdbc_table(
+        agg, derby_url, "provider_counts", mode="overwrite", num_partitions=2
+    )
+    back = read_jdbc_table(spark, derby_url, "provider_counts")
+    assert back.count() == agg.count()
+    assert back.exceptAll(agg).count() == 0
