@@ -23,6 +23,7 @@ HEADLINE = [
     "q03_join_inner",  # fact-fact shuffle join
     "q07_star_broadcast",  # 5-way star join, broadcast dims
     "q13_topk",  # TakeOrderedAndProject
+    "q25_shipping_priority",  # TPC-H Q3 shape: filters→3-way join→agg→top-k
     "w02_window_running",  # window frame over full fact table
     "w04_sessionization",  # layered windows + two-level agg
     "w05_asof_join",  # as-of via union-and-carry-forward

@@ -63,3 +63,49 @@ def test_foreachbatch_streaming_sink(spark, sf_small, tmp_path):
 
     assert seen_epochs == [0]
     assert spark.read.parquet(out).count() == raw.count()
+
+
+def test_stream_dump_exactly_once_and_resume(spark, sf_small, tmp_path):
+    """plans.stream_dump: two files arriving across restarts land
+    exactly once each, with the normalization cast applied."""
+    import shutil
+
+    from omop_dump_to_parquet_spark.plans import stream_dump
+
+    src = spark.read.parquet(f"{sf_small}/nation.parquet")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+
+    # first arrival
+    src.limit(10).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "a")
+    )
+    for f in (tmp_path / "a").glob("*.parquet"):
+        shutil.copy(f, landing / "a.parquet")
+    q = stream_dump(
+        spark, str(landing), out, ckpt, src.schema,
+        casts={"n_regionkey": "int"},
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # second arrival + restart from the same checkpoint: only the new
+    # file is processed (offsets survive), nothing is duplicated.
+    src.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b"))
+    for f in (tmp_path / "b").glob("*.parquet"):
+        shutil.copy(f, landing / "b.parquet")
+    q2 = stream_dump(
+        spark, str(landing), out, ckpt, src.schema,
+        casts={"n_regionkey": "int"},
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    back = spark.read.parquet(out)
+    assert back.count() == 10 + src.count()
+    assert dict(back.dtypes)["n_regionkey"] == "int"
