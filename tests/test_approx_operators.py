@@ -136,3 +136,33 @@ def test_demux_stub_is_honest():
 
     with pytest.raises(NotImplementedError):
         demux_video(b"fake")
+
+
+def test_size_prefilter_loses_no_recall(spark, sf_small):
+    """The set-size necessary condition must drop ONLY pairs that
+    cannot reach the threshold: filtered candidates still contain
+    every true pair, and every dropped pair is verifiably below it."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_small, "documents")
+    nw = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).alias("nw"),
+    )
+    sigs = D.minhash_signatures(docs).join(nw, "doc_id")
+    unfiltered = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(sigs.drop("nw")).collect()
+    }
+    filtered = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(sigs, size_ratio=(9, 10)).collect()
+    }
+    assert filtered <= unfiltered
+    toks = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for a, b in unfiltered - filtered:
+        jac = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+        assert jac < D.MINHASH_THRESHOLD, (a, b, jac)
