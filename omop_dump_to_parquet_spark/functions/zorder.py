@@ -1,0 +1,64 @@
+"""Z-order (Morton) clustering key for multi-dimensional file pruning.
+
+`repartitionByRange` on ONE column gives perfect min/max pruning on
+that column and none on any other. Interleaving the bits of several
+columns into one Morton key makes files cover small HYPER-RECTANGLES
+of the combined key space, so a range predicate on ANY of the z-dims
+skips most files — the lakehouse answer to "we filter this table by
+user_id some days and by value the others" without storing it twice.
+
+Pruning is via parquet footer min/max stats, which Spark's scan
+consults for row-group skipping; the coarser file-level skip shows up
+as fewer splits after `PushedFilters`. Z-order trades a little
+per-dimension locality for coverage of all dimensions — for a
+single-dimension access pattern plain `range_partition_on` stays
+better.
+
+Pure column expressions (shifts, masks, adds) — whole-stage codegen,
+no UDFs. Quantization bounds come from one metadata-cheap min/max
+aggregation; at 100 TB that one extra pass over footers is noise next
+to the write it optimizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 16
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS
+) -> Column:
+    """Morton key over ``cols`` (numeric), quantized to ``bits`` bits
+    per dimension via min/max linear scaling.
+
+    One driver-side min/max agg fixes the quantization bounds; the key
+    itself is pure bit arithmetic. ``bits * len(cols)`` must be ≤ 63.
+    """
+    if bits * len(cols) > 63:
+        raise ValueError("bits * len(cols) must fit in a signed long")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+    ).first()
+    n_dims = len(cols)
+    max_q = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        span = (hi - lo) or 1.0
+        q = F.least(
+            F.lit(max_q),
+            F.greatest(
+                F.lit(0),
+                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * max_q)
+                .cast("long"),
+            ),
+        )
+        for i in range(bits):
+            key = key + F.shiftleft(
+                F.shiftrightunsigned(q, i).bitwiseAND(1), i * n_dims + d
+            )
+    return key

@@ -44,6 +44,7 @@ def write_parquet(
     num_files: int | None = None,
     range_partition_on: str | None = None,
     partition_by: list[str] | None = None,
+    zorder_on: list[str] | None = None,
     compression: str = "snappy",
 ) -> None:
     """Write ``df`` to ``path`` as sharded Parquet.
@@ -59,9 +60,25 @@ def write_parquet(
     pruning — the coarsest and cheapest pruning level at 100 TB;
     choose low-cardinality columns or you recreate the small-files
     problem one directory per value at a time).
+
+    ``zorder_on`` clusters files on a Morton key over SEVERAL numeric
+    columns (``functions.zorder``), so min/max pruning works for range
+    predicates on any of them; mutually exclusive with
+    ``range_partition_on`` (which is strictly better when only one
+    column is ever filtered).
     """
     out = df
-    if range_partition_on is not None and num_files is not None:
+    if zorder_on is not None:
+        from ..functions.zorder import zorder_key
+
+        zk = "__zorder"
+        out = out.withColumn(zk, zorder_key(out, zorder_on))
+        out = (
+            out.repartitionByRange(num_files or 32, zk)
+            .sortWithinPartitions(zk)
+            .drop(zk)
+        )
+    elif range_partition_on is not None and num_files is not None:
         out = out.repartitionByRange(num_files, range_partition_on)
     elif num_files is not None:
         out = out.repartition(num_files)

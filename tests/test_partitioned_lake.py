@@ -109,3 +109,48 @@ def test_stream_dump_exactly_once_and_resume(spark, sf_small, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 10 + src.count()
     assert dict(back.dtypes)["n_regionkey"] == "int"
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_small, tmp_path):
+    """Z-ordered files must cover narrow ranges of BOTH key columns, so
+    either predicate prunes most files via footer min/max stats; a
+    single-column range layout only achieves that for its own column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from omop_dump_to_parquet_spark.sources.parquet import table as t
+
+    orders = t(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def per_file_span(path, col):
+        spans, glo, ghi = [], None, None
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        return sum(spans) / len(spans) / ((ghi - glo) or 1)
+
+    zpath = str(tmp_path / "z")
+    # 16 files → the curve's top 4 bits split each dimension into 4
+    # top-level ranges (2 bits per dim with 2-dim interleaving)
+    write_parquet(
+        orders, zpath, zorder_on=["o_custkey", "o_totalprice"], num_files=16
+    )
+    rpath = str(tmp_path / "r")
+    write_parquet(orders, rpath, range_partition_on="o_custkey", num_files=16)
+
+    assert spark.read.parquet(zpath).count() == orders.count()
+    # z-order: both dims well under the global span per file
+    assert per_file_span(zpath, "o_custkey") < 0.55
+    assert per_file_span(zpath, "o_totalprice") < 0.55
+    # single-column range layout: its own column clusters tightly,
+    # the other column stays near the full span in every file
+    assert per_file_span(rpath, "o_custkey") < 0.2
+    assert per_file_span(rpath, "o_totalprice") > 0.8
