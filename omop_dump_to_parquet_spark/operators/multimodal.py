@@ -175,3 +175,58 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run, schema="doc_id long, frame_idx int, frame_bytes int, frame binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# M04 — image resize (honest stub, real plumbing). Payloads carry
+# (width, height) metadata; the "image" is a deterministic fake (row-
+# major bytes). Resize = nearest-neighbor index sampling — a real
+# decoder+resampler (PIL/cv2) drops into the kernel unchanged; the
+# Spark-side shape (metadata-driven target size JVM-side, binary in /
+# binary out through Arrow, output dims as typed columns) is the
+# production pattern. Rows-only check: no SQL engine resizes bytes.
+# ---------------------------------------------------------------------------
+
+TARGET_W, TARGET_H = 8, 4
+
+
+@query("m04_resize")
+def m04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    # Metadata computed JVM-side: fake frames are W×H with W=32,
+    # H=len/32 (truncated) — routing/filtering on dims never touches
+    # Python. Skip payloads too small to form one row.
+    docs = (
+        docs.withColumn("src_w", F.lit(32))
+        .withColumn("src_h", (F.length("payload") / 32).cast("int"))
+        .filter(F.col("src_h") >= 1)
+    )
+    tw, th = TARGET_W, TARGET_H
+
+    def run(batches):
+        import pandas as _pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, payload, sw, sh in zip(
+                pdf["doc_id"], pdf["payload"], pdf["src_w"], pdf["src_h"]
+            ):
+                b = bytes(payload)[: sw * sh]  # the "decoded" frame
+                out = bytes(
+                    b[(y * sh // th) * sw + (x * sw // tw)]
+                    for y in range(th)
+                    for x in range(tw)
+                )
+                rows.append((int(doc_id), int(sw), int(sh), tw, th, out))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "src_w", "src_h", "out_w", "out_h", "resized"],
+            )
+            rows = []
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, src_w int, src_h int, out_w int, out_h int, resized binary",
+    )

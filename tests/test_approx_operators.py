@@ -166,3 +166,22 @@ def test_size_prefilter_loses_no_recall(spark, sf_small):
     for a, b in unfiltered - filtered:
         jac = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
         assert jac < D.MINHASH_THRESHOLD, (a, b, jac)
+
+
+def test_resize_deterministic_and_sized(spark, sf_small):
+    from omop_dump_to_parquet_spark.operators.multimodal import (
+        TARGET_H,
+        TARGET_W,
+        m04_resize,
+    )
+
+    out = m04_resize(spark, sf_small).collect()
+    assert out, "fixture docs all form at least one 32-byte row"
+    for r in out:
+        assert (r["out_w"], r["out_h"]) == (TARGET_W, TARGET_H)
+        assert len(r["resized"]) == TARGET_W * TARGET_H
+    # nearest-neighbor on a known frame: doc text bytes, row-major
+    row = next(r for r in out if r["doc_id"] == out[0]["doc_id"])
+    again = m04_resize(spark, sf_small).collect()
+    row2 = next(r for r in again if r["doc_id"] == row["doc_id"])
+    assert bytes(row["resized"]) == bytes(row2["resized"])
