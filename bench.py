@@ -48,8 +48,12 @@ def main() -> None:
                  f"(available: {', '.join(sorted(queries))})")
     spark = get_spark("bench")
 
-    # Warm the JVM/session on a trivial action so q1 doesn't pay startup.
+    # Warm the JVM/session so q1 doesn't pay one-time costs that are
+    # not the query's: codegen compiler, parquet reader classes,
+    # shuffle machinery. A tiny read+agg touches all three.
     spark.range(1000).count()
+    warm = get_spark("bench").read.parquet(f"{sf_dir}/region.parquet")
+    warm.groupBy("r_name").count().collect()
 
     timings: dict[str, float] = {}
     for name in names:
