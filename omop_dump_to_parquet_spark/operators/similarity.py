@@ -316,3 +316,75 @@ def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# S06 — int8-quantized top-k ANN: per-vector symmetric quantization
+# (q = round(127·x/max|x|)), scoring on int8 via the same broadcast
+# GEMM as S04. The quantization scale cancels in cosine, so scores
+# approximate full-precision cosine to ~1/127 per component.
+# THE 100 TB lever: the broadcast corpus and every scan shrink 8×
+# (float64 → int8), and int8 GEMM is memory-bandwidth-bound — this is
+# the standard serving layout (FAISS SQ8). Approximate by design →
+# rows-only check; top-k agreement vs exact S01 asserted in tests.
+# ---------------------------------------------------------------------------
+
+
+@query("s06_ann_int8")
+def s06_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    rows = emb.collect()  # corpus side: small (n × 64)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["emb"] for r in rows], dtype=np.float64)
+    scales = np.abs(M).max(axis=1)
+    scales[scales == 0] = 1.0
+    Q = np.rint(M / scales[:, None] * 127).astype(np.int8)
+    qnorms = np.sqrt((Q.astype(np.float64) ** 2).sum(axis=1))
+    qnorms[qnorms == 0] = 1.0
+    bc = spark.sparkContext.broadcast((ids, Q, qnorms))
+    n_queries, top_k = N_QUERIES, TOP_K
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_all, Q_all, qn_all = bc.value
+        for pdf in batches:
+            probe = pdf[pdf["vec_id"] < n_queries]
+            if not len(probe):
+                yield _pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "cos_sim_q": [], "rank": []}
+                )
+                continue
+            A = _np.stack(probe["emb"].to_numpy()).astype(_np.float64)
+            a_scales = _np.abs(A).max(axis=1)
+            a_scales[a_scales == 0] = 1.0
+            Aq = _np.rint(A / a_scales[:, None] * 127).astype(_np.int8)
+            an = _np.sqrt((Aq.astype(_np.float64) ** 2).sum(axis=1))
+            an[an == 0] = 1.0
+            # int32 accumulation of the int8 dot, then normalize
+            S = (Aq.astype(_np.int32) @ Q_all.astype(_np.int32).T) / _np.outer(
+                an, qn_all
+            )
+            a_ids = probe["vec_id"].to_numpy()
+            out = {"query_id": [], "neighbor_id": [], "cos_sim_q": [], "rank": []}
+            for i in range(len(a_ids)):
+                s = S[i].copy()
+                s[ids_all == a_ids[i]] = -_np.inf
+                # deterministic top-k: score desc, id asc
+                order = _np.lexsort((ids_all, -s))[:top_k]
+                for r, j in enumerate(order, start=1):
+                    out["query_id"].append(int(a_ids[i]))
+                    out["neighbor_id"].append(int(ids_all[j]))
+                    out["cos_sim_q"].append(round(float(s[j]), 6))
+                    out["rank"].append(r)
+            yield _pd.DataFrame(out)
+
+    return emb.mapInPandas(
+        kernel,
+        schema="query_id long, neighbor_id long, cos_sim_q double, rank int",
+    )

@@ -247,3 +247,34 @@ def w06_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("signup_event", "purchase_event", "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# W07 — distribution window functions: percent_rank / cume_dist /
+# ntile over order value within each priority class. Same single
+# shuffle-and-sort as W01; the distribution functions are free riders
+# on the sort. Deterministic: ties broken by the unique key, and the
+# rank fractions are exact rationals both engines compute identically.
+# ---------------------------------------------------------------------------
+
+W07_ORACLE = """
+SELECT o_orderpriority, o_orderkey,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("w07_window_distribution", oracle=W07_ORACLE)
+def w07_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

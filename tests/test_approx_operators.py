@@ -185,3 +185,25 @@ def test_resize_deterministic_and_sized(spark, sf_small):
     again = m04_resize(spark, sf_small).collect()
     row2 = next(r for r in again if r["doc_id"] == row["doc_id"])
     assert bytes(row["resized"]) == bytes(row2["resized"])
+
+
+def test_int8_ann_agrees_with_exact_topk(spark, sf_small):
+    """SQ8 quantization must preserve most of the exact top-k: ≥60%
+    neighbor overlap per query and rank-1 agreement for a clear
+    majority (64-dim synthetic vectors lose ~1/127 per component)."""
+    from omop_dump_to_parquet_spark.operators import similarity as S
+
+    exact = S.s01_knn_bruteforce(spark, sf_small).collect()
+    quant = S.s06_ann_int8(spark, sf_small).collect()
+    by_q_exact, by_q_quant = {}, {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quant:
+        by_q_quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q_exact.keys() == by_q_quant.keys()
+    overlaps = [
+        len(by_q_exact[q] & by_q_quant[q]) / len(by_q_exact[q])
+        for q in by_q_exact
+    ]
+    assert min(overlaps) >= 0.6, overlaps
+    assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
