@@ -154,3 +154,22 @@ def test_zorder_clusters_both_dimensions(spark, sf_small, tmp_path):
     # the other column stays near the full span in every file
     assert per_file_span(rpath, "o_custkey") < 0.2
     assert per_file_span(rpath, "o_totalprice") > 0.8
+
+
+def test_compaction_preserves_rows_and_shrinks_files(spark, sf_small, tmp_path):
+    from omop_dump_to_parquet_spark.sinks import compact_parquet_dir
+
+    li = table(spark, sf_small, "lineitem")
+    path = str(tmp_path / "frag")
+    li.repartition(40).write.parquet(path)  # pathological: 40 tiny files
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+    n = compact_parquet_dir(spark, path, target_file_bytes=512 * 1024)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n < 40
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    assert back.schema == li.schema
+    # idempotent: a second pass finds nothing to do
+    assert compact_parquet_dir(spark, path, target_file_bytes=512 * 1024) == n
