@@ -64,6 +64,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # The reference's actual job: ingest → normalize → sized write →
+    # read-back verify, on the largest fixture table.
+    import shutil
+    import tempfile
+
+    from omop_dump_to_parquet_spark.plans import dump_table as run_dump
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    out_dir = tempfile.mkdtemp(prefix="bench_dump_")
+    try:
+        t0 = time.perf_counter()
+        result = run_dump(
+            spark, table(spark, sf_dir, "lineitem"), f"{out_dir}/lineitem"
+        )
+        timings["pipeline_dump_verify"] = round(time.perf_counter() - t0, 3)
+        assert result.ok, "dump verification failed"
+        print(
+            f"# pipeline_dump_verify: {timings['pipeline_dump_verify']:.3f}s "
+            f"({result.rows_written} rows)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -41,3 +41,22 @@ def test_dump_normalize_cast(spark, sf_small, tmp_path):
     assert result.report.ok
     back = spark.read.parquet(out)
     assert dict(back.dtypes)["n_nationkey"] == "bigint"
+
+
+def test_schema_drift_detection(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.verify import schema_drift
+
+    nation = spark.read.parquet(f"{sf_small}/nation.parquet")
+    assert schema_drift(nation.schema, nation.schema) == []
+    drifted = (
+        nation.drop("n_name")
+        .withColumn("n_regionkey", F.col("n_regionkey").cast("string"))
+        .withColumn("extra", F.lit(1))
+    )
+    drift = schema_drift(nation.schema, drifted.schema)
+    assert any(d.startswith("added column: extra") for d in drift)
+    assert any(d.startswith("dropped column: n_name") for d in drift)
+    assert any(d.startswith("type change: n_regionkey") for d in drift)
+    assert len(drift) == 3
