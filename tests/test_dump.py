@@ -60,3 +60,41 @@ def test_schema_drift_detection(spark, sf_small):
     assert any(d.startswith("dropped column: n_name") for d in drift)
     assert any(d.startswith("type change: n_regionkey") for d in drift)
     assert len(drift) == 3
+
+
+def test_upsert_merges_by_key(spark, sf_small, tmp_path):
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.plans import upsert_parquet
+
+    cust = spark.read.parquet(f"{sf_small}/customer.parquet")
+    lake = str(tmp_path / "cust_lake")
+    cust.write.parquet(lake)
+
+    # updates: change acctbal for 5 existing keys, add 2 new keys
+    changed = (
+        cust.orderBy("c_custkey").limit(5)
+        .withColumn("c_acctbal", F.lit(999999.0))
+    )
+    new = (
+        cust.orderBy(F.col("c_custkey").desc()).limit(2)
+        .withColumn("c_custkey", F.col("c_custkey") + 1_000_000)
+    )
+    updates = changed.unionByName(new)
+
+    n = upsert_parquet(spark, lake, updates, ["c_custkey"])
+    back = spark.read.parquet(lake)
+    assert n == back.count() == cust.count() + 2
+    assert back.filter(F.col("c_acctbal") == 999999.0).count() == 5
+    assert back.filter(F.col("c_custkey") > 1_000_000).count() == 2
+    # untouched keys keep their original rows
+    untouched = back.join(updates.select("c_custkey"), "c_custkey", "left_anti")
+    orig = cust.join(updates.select("c_custkey"), "c_custkey", "left_anti")
+    assert untouched.exceptAll(orig).count() == 0
+
+    # schema drift is rejected, lake untouched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        upsert_parquet(spark, lake, updates.drop("c_acctbal"), ["c_custkey"])
+    assert spark.read.parquet(lake).count() == cust.count() + 2
