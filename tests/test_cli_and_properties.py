@@ -1,0 +1,103 @@
+"""CLI smoke test + hypothesis property tests for the pure helpers."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from omop_dump_to_parquet_spark.cli import build_parser, main
+
+
+def test_cli_dump_from_parquet(spark, sf_small, tmp_path, capsys):
+    out = str(tmp_path / "cli_lake")
+    rc = main(
+        [
+            "--source-parquet",
+            f"{sf_small}/nation.parquet",
+            "--output-path",
+            out,
+            "--row-limit",
+            "10",
+            "--cast",
+            "n_regionkey=long",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "rows=10" in printed and "count_ok=True" in printed
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    assert dict(back.dtypes)["n_regionkey"] == "bigint"
+
+
+def test_cli_requires_table_with_jdbc(capsys):
+    rc = main(["--jdbc-url", "jdbc:derby:nowhere", "--output-path", "/tmp/x"])
+    assert rc == 2
+
+
+def test_cli_parser_rejects_two_sources():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(
+            ["--source-parquet", "a", "--jdbc-url", "b", "--output-path", "c"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# Property tests (pure logic, no Spark jobs in the inner loop).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(min_size=1, max_size=8), st.sampled_from(["int", "str"])),
+        max_size=6,
+        unique_by=lambda kv: kv[0],
+    ),
+    st.lists(
+        st.tuples(st.text(min_size=1, max_size=8), st.sampled_from(["int", "str"])),
+        max_size=6,
+        unique_by=lambda kv: kv[0],
+    ),
+)
+@settings(max_examples=50, deadline=None)
+def test_schema_drift_is_empty_iff_schemas_equal(a, b):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from omop_dump_to_parquet_spark.verify import schema_drift
+
+    mk = lambda kv: StructType(
+        [
+            StructField(n, IntegerType() if t == "int" else StringType())
+            for n, t in kv
+        ]
+    )
+    sa, sb = mk(a), mk(b)
+    drift = schema_drift(sa, sb)
+    if dict(a) == dict(b):
+        assert drift == []
+    else:
+        assert drift
+    # drift is symmetric in SIZE of the add/drop sets
+    back = schema_drift(sb, sa)
+    assert len([d for d in drift if d.startswith("added")]) == len(
+        [d for d in back if d.startswith("dropped")]
+    )
+
+
+@given(
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=1, max_value=200),
+)
+@settings(max_examples=200, deadline=None)
+def test_size_ratio_condition_is_necessary_for_jaccard(nw_a, nw_b):
+    """The integer prefilter d04 uses: every (nw_a, nw_b) admitting
+    Jaccard ≥ 0.9 must pass 10·min ≥ 9·max. Jaccard is maximized at
+    full containment: j_max = min/max."""
+    passes = nw_a * 10 >= nw_b * 9 and nw_b * 10 >= nw_a * 9
+    j_max = min(nw_a, nw_b) / max(nw_a, nw_b)
+    if j_max >= 0.9:
+        assert passes  # never drop a pair that could reach the threshold
+    if not passes:
+        assert j_max < 0.9
