@@ -54,6 +54,12 @@ def main() -> None:
     spark.range(1000).count()
     warm = get_spark("bench").read.parquet(f"{sf_dir}/region.parquet")
     warm.groupBy("r_name").count().collect()
+    # ... and the Python-worker pool, so Arrow-UDF queries don't pay
+    # daemon spawn + import time inside their measurement.
+    def _noop(batches):
+        yield from batches
+
+    spark.range(64).toDF("id").mapInPandas(_noop, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in names:

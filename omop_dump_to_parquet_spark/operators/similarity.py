@@ -259,17 +259,21 @@ def s04_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S05 — IVF-style ANN: coarse quantization into cells, search within
-# the probe's cell. Cells here are cosine-nearest of NLIST seed
-# centroids (the first NLIST vectors — deterministic; a production
-# build k-means-trains them). Approximate by design → rows-only check;
-# cell-assignment totality + rank contiguity asserted in unit tests.
+# S05 — IVF-style ANN: coarse quantization into cells; the corpus is
+# indexed by its single nearest cell, each probe searches its
+# IVF_NPROBE nearest cells (multi-probe recovers the recall lost at
+# cell borders — the standard IVF accuracy knob). Cells here are
+# cosine-nearest of NLIST seed centroids (the first NLIST vectors —
+# deterministic; a production build k-means-trains them). Approximate
+# by design → rows-only check; cell-assignment totality, rank
+# contiguity, and recall vs brute force asserted in unit tests.
 # Scale: assignment is map-side; the per-cell search is the same
-# bounded-block pattern as S02 — candidates shrink ~NLIST× per probe,
-# recall recovered by probing the nearest few cells (n_probe).
+# bounded-block pattern as S02 — candidates shrink ~NLIST/NPROBE× per
+# probe.
 # ---------------------------------------------------------------------------
 
 IVF_NLIST = 16
+IVF_NPROBE = 2
 
 
 @query("s05_ann_ivf")
@@ -281,8 +285,8 @@ def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["vec_id"], r["emb"])
         for r in emb.filter(F.col("vec_id") < IVF_NLIST).collect()
     ]
-    # cell = argmax over centroids of cosine(emb, centroid):
-    # ascending sort on (-cos, cell_id) → deterministic argmax.
+    # cells ranked by cosine(emb, centroid) descending:
+    # ascending sort on (-cos, cell_id) → deterministic ranking.
     scored = [
         F.struct(
             (-cosine_d(F.col("emb"), F.array(*[F.lit(x) for x in c_emb]))).alias(
@@ -292,12 +296,18 @@ def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c_id, c_emb in cents
     ]
-    cell = F.sort_array(F.array(*scored))[0]["cell"]
-    assigned = emb.withColumn("cell", cell)
-    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
-        F.col("cell").alias("qcell"),
+    ranked_cells = F.sort_array(F.array(*scored))
+    assigned = emb.withColumn("cell", ranked_cells[0]["cell"])
+    queries = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.explode(
+                F.slice(ranked_cells, 1, IVF_NPROBE)
+            ).alias("probe"),
+        )
+        .select("query_id", "qemb", F.col("probe.cell").alias("qcell"))
     )
     scored_pairs = (
         assigned.join(F.broadcast(queries), F.col("cell") == F.col("qcell"))

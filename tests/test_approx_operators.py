@@ -207,3 +207,22 @@ def test_int8_ann_agrees_with_exact_topk(spark, sf_small):
     ]
     assert min(overlaps) >= 0.6, overlaps
     assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
+
+
+def test_ivf_multiprobe_recall_and_shape(spark, sf_small):
+    """IVF with n_probe=2: ranks contiguous per query and ≥70% mean
+    recall@k against exact brute force (cell borders cost the rest —
+    that's the documented IVF trade)."""
+    from omop_dump_to_parquet_spark.operators import similarity as S
+
+    exact, ivf = {}, {}
+    for r in S.s01_knn_bruteforce(spark, sf_small).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rows = S.s05_ann_ivf(spark, sf_small).collect()
+    for r in rows:
+        ivf.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in ivf.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    got = {q: {r["neighbor_id"] for r in rows if r["query_id"] == q} for q in ivf}
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
