@@ -30,7 +30,9 @@ HEADLINE = [
     "d02_dedup_hash_keep_first",  # content-hash dedup
     "d04_dedup_minhash_lsh",  # MinHash+LSH near-dedup
     "s01_knn_bruteforce",  # embedding cosine top-k
+    "s06_ann_int8",  # SQ8-quantized GEMM top-k
     "t02_quality_score",  # map-side text profiling
+    "q29_lateral_explode",  # generator fan-out (one row per token)
     "m02_decode_features",  # Arrow mapInPandas decode path
 ]
 

@@ -1,4 +1,6 @@
-"""Deduplication operators over the ``documents`` corpus:
+"""Deduplication operators over the ``documents`` corpus ([EXT] per
+SURVEY.md §2.3 — absent from the reference §2.2, mandated by the
+north-star brief):
 
 - exact (content groupBy),
 - hash keep-first (SHA-256 + window),

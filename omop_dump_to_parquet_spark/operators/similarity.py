@@ -1,5 +1,6 @@
 """Similarity search over the ``embeddings`` table
-(``array<float>``, dim 64):
+(``array<float>``, dim 64). [EXT] operators per SURVEY.md §2.3 —
+absent from the reference (§2.2), mandated by the north-star brief:
 
 - S01 brute-force cosine top-k (the exactness baseline),
 - S02 random-hyperplane LSH bucketed ANN (the scale path),

@@ -4,6 +4,10 @@ column — FIXTURES.md §A): per-document statistics, quality scoring,
 tokenization/token counting, language-ID heuristic, and content
 fingerprinting.
 
+[EXT] operators per SURVEY.md §2.3 — absent from the reference
+(§2.2), mandated by the north-star brief for the LLM-data-pipeline
+surface.
+
 All of these are map-side-only column expressions (no shuffle except
 the final optional aggregation), i.e. they scale linearly and stay
 inside whole-stage codegen — the correct shape for a 100 TB corpus
