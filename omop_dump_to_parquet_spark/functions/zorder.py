@@ -48,6 +48,8 @@ def zorder_key(
     key = F.lit(0).cast("long")
     for d, c in enumerate(cols):
         lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        if lo is None or hi is None:  # all-NULL column: constant dim
+            lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         q = F.least(
             F.lit(max_q),

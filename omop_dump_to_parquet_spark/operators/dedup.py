@@ -174,14 +174,15 @@ def d03_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # D04 — MinHash + LSH banding, exact-Jaccard verified.
 #
-# K=128 hash functions (xxhash64 with per-function salt), banded into
-# 32 bands × 4 rows. Candidates = pairs sharing any band signature;
-# each candidate is then verified with the exact word-set Jaccard, so
-# FALSE POSITIVES are eliminated and the output equals the exact
-# threshold join wherever LSH recall reaches 1 (with these params,
-# P[miss | j=0.7] = (1-0.7⁴)³² ≈ 2e-4; the fixture's above-threshold
-# pairs are found exhaustively — validated against D03-style exact
-# enumeration in tests).
+# K=126 hash functions (xxhash64 with per-function salt), banded into
+# 21 bands × 6 rows. Candidates = pairs sharing any band signature
+# (pre-pruned by the exact set-size condition); each candidate is then
+# verified with the exact word-set Jaccard, so FALSE POSITIVES are
+# eliminated and the output equals the exact threshold join wherever
+# LSH recall reaches 1 (with these params, P[miss | j=0.9] =
+# (1-0.9⁶)²¹ ≈ 1e-7; the fixture's above-threshold pairs are found
+# exhaustively — validated against D03-style exact enumeration in
+# tests).
 #
 # Scale: signatures are one map-side 128-min aggregation per doc
 # (partial-agg before shuffle); candidate generation shuffles
@@ -337,7 +338,12 @@ def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     # The signature subtree feeds every band; persist so the banding
-    # explode reads it once (one doc-count-sized cache).
+    # explode reads it once (one doc-count-sized cache). Lifecycle:
+    # Spark's CacheManager dedupes by analyzed plan, so repeated calls
+    # on the same sf_dir reuse ONE cache entry; unpersisting here is
+    # impossible (the returned plan is lazy) — a long-lived driver
+    # rotating many datasets should spark.catalog.clearCache()
+    # between corpora.
     nw_df = docs.select(
         "doc_id",
         F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("nw"),

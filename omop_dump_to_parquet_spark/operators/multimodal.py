@@ -101,11 +101,13 @@ def decode_features(df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             payloads = pdf["payload"]
+            # empty payloads → 0.0, matching DuckDB's ascii('') = 0 so
+            # the differential oracle agrees on degenerate documents
             out = _pd.DataFrame(
                 {
                     "f_len": payloads.map(len).astype("float64"),
-                    "f_first": payloads.map(lambda b: float(b[0])),
-                    "f_last": payloads.map(lambda b: float(b[-1])),
+                    "f_first": payloads.map(lambda b: float(b[0]) if b else 0.0),
+                    "f_last": payloads.map(lambda b: float(b[-1]) if b else 0.0),
                     "f_sum16": payloads.map(lambda b: float(sum(b[:16]) % 256)),
                 }
             )

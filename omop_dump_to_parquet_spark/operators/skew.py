@@ -42,9 +42,19 @@ def salted_join(
     each key of the skewed side over ``n_salts`` shuffle partitions.
 
     ``other`` is replicated ``n_salts``× (explode over all salt
-    values); result columns equal a plain ``skewed.join(other, on,
-    how)``.
+    values); result rows equal a plain ``skewed.join(other, on, how)``
+    for ``inner``/``left``/``left_semi``/``left_anti`` ONLY — a
+    right/full outer join would emit each unmatched ``other`` row once
+    per salt replica, so those modes are rejected (salt the other side
+    instead by swapping the arguments).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} — "
+            "unmatched rows of the replicated side would duplicate"
+        )
     salted = skewed.withColumn(
         SALT, F.pmod(F.hash(*skewed.columns), F.lit(n_salts))
     )

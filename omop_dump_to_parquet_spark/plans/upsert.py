@@ -39,11 +39,28 @@ def upsert_parquet(
     """Merge ``updates`` into the lake at ``lake_path`` by key.
 
     Returns the merged row count. Updates win on key collision; the
-    rewrite is verified for schema equality and swapped in atomically
-    (readers see old or new, never a mix).
+    rewrite is verified before the swap. Schema equality compares
+    (name, type) pairs only — parquet read-back marks everything
+    nullable, so nullability is presentation, not drift (same rule as
+    ``verify.py``).
+
+    Swap caveat: plain filesystems cannot atomically replace a
+    directory, so the swap is two renames (old→aside, new→live) with
+    stale-state cleanup up front; a crash inside that window leaves
+    the data intact under ``.__upsert_old`` for manual recovery. True
+    atomicity needs a manifest/table format (Delta/Iceberg) — out of
+    scope for a plain-parquet lake.
     """
+    tmp = f"{lake_path}.__upsert_tmp"
+    old = f"{lake_path}.__upsert_old"
+    for stale in (tmp, old):  # recover from a prior crashed run
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
     current = spark.read.parquet(lake_path)
-    if current.schema != updates.schema:
+    if [(f.name, f.dataType) for f in current.schema.fields] != [
+        (f.name, f.dataType) for f in updates.schema.fields
+    ]:
         raise ValueError(
             f"upsert schema mismatch: {current.schema.simpleString()} "
             f"vs {updates.schema.simpleString()}"
@@ -51,10 +68,8 @@ def upsert_parquet(
     kept = current.join(updates.select(*key_cols), on=key_cols, how="left_anti")
     merged = updates.unionByName(kept)
 
-    tmp = f"{lake_path}.__upsert_tmp"
     write_parquet(merged, tmp, max_records_per_file=max_records_per_file)
     n = spark.read.parquet(tmp).count()
-    old = f"{lake_path}.__upsert_old"
     os.rename(lake_path, old)
     os.rename(tmp, lake_path)
     shutil.rmtree(old)

@@ -38,11 +38,35 @@ def compact_parquet_dir(
     Returns the new file count (or the current one if no compaction
     was needed). Verifies count conservation on the rewrite before
     swapping it in; the old layout is kept as ``path`` until the swap.
+
+    Hive-partitioned lakes (``path/col=value/…``) are compacted
+    per partition directory — each leaf keeps its partition-pruning
+    layout and only its own files are rewritten.
+
+    Swap caveat (same as plans/upsert.py): a directory cannot be
+    replaced atomically on a plain filesystem; the two-rename window
+    is preceded by stale-state cleanup so crashed runs never wedge
+    the next one, and a crash mid-swap leaves the data recoverable
+    under ``.__compact_old``.
     """
+    entries = os.listdir(path)
+    subdirs = [
+        os.path.join(path, d)
+        for d in entries
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if subdirs:  # hive layout: recurse into each partition directory
+        return sum(
+            compact_parquet_dir(
+                spark, d, target_file_bytes, min_files_to_bother
+            )
+            for d in subdirs
+        )
+    for stale in (f"{path}.__compact_tmp", f"{path}.__compact_old"):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     files = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
+        os.path.join(path, f) for f in entries if f.endswith(".parquet")
     ]
     if len(files) < min_files_to_bother:
         return len(files)

@@ -59,17 +59,29 @@ def infer_then_pin(
     spark: SparkSession,
     path: str,
     fmt: str = "csv",
-    sample_rows: int = 1000,
+    sample_files: int = 1,
     **options: str,
 ) -> tuple[StructType, DataFrame]:
     """Infer a schema from a bounded sample, then re-read the full
     path with that schema pinned.
 
-    Returns ``(schema, df)``. The sample read is bounded by
-    ``limit(sample_rows)`` — Spark's CSV/JSON inference still lists the
-    files, but only parses until the limit is satisfied; the second
-    read does zero inference.
+    Returns ``(schema, df)``. Inference with ``inferSchema`` scans
+    everything it is POINTED AT before any ``limit`` applies, so the
+    bound must be on the file list: infer from the first
+    ``sample_files`` files (driver-side listing, lexicographic — the
+    reference's 10-row probe at directory granularity,
+    ``dump_table.py:128``), then read the FULL path with the pinned
+    schema — the production pass does zero inference.
     """
+    import os
+
     read = read_csv if fmt == "csv" else read_json
-    schema = read(spark, path, schema=None, **options).limit(sample_rows).schema
+    if os.path.isdir(path):
+        names = sorted(
+            f for f in os.listdir(path) if not f.startswith(("_", "."))
+        )
+        sample = [os.path.join(path, f) for f in names[:sample_files]] or [path]
+    else:
+        sample = [path]
+    schema = read(spark, sample, schema=None, **options).schema
     return schema, read(spark, path, schema=schema, **options)

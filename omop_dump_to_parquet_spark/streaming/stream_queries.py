@@ -89,10 +89,13 @@ def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+# Gap comparison is >= : Spark's session_window is end-EXCLUSIVE
+# ([start, start+gap)), so an event at exactly gap after its
+# predecessor opens a NEW session — the oracle must split there too.
 ST02_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts,
-         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

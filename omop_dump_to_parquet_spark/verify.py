@@ -29,11 +29,16 @@ class VerifyReport:
     per_file_rows: dict[str, int] = field(default_factory=dict)
     schema_matches: bool | None = None
     count_matches: bool | None = None
+    sizing_ok: bool | None = None
     max_file_rows: int = 0
 
     @property
     def ok(self) -> bool:
-        return (self.schema_matches is not False) and (self.count_matches is not False)
+        return (
+            (self.schema_matches is not False)
+            and (self.count_matches is not False)
+            and (self.sizing_ok is not False)
+        )
 
 
 def verify_parquet(
@@ -66,8 +71,8 @@ def verify_parquet(
         report.schema_matches = [
             (f.name, f.dataType) for f in back.schema.fields
         ] == [(f.name, f.dataType) for f in expected_schema.fields]
-    if max_records_per_file is not None and report.max_file_rows > max_records_per_file:
-        report.count_matches = False
+    if max_records_per_file is not None:
+        report.sizing_ok = report.max_file_rows <= max_records_per_file
     return report
 
 

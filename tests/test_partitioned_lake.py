@@ -173,3 +173,23 @@ def test_compaction_preserves_rows_and_shrinks_files(spark, sf_small, tmp_path):
     assert back.schema == li.schema
     # idempotent: a second pass finds nothing to do
     assert compact_parquet_dir(spark, path, target_file_bytes=512 * 1024) == n
+
+
+def test_compaction_recurses_into_hive_partitions(spark, sf_small, tmp_path):
+    import glob
+
+    from omop_dump_to_parquet_spark.sinks import compact_parquet_dir
+
+    docs = table(spark, sf_small, "documents")
+    path = str(tmp_path / "hive_frag")
+    docs.repartition(10).write.partitionBy("lang").parquet(path)
+    before = len(glob.glob(f"{path}/lang=*/*.parquet"))
+    n = compact_parquet_dir(spark, path, target_file_bytes=4 * 1024 * 1024)
+    after = glob.glob(f"{path}/lang=*/*.parquet")
+    assert len(after) == n < before
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    # partition layout intact → pruning still works
+    assert set(back.select("lang").distinct().toPandas()["lang"]) == set(
+        docs.select("lang").distinct().toPandas()["lang"]
+    )
