@@ -361,18 +361,34 @@ def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side broadcast verify below is cheaper than the risk.
     candidates = candidates.select("doc_a", "doc_b")
 
-    # Exact-Jaccard verification, map-side: the per-doc distinct-token
-    # ARRAY table is tiny relative to the pair set (|docs| rows, ~25
-    # tokens each), so both sides broadcast and the intersect runs
-    # inside the candidate scan — no shuffle, no token explosion.
-    # (At 100 TB the token table exceeds broadcast; this degrades to
-    # two shuffle joins on doc id — still linear, never quadratic.)
-    # Tokens are pre-hashed to int64 so the per-pair array_intersect
-    # compares primitives instead of strings — measured 2.6× faster
-    # over 7.6M candidate pairs. |intersection| is unchanged unless two
-    # DISTINCT tokens of a candidate pair collide in 64 bits
-    # (P ≈ |vocab|²/2⁶⁵ — vanishing; the differential oracle at sf0.01
-    # pins exactness).
+    return verify_jaccard_pairs(docs, candidates, MINHASH_THRESHOLD)
+
+
+def verify_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs.
+
+    ``use_broadcast=True`` (default): the per-doc distinct-token ARRAY
+    table is tiny relative to the pair set (|docs| rows, ~25 tokens
+    each), so both sides broadcast and the intersect runs inside the
+    candidate scan — no shuffle, no token explosion.
+
+    ``use_broadcast=False``: the beyond-broadcast path (~10⁶+ docs at
+    100 TB) — the same two joins become shuffle hash/sort-merge joins
+    on doc id. Still linear in |candidates| + |docs|, never quadratic;
+    identical output (asserted in tests).
+
+    Tokens are pre-hashed to int64 so the per-pair array_intersect
+    compares primitives instead of strings — measured 2.6× faster over
+    7.6M candidate pairs. |intersection| is unchanged unless two
+    DISTINCT tokens of a candidate pair collide in 64 bits
+    (P ≈ |vocab|²/2⁶⁵ — vanishing; the differential oracle at sf0.01
+    pins exactness).
+    """
     toks = F.array_distinct(F.split(F.col("text"), " "))
     tok_arr = docs.select(
         "doc_id",
@@ -389,10 +405,12 @@ def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("toks").alias("toks_b"),
         F.col("nw").alias("nw_b"),
     )
+    if use_broadcast:
+        ta, tb = F.broadcast(ta), F.broadcast(tb)
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = (
-        candidates.join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
+        candidates.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -402,7 +420,7 @@ def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= MINHASH_THRESHOLD)
+    return jac.filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

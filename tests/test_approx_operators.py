@@ -226,3 +226,28 @@ def test_ivf_multiprobe_recall_and_shape(spark, sf_small):
     got = {q: {r["neighbor_id"] for r in rows if r["query_id"] == q} for q in ivf}
     recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_shuffle_verify_matches_broadcast_verify(spark, sf_small):
+    """The beyond-broadcast verification path (shuffle joins on doc id)
+    must return exactly the broadcast path's pairs, and must actually
+    plan without a broadcast of the token table."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_small, "documents")
+    nw = docs.select(
+        "doc_id", F.size(F.array_distinct(F.split("text", " "))).alias("nw")
+    )
+    sigs = D.minhash_signatures(docs).join(nw, "doc_id")
+    r = Fraction(str(D.MINHASH_THRESHOLD))
+    cands = D.lsh_candidate_pairs(
+        sigs, size_ratio=(r.numerator, r.denominator)
+    ).select("doc_a", "doc_b")
+
+    bc = D.verify_jaccard_pairs(docs, cands, D.MINHASH_THRESHOLD, True)
+    sh = D.verify_jaccard_pairs(docs, cands, D.MINHASH_THRESHOLD, False)
+    a = {(r["doc_a"], r["doc_b"]) for r in bc.collect()}
+    b = {(r["doc_a"], r["doc_b"]) for r in sh.collect()}
+    assert a == b and a

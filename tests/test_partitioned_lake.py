@@ -193,3 +193,31 @@ def test_compaction_recurses_into_hive_partitions(spark, sf_small, tmp_path):
     assert set(back.select("lang").distinct().toPandas()["lang"]) == set(
         docs.select("lang").distinct().toPandas()["lang"]
     )
+
+
+def test_stream_dump_max_files_per_trigger(spark, sf_small, tmp_path):
+    """maxFilesPerTrigger=1 must process a 2-file landing dir in two
+    epochs (bounded batch size — the backpressure knob at scale)."""
+    import glob
+    import shutil
+
+    from omop_dump_to_parquet_spark.plans import stream_dump
+
+    src = spark.read.parquet(f"{sf_small}/region.parquet")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(2):
+        src.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        for f in (tmp_path / f"s{i}").glob("*.parquet"):
+            shutil.copy(f, landing / f"f{i}.parquet")
+    out, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    q = stream_dump(
+        spark, str(landing), out, ckpt, src.schema, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs = sorted(glob.glob(f"{out}/epoch=*"))
+    assert len(epochs) == 2, epochs
+    assert spark.read.parquet(out).count() == 2 * src.count()
