@@ -24,6 +24,7 @@ HEADLINE = [
     "q07_star_broadcast",  # 5-way star join, broadcast dims
     "q13_topk",  # TakeOrderedAndProject
     "q25_shipping_priority",  # TPC-H Q3 shape: filters→3-way join→agg→top-k
+    "q30_local_supplier_volume",  # TPC-H Q5 shape: 6-way join + region filter
     "w02_window_running",  # window frame over full fact table
     "w04_sessionization",  # layered windows + two-level agg
     "w05_asof_join",  # as-of via union-and-carry-forward
