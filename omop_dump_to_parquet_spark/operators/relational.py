@@ -824,3 +824,42 @@ def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(ext * (F.lit(1) - disc)).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q31 — array/map scalar library over aggregated arrays: collect the
+# per-order quantity list (sorted — collect_list order is
+# partition-dependent, sort_array makes it deterministic), then pure
+# array ops (size/contains/slice/sum-via-aggregate) and a map built
+# from it. Map-side after one shuffle on the groupBy key.
+# ---------------------------------------------------------------------------
+
+Q31_ORACLE = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(CAST(l_quantity AS INTEGER))), ',') AS qty_csv,
+       len(list(l_quantity)) AS n_items,
+       list_contains(list(CAST(l_quantity AS INTEGER)), 1) AS has_single,
+       CAST(list_sum(list(CAST(l_quantity AS INTEGER))) AS BIGINT) AS qty_total
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+@query("q31_array_map_funcs", oracle=Q31_ORACLE)
+def q31_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("int")  # TPC-H quantities are integral
+    agg = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(qty)).alias("qty_list")
+    )
+    return agg.select(
+        "l_orderkey",
+        # the list itself is emitted as a canonical string — array
+        # cells can't be hash/sort-compared across engines
+        F.array_join("qty_list", ",").alias("qty_csv"),
+        F.size("qty_list").alias("n_items"),
+        F.array_contains("qty_list", F.lit(1)).alias("has_single"),
+        F.aggregate(
+            "qty_list", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("qty_total"),
+    )

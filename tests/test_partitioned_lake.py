@@ -221,3 +221,40 @@ def test_stream_dump_max_files_per_trigger(spark, sf_small, tmp_path):
     epochs = sorted(glob.glob(f"{out}/epoch=*"))
     assert len(epochs) == 2, epochs
     assert spark.read.parquet(out).count() == 2 * src.count()
+
+
+def test_compaction_recovers_from_stale_crash_state(spark, sf_small, tmp_path):
+    """A __compact_tmp/__compact_old left by a crashed run must not
+    wedge the next run."""
+    import glob
+    import os
+
+    from omop_dump_to_parquet_spark.sinks import compact_parquet_dir
+
+    li = table(spark, sf_small, "lineitem")
+    path = str(tmp_path / "frag2")
+    li.repartition(20).write.parquet(path)
+    # simulate a prior crash: stale dirs with junk in them
+    for stale in (f"{path}.__compact_tmp", f"{path}.__compact_old"):
+        os.makedirs(stale)
+        with open(os.path.join(stale, "junk.parquet"), "w") as f:
+            f.write("not parquet")
+    n = compact_parquet_dir(spark, path, target_file_bytes=512 * 1024)
+    assert len(glob.glob(f"{path}/*.parquet")) == n < 20
+    assert spark.read.parquet(path).count() == li.count()
+    assert not os.path.exists(f"{path}.__compact_tmp")
+    assert not os.path.exists(f"{path}.__compact_old")
+
+
+def test_upsert_recovers_from_stale_crash_state(spark, sf_small, tmp_path):
+    import os
+
+    from omop_dump_to_parquet_spark.plans import upsert_parquet
+
+    region = spark.read.parquet(f"{sf_small}/region.parquet")
+    lake = str(tmp_path / "region_lake")
+    region.write.parquet(lake)
+    os.makedirs(f"{lake}.__upsert_old")
+    n = upsert_parquet(spark, lake, region.limit(1), ["r_regionkey"])
+    assert n == region.count()
+    assert not os.path.exists(f"{lake}.__upsert_old")
