@@ -839,7 +839,11 @@ SELECT l_orderkey,
        array_to_string(list_sort(list(CAST(l_quantity AS INTEGER))), ',') AS qty_csv,
        len(list(l_quantity)) AS n_items,
        list_contains(list(CAST(l_quantity AS INTEGER)), 1) AS has_single,
-       CAST(list_sum(list(CAST(l_quantity AS INTEGER))) AS BIGINT) AS qty_total
+       CAST(list_sum(list(CAST(l_quantity AS INTEGER))) AS BIGINT) AS qty_total,
+       array_to_string(list_slice(list_sort(list(CAST(l_quantity AS INTEGER))), 1, 3), ',') AS first3_csv,
+       map(['n', 'total'],
+           [CAST(len(list(l_quantity)) AS BIGINT),
+            CAST(list_sum(list(CAST(l_quantity AS INTEGER))) AS BIGINT)])['total'][1] AS map_total
 FROM lineitem
 GROUP BY l_orderkey
 """
@@ -852,6 +856,9 @@ def q31_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(qty)).alias("qty_list")
     )
+    qty_total = F.aggregate(
+        "qty_list", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
     return agg.select(
         "l_orderkey",
         # the list itself is emitted as a canonical string — array
@@ -859,7 +866,16 @@ def q31_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("qty_list", ",").alias("qty_csv"),
         F.size("qty_list").alias("n_items"),
         F.array_contains("qty_list", F.lit(1)).alias("has_single"),
-        F.aggregate(
-            "qty_list", F.lit(0).cast("long"), lambda acc, x: acc + x
-        ).alias("qty_total"),
+        qty_total.alias("qty_total"),
+        F.array_join(F.slice("qty_list", 1, 3), ",").alias("first3_csv"),
+        # map built from the array's derived scalars, read back out —
+        # emitted as the extracted value (map cells, like array cells,
+        # can't be hash/sort-compared across engines)
+        F.element_at(
+            F.map_from_arrays(
+                F.array(F.lit("n"), F.lit("total")),
+                F.array(F.size("qty_list").cast("long"), qty_total),
+            ),
+            F.lit("total"),
+        ).alias("map_total"),
     )

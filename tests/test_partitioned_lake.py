@@ -254,7 +254,12 @@ def test_upsert_recovers_from_stale_crash_state(spark, sf_small, tmp_path):
     region = spark.read.parquet(f"{sf_small}/region.parquet")
     lake = str(tmp_path / "region_lake")
     region.write.parquet(lake)
+    # simulate a prior crash: both stale dirs, with junk in the tmp one
     os.makedirs(f"{lake}.__upsert_old")
+    os.makedirs(f"{lake}.__upsert_tmp")
+    with open(f"{lake}.__upsert_tmp/junk.parquet", "w") as f:
+        f.write("not parquet")
     n = upsert_parquet(spark, lake, region.limit(1), ["r_regionkey"])
     assert n == region.count()
     assert not os.path.exists(f"{lake}.__upsert_old")
+    assert not os.path.exists(f"{lake}.__upsert_tmp")
