@@ -123,3 +123,29 @@ def test_write_jdbc_roundtrip(spark, derby_url):
     back = read_jdbc_table(spark, derby_url, "provider_counts")
     assert back.count() == agg.count()
     assert back.exceptAll(agg).count() == 0
+
+
+def test_cli_dump_from_jdbc(spark, derby_url, tmp_path, capsys):
+    """The reference's real invocation: CLI against a database, with
+    the PROVIDER_ID-style cast and a row limit."""
+    from omop_dump_to_parquet_spark.cli import main
+
+    out = str(tmp_path / "cli_jdbc_lake")
+    rc = main(
+        [
+            "--jdbc-url", derby_url,
+            "--table", "notes",
+            "--partition-column", "NOTE_ID",
+            "--lower-bound", "0",
+            "--upper-bound", str(N_ROWS),
+            "--num-partitions", "4",
+            "--row-limit", "50",
+            "--cast", "PROVIDER_ID=long",
+            "--output-path", out,
+        ]
+    )
+    assert rc == 0
+    assert "rows=50" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    assert back.count() == 50
+    assert dict(back.dtypes)["PROVIDER_ID"] == "bigint"
