@@ -399,3 +399,48 @@ def s06_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema="query_id long, neighbor_id long, cos_sim_q double, rank int",
     )
+
+
+# ---------------------------------------------------------------------------
+# S07 — k-means clustering over the embedding corpus (MLlib, fixed
+# seed): the trained-centroid path that S05's IVF docstring defers to.
+# Output = per-cluster size + centroid L2 norm (rounded) — stable for
+# a fixed seed/build, but engine-specific → rows-only check; cluster
+# totality (sizes sum to corpus) asserted in unit tests.
+# Scale: Lloyd's iterations are each one map (assign) + one tree-agg
+# (recompute centroids) over the corpus — linear per iteration, and
+# the model broadcast is k×dim doubles.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_SEED = 7
+
+
+@query("s07_kmeans_clusters")
+def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(to_double_array("embedding")).alias("features")
+    )
+    model = KMeans(k=KMEANS_K, seed=KMEANS_SEED, maxIter=10).fit(emb)
+    pred = model.transform(emb).select(
+        "vec_id", F.col("prediction").alias("cluster")
+    )
+    import math
+
+    norms = {
+        i: round(math.sqrt(sum(x * x for x in c)), 4)
+        for i, c in enumerate(model.clusterCenters())
+    }
+    norm_col = F.element_at(
+        F.array(*[F.lit(norms[i]) for i in range(KMEANS_K)]),
+        F.col("cluster") + 1,
+    )
+    return (
+        pred.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .withColumn("centroid_norm", norm_col)
+        .orderBy("cluster")
+    )

@@ -251,3 +251,14 @@ def test_shuffle_verify_matches_broadcast_verify(spark, sf_small):
     a = {(r["doc_a"], r["doc_b"]) for r in bc.collect()}
     b = {(r["doc_a"], r["doc_b"]) for r in sh.collect()}
     assert a == b and a
+
+
+def test_kmeans_clusters_total_and_deterministic(spark, sf_small):
+    from omop_dump_to_parquet_spark.operators import similarity as S
+
+    a = S.s07_kmeans_clusters(spark, sf_small).collect()
+    n_emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").count()
+    assert sum(r["n_vectors"] for r in a) == n_emb  # totality
+    assert len(a) <= S.KMEANS_K
+    b = S.s07_kmeans_clusters(spark, sf_small).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # fixed seed

@@ -102,3 +102,12 @@ def test_lateral_explode_is_codegen_generate(spark, sf_small):
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # pure map-side fan-out, no shuffle
+
+
+def test_q30_six_way_join_broadcasts_dims_no_cartesian(spark, sf_small):
+    plan = formatted_plan(spark, "q30_local_supplier_volume", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "r_name" in pushed  # region filter reaches its scan
+    assert "o_orderdate" in pushed  # date range reaches the orders scan
