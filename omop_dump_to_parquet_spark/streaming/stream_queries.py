@@ -240,3 +240,80 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# ST05 — stream-stream interval join: purchases joined to error events
+# of the same user within the preceding 10 minutes, BOTH sides
+# unbounded streams. The watermark + time-range condition is what
+# bounds join state: each side buffers only rows newer than
+# (watermark − interval), so state is O(arrival rate × horizon)
+# forever — the property that distinguishes this from an unbounded
+# stream join, and the canonical Structured Streaming correlation
+# pattern (errors preceding a purchase). Inner join in append mode
+# yields exactly the batch join's rows, so the oracle is the plain
+# range join.
+# ---------------------------------------------------------------------------
+
+ST05_ORACLE = """
+SELECT p.event_id AS purchase_event, e.event_id AS error_event, p.user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND epoch_us(e.ts) >= epoch_us(p.ts) - 600000000
+ AND epoch_us(e.ts) <= epoch_us(p.ts)
+"""
+
+
+@query("st05_stream_stream_join", oracle=ST05_ORACLE)
+def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="st05_events_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+
+    def src():
+        s = spark.readStream.schema(raw.schema).parquet(stage)
+        if dict(raw.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        src()
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_event"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+    ).select("purchase_event", "error_event", "user_id")
+    sink = f"st05_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)
