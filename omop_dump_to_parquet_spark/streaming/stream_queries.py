@@ -317,3 +317,13 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink)
+
+
+# NOTE on transformWithStateInPandas (Spark 4's successor to
+# applyInPandasWithState): attempted and verified to fail in this
+# environment — its driver-side runner requires a working
+# google.protobuf ("cannot import name 'descriptor'"), which this
+# container lacks and cannot install. ST03 pins the arbitrary-state
+# contract through the stable applyInPandasWithState API instead;
+# porting it to a StatefulProcessor is mechanical where protobuf is
+# available.
