@@ -101,3 +101,46 @@ def test_size_ratio_condition_is_necessary_for_jaccard(nw_a, nw_b):
         assert passes  # never drop a pair that could reach the threshold
     if not passes:
         assert j_max < 0.9
+
+
+# Session-backed property test: generated vectors through the real
+# column expressions, compared against numpy ground truth. One Spark
+# job over all examples (hypothesis generates; Spark evaluates in one
+# createDataFrame pass) to keep runtime sane.
+
+
+def test_vector_math_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    from omop_dump_to_parquet_spark.functions.vectors import (
+        cosine_d,
+        dot_d,
+        l2norm_d,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    pairs = [
+        (rng.uniform(-9, 9, d).tolist(), rng.uniform(-9, 9, d).tolist())
+        for d in (1, 2, 7, 64)
+        for _ in range(8)
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "a array<double>, b array<double>"
+    )
+    out = df.select(
+        dot_d(F.col("a"), F.col("b")).alias("dot"),
+        l2norm_d(F.col("a")).alias("nrm"),
+        cosine_d(F.col("a"), F.col("b")).alias("cos"),
+    ).collect()
+    for (a, b), r in zip(pairs, out):
+        va, vb = np.array(a), np.array(b)
+        assert math.isclose(r["dot"], float(va @ vb), rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(
+            r["nrm"], float(np.linalg.norm(va)), rel_tol=1e-9, abs_tol=1e-9
+        )
+        expect = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert math.isclose(r["cos"], expect, rel_tol=1e-9, abs_tol=1e-9)
+        assert -1.0000001 <= r["cos"] <= 1.0000001
