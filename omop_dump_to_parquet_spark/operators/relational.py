@@ -879,3 +879,39 @@ def q31_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("total"),
         ).alias("map_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q32 — bag-semantics set operations (EXCEPT ALL / INTERSECT ALL):
+# multiplicity-aware, so they are different operators from Q15/Q16's
+# DISTINCT forms (Spark plans them as aggregate-count + generate
+# rather than semi/anti joins). Nation keys of customers vs suppliers,
+# with duplicates preserved.
+# ---------------------------------------------------------------------------
+
+Q32_ORACLE = """
+SELECT nationkey, 'except_all' AS op FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'intersect_all' AS op FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+
+@query("q32_set_ops_all", oracle=Q32_ORACLE)
+def q32_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    ex = c.exceptAll(s).withColumn("op", F.lit("except_all"))
+    inter = c.intersectAll(s).withColumn("op", F.lit("intersect_all"))
+    return ex.unionAll(inter)
