@@ -915,3 +915,39 @@ def q32_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = c.exceptAll(s).withColumn("op", F.lit("except_all"))
     inter = c.intersectAll(s).withColumn("op", F.lit("intersect_all"))
     return ex.unionAll(inter)
+
+
+# ---------------------------------------------------------------------------
+# Q33 — typed JSON parsing: from_json with an explicit schema into a
+# STRUCT column (vs Q17's per-path string extraction). The
+# schema-pinned form is the 100 TB path: one parse per row into typed
+# columns that downstream predicates/prunes treat natively, instead of
+# re-parsing the string per extracted path.
+# ---------------------------------------------------------------------------
+
+Q33_ORACLE = """
+SELECT event_type,
+       MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+       MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k,
+       COUNT(*) AS n_rows
+FROM events
+WHERE CAST(props->>'$.k' AS INTEGER) > 50
+GROUP BY event_type
+"""
+
+
+@query("q33_json_typed_struct", oracle=Q33_ORACLE)
+def q33_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json(F.col("props"), "k int")
+    )
+    return (
+        parsed.filter(F.col("p.k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
