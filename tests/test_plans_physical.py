@@ -111,3 +111,23 @@ def test_q30_six_way_join_broadcasts_dims_no_cartesian(spark, sf_small):
     pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "r_name" in pushed  # region filter reaches its scan
     assert "o_orderdate" in pushed  # date range reaches the orders scan
+
+
+STREAMING_QUERIES = {
+    "st01_stream_tumbling",
+    "st03_stateful_running_agg",
+    "st04_stream_dedup",
+    "st05_stream_stream_join",
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in QUERIES if n not in STREAMING_QUERIES)
+)
+def test_no_plan_smells_catalogwide(spark, sf_small, name):
+    """Every batch query in the catalog: no cartesian product, no
+    row-at-a-time Python (BatchEvalPython). Arrow-batched mapInPandas
+    stages are the sanctioned Python path."""
+    plan = formatted_plan(spark, name, sf_small)
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, name
