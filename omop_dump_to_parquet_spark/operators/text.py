@@ -198,3 +198,29 @@ def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T06 — stratified sampling (per-language downsampling): the curation
+# step that rebalances a corpus before training. ``sampleBy`` is
+# map-side Bernoulli per stratum — no shuffle, one pass, and the seed
+# pins the row set per Spark build. Engine-specific RNG → rows-only
+# check; per-stratum rates and determinism asserted in unit tests.
+# At 100 TB this is THE way to downsample: no count-then-limit (two
+# passes + skewless guarantee problems), just one seeded scan.
+# ---------------------------------------------------------------------------
+
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25}
+SAMPLE_SEED = 13
+
+
+@query("t06_stratified_sample")
+def t06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    fractions = {l: SAMPLE_FRACTIONS.get(l, 0.1) for l in langs}
+    sampled = docs.sampleBy("lang", fractions, seed=SAMPLE_SEED)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("first_doc"),
+    )

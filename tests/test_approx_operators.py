@@ -262,3 +262,28 @@ def test_kmeans_clusters_total_and_deterministic(spark, sf_small):
     assert len(a) <= S.KMEANS_K
     b = S.s07_kmeans_clusters(spark, sf_small).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]  # fixed seed
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_small):
+    from omop_dump_to_parquet_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_small, "documents")
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    a = {r["lang"]: r["n_sampled"] for r in T.t06_stratified_sample(spark, sf_small).collect()}
+    b = {r["lang"]: r["n_sampled"] for r in T.t06_stratified_sample(spark, sf_small).collect()}
+    assert a == b  # seeded determinism
+    for lang, n in a.items():
+        frac = T.SAMPLE_FRACTIONS.get(lang, 0.1)
+        if frac == 1.0:
+            assert n == totals[lang]  # keep-all stratum is exact
+        else:
+            assert 0 <= n <= totals[lang]
+            # Bernoulli: within 5 sigma of expectation
+            import math
+            mu = totals[lang] * frac
+            sigma = math.sqrt(totals[lang] * frac * (1 - frac))
+            assert abs(n - mu) <= 5 * sigma + 1, (lang, n, mu)
