@@ -224,3 +224,42 @@ def t06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T07 — vocabulary extraction: global token frequencies, top-100. The
+# corpus pass that feeds tokenizer training (BPE/unigram) and OOV
+# analysis. explode → two-level aggregate; the shuffle carries one row
+# per distinct token (map-side partial counts), and the top-k is a
+# TakeOrdered, never a global sort. Deterministic: count-desc with
+# token tie-break.
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 100
+
+
+T07_ORACLE = f"""
+SELECT w AS token, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w
+ORDER BY n_occurrences DESC, token
+LIMIT {VOCAB_TOP_K}
+"""
+
+
+@query("t07_vocabulary", oracle=T07_ORACLE)
+def t07_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(VOCAB_TOP_K)
+    )
