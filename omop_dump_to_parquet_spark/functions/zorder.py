@@ -51,12 +51,16 @@ def zorder_key(
         if lo is None or hi is None:  # all-NULL column: constant dim
             lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
+        # per-row NULLs coalesce to the dimension minimum (q = 0) so
+        # the row keeps its clustering on every NON-null dimension —
+        # a NULL propagating into the key would void all of them and
+        # funnel every such row into one skewed range partition
+        val = F.coalesce(F.col(c).cast("double"), F.lit(lo))
         q = F.least(
             F.lit(max_q),
             F.greatest(
                 F.lit(0),
-                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * max_q)
-                .cast("long"),
+                ((val - F.lit(lo)) / F.lit(span) * max_q).cast("long"),
             ),
         )
         for i in range(bits):

@@ -143,6 +143,12 @@ def demux_video(payload: bytes) -> list[bytes]:
 
 
 def _fake_demux(payload: bytes) -> list[bytes]:
+    """Driver-side reference implementation of the chunking the M03
+    kernel inlines. The duplication is deliberate: mapInPandas kernels
+    must be closure-local (workers can't import this module when the
+    driver's cwd isn't the repo), so the kernel cannot call this
+    function — tests compare the kernel's output against this one to
+    keep the two from drifting."""
     return [
         payload[i : i + FRAME_BYTES]
         for i in range(0, len(payload), FRAME_BYTES)

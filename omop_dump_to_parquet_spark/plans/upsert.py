@@ -45,15 +45,18 @@ def upsert_parquet(
     ``verify.py``).
 
     Swap caveat: plain filesystems cannot atomically replace a
-    directory, so the swap is two renames (old→aside, new→live) with
-    stale-state cleanup up front; a crash inside that window leaves
-    the data intact under ``.__upsert_old`` for manual recovery. True
-    atomicity needs a manifest/table format (Delta/Iceberg) — out of
-    scope for a plain-parquet lake.
+    directory, so the swap is two renames (old→aside, new→live).
+    Recovery order matters: a crash INSIDE the swap window leaves the
+    only copy under ``.__upsert_old``, so cleanup first checks whether
+    the live path is missing and RESTORES the aside copy before ever
+    deleting anything. True atomicity needs a manifest/table format
+    (Delta/Iceberg) — out of scope for a plain-parquet lake.
     """
     tmp = f"{lake_path}.__upsert_tmp"
     old = f"{lake_path}.__upsert_old"
-    for stale in (tmp, old):  # recover from a prior crashed run
+    if not os.path.exists(lake_path) and os.path.exists(old):
+        os.rename(old, lake_path)  # crashed mid-swap: restore, don't delete
+    for stale in (tmp, old):  # now safe: the live copy exists
         if os.path.exists(stale):
             shutil.rmtree(stale)
 
@@ -70,6 +73,10 @@ def upsert_parquet(
 
     write_parquet(merged, tmp, max_records_per_file=max_records_per_file)
     n = spark.read.parquet(tmp).count()
+    expected = updates.count() + kept.count()
+    if n != expected:  # conservation violated — keep the original lake
+        shutil.rmtree(tmp)
+        raise RuntimeError(f"upsert row-count mismatch: {n} != {expected}")
     os.rename(lake_path, old)
     os.rename(tmp, lake_path)
     shutil.rmtree(old)

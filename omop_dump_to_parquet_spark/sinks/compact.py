@@ -49,25 +49,59 @@ def compact_parquet_dir(
     the next one, and a crash mid-swap leaves the data recoverable
     under ``.__compact_old``.
     """
-    entries = os.listdir(path)
+    # Crash recovery FIRST, and in the safe order: if a prior run died
+    # mid-swap the only copy of a leaf lives under .__compact_old —
+    # restore it before any deletion. Stale marker dirs also contain
+    # "=" for hive leaves, so they must never be mistaken for
+    # partition directories.
+    if not os.path.exists(path) and os.path.exists(f"{path}.__compact_old"):
+        os.rename(f"{path}.__compact_old", path)
+    for stale in (f"{path}.__compact_tmp", f"{path}.__compact_old"):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
+    for d in sorted(os.listdir(path)):
+        # stale markers INSIDE a hive root (leaf-level crash): restore
+        # a missing leaf from its .__compact_old, drop everything else
+        full = os.path.join(path, d)
+        if ".__compact_old" in d:
+            leaf = full[: -len(".__compact_old")]
+            if not os.path.exists(leaf):
+                os.rename(full, leaf)
+            else:
+                shutil.rmtree(full)
+        elif ".__compact_tmp" in d:
+            shutil.rmtree(full)
     subdirs = [
         os.path.join(path, d)
-        for d in entries
+        for d in sorted(os.listdir(path))
         if "=" in d and os.path.isdir(os.path.join(path, d))
     ]
+    total = 0
     if subdirs:  # hive layout: recurse into each partition directory
-        return sum(
+        total = sum(
             compact_parquet_dir(
                 spark, d, target_file_bytes, min_files_to_bother
             )
             for d in subdirs
         )
-    for stale in (f"{path}.__compact_tmp", f"{path}.__compact_old"):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
     files = [
-        os.path.join(path, f) for f in entries if f.endswith(".parquet")
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
     ]
+    if subdirs and not files:
+        return total
+    if subdirs and files:
+        # mixed layout (loose files next to partition dirs): the loose
+        # files cannot be rewritten in place without clobbering the
+        # partition dirs on swap — surface it instead of silently
+        # skipping them.
+        raise ValueError(
+            f"{path} mixes {len(files)} loose parquet files with "
+            f"{len(subdirs)} partition directories; compact the loose "
+            "files into a partition (or a separate directory) first"
+        )
     if len(files) < min_files_to_bother:
         return len(files)
     total_bytes = sum(os.path.getsize(f) for f in files)

@@ -67,6 +67,14 @@ def write_parquet(
     ``range_partition_on`` (which is strictly better when only one
     column is ever filtered).
     """
+    if zorder_on is not None and range_partition_on is not None:
+        raise ValueError(
+            "zorder_on and range_partition_on are mutually exclusive"
+        )
+    if range_partition_on is not None and num_files is None:
+        raise ValueError(
+            "range_partition_on requires num_files (the range split count)"
+        )
     out = df
     if zorder_on is not None:
         from ..functions.zorder import zorder_key

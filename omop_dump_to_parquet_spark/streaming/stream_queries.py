@@ -30,6 +30,55 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources.parquet import table
 
+#: staged landing dirs, keyed by sf_dir — FileStreamSource needs a
+#: directory, so the fixture file is symlinked into a temp dir once
+#: per (process, sf_dir) and reused by every streaming query instead
+#: of leaking a fresh mkdtemp per invocation.
+_STAGED: dict[str, str] = {}
+
+
+def _stage_events(sf_dir: str) -> str:
+    stage = _STAGED.get(sf_dir)
+    if stage is None or not os.path.exists(stage):
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(stage, "events.parquet"),
+        )
+        _STAGED[sf_dir] = stage
+    return stage
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture replayed as a stream, ts normalized to micros."""
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(raw.schema).parquet(_stage_events(sf_dir))
+    if dict(raw.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS)
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def _run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> str:
+    """Run a streaming plan to completion into a memory sink; returns
+    the sink table name. Memory-sink tables live for the session —
+    bounded here by one uniquely named table per invocation (driver
+    RAM holds only the small aggregated results)."""
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sink
+
+
 ST01_ORACLE = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,
@@ -42,19 +91,7 @@ GROUP BY window_start, event_type
 
 @query("st01_stream_tumbling", oracle=ST01_ORACLE)
 def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # pre-normalization schema
-    # FileStreamSource requires a directory; stage the fixture file
-    # into a temp dir via symlink (a real deployment streams from a
-    # landing directory anyway).
-    stage = tempfile.mkdtemp(prefix="st01_events_")
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = spark.readStream.schema(raw.schema).parquet(stage)
-    if dict(raw.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) → micros
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(
@@ -74,19 +111,8 @@ def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    sink = f"st01_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     # Materialize the sink table into a plain DataFrame for the caller.
-    return spark.table(sink)
+    return spark.table(_run_to_memory(agg, "st01_out", "complete"))
 
 
 # Gap comparison is >= : Spark's session_window is end-EXCLUSIVE
@@ -147,12 +173,7 @@ GROUP BY user_id
 
 @query("st03_stateful_running_agg", oracle=ST03_ORACLE)
 def st03_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="st03_events_")
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = spark.readStream.schema(raw.schema).parquet(stage)
+    stream = _events_stream(spark, sf_dir)
 
     output_schema = "user_id long, n_events long, max_value double"
     state_schema = "n long, vmax double"
@@ -167,8 +188,11 @@ def st03_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             if m == m and m > vmax:  # NaN-safe
                 vmax = float(m)
         state.update((n, vmax))
+        # all-NULL/NaN values for a key: emit NULL like the oracle's
+        # MAX(value), never the -inf sentinel
+        out_max = None if vmax == float("-inf") else vmax
         yield _pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+            {"user_id": [key[0]], "n_events": [n], "max_value": [out_max]}
         )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -180,18 +204,7 @@ def st03_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = f"st03_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(sink)
+    return spark.table(_run_to_memory(agg, "st03_out", "update"))
 
 # ---------------------------------------------------------------------------
 # ST04 — streaming dedup-on-ingest: dropDuplicatesWithinWatermark.
@@ -213,33 +226,13 @@ SELECT DISTINCT user_id, event_type FROM events
 
 @query("st04_stream_dedup", oracle=ST04_ORACLE)
 def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="st04_events_")
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = spark.readStream.schema(raw.schema).parquet(stage)
-    if dict(raw.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) → micros
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
     deduped = (
-        stream.withWatermark("ts", "1 hour")
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    sink = f"st04_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(sink)
+    return spark.table(_run_to_memory(deduped, "st04_out", "append"))
 
 
 # ---------------------------------------------------------------------------
@@ -267,20 +260,8 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') e
 
 @query("st05_stream_stream_join", oracle=ST05_ORACLE)
 def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="st05_events_")
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-
-    def src():
-        s = spark.readStream.schema(raw.schema).parquet(stage)
-        if dict(raw.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return s
-
     purchases = (
-        src()
+        _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_event"),
@@ -290,7 +271,7 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("p_ts", "1 hour")
     )
     errors = (
-        src()
+        _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("error_event"),
@@ -305,18 +286,7 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("e_ts") <= F.col("p_ts")),
     ).select("purchase_event", "error_event", "user_id")
-    sink = f"st05_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(sink)
+    return spark.table(_run_to_memory(joined, "st05_out", "append"))
 
 
 # NOTE on transformWithStateInPandas (Spark 4's successor to

@@ -48,7 +48,16 @@ def verify_parquet(
     expected_schema=None,
     max_records_per_file: int | None = None,
 ) -> VerifyReport:
-    """Check count conservation + schema stability + shard sizing."""
+    """Check count conservation + schema stability + shard sizing.
+
+    Per-file counts come from a ``groupBy(input_file_name())`` pass
+    (row iteration, unlike the reference's footer-metadata trick —
+    Spark has no public footer API, and the verify pass doubles as a
+    readability check of every row). Zero-row shards produce no rows
+    for the groupBy to see, so the file list is reconciled against a
+    driver-side directory listing — they count as 0-row files instead
+    of silently vanishing from the report.
+    """
     back = spark.read.parquet(path)
     per_file = {
         r["file"]: r["rows"]
@@ -58,6 +67,13 @@ def verify_parquet(
             .collect()
         )
     }
+    import os
+
+    for root, _dirs, names in os.walk(path):
+        for name in names:
+            if name.endswith(".parquet"):
+                uri = "file://" + os.path.join(root, name)
+                per_file.setdefault(uri, 0)
     total = sum(per_file.values())
     report = VerifyReport(
         total_rows=total,

@@ -129,6 +129,16 @@ def test_frame_sample_stride_and_sizes(spark, sf_small):
     assert all(r["frame_idx"] % M.FRAME_STRIDE == 0 for r in rows)
     assert all(1 <= r["frame_bytes"] <= M.FRAME_BYTES for r in rows)
     assert all(len(r["frame"]) == r["frame_bytes"] for r in rows)
+    # the kernel inlines _fake_demux (closure-locality); pin the two
+    # implementations against each other so they can't drift
+    doc = table(spark, sf_small, "documents").orderBy("doc_id").first()
+    expect = M._fake_demux(doc["text"].encode())[:: M.FRAME_STRIDE]
+    got = sorted(
+        (r["frame_idx"], bytes(r["frame"]))
+        for r in rows
+        if r["doc_id"] == doc["doc_id"]
+    )
+    assert [f for _, f in got] == expect
 
 
 def test_demux_stub_is_honest():
