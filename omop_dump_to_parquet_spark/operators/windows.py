@@ -278,3 +278,37 @@ def w07_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W08 — first_value / last_value with an explicit full-partition
+# frame. last_value defaults to the running frame (rows seen so far)
+# in BOTH engines, so the meaningful form pins the frame to the whole
+# partition — the per-group "cheapest and priciest order alongside
+# every row" pattern that avoids a join back onto a grouped aggregate.
+# ---------------------------------------------------------------------------
+
+W08_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       first_value(o_totalprice) OVER w AS cheapest,
+       last_value(o_totalprice) OVER w AS priciest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query("w08_first_last_value", oracle=W08_ORACLE)
+def w08_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w).alias("priciest"),
+    )
