@@ -180,9 +180,9 @@ def s03_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # S04 — embedding-cosine near-dup pairs (cos ≥ threshold, a < b).
-# Brute force a<b at test scale; the production path buckets with S02's
-# hyperplane LSH first (candidates = same-bucket pairs), turning the
-# O(n²) comparison into per-bucket blocks.
+# Exact all-pairs via a cogrouped block-pair GEMM: both sides stay
+# distributed, the shuffle is O(n·blocks) replicated rows, and each
+# block pair is one NumPy matrix multiply.
 # ---------------------------------------------------------------------------
 
 COS_DUP_THRESHOLD = 0.5
@@ -202,60 +202,101 @@ WHERE round(list_dot_product(a.emb, b.emb)
 """
 
 
+GEMM_BLOCKS = 8  # corpus row-blocks; block-pair fan-out = B(B+1)/2
+
+
 @query("s04_dedup_embedding", oracle=S04_ORACLE)
 def s04_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine ≥ threshold via blocked matrix multiply.
+    """All-pairs cosine ≥ threshold via cogrouped block-pair GEMM.
 
     Pairwise scoring through per-pair column expressions is
     interpreted (higher-order functions don't enter codegen) —
     measured 70s at sf0.1; a BLAS GEMM does the identical arithmetic
-    in milliseconds. The reference side of the comparison is
-    broadcast once (this is what FAISS-style brute force does); each
-    Arrow batch computes `batch × corpusᵀ` and emits only
-    above-threshold pairs.
+    in milliseconds.
 
-    Scale: one-sided broadcast works while the corpus side fits
-    executor memory (~10⁶ × dim). Beyond that, block both sides:
-    cross-join row-blocks (the S02 hyperplane buckets, or coarse
-    k-means cells) and run this same kernel per block pair — the
-    shuffle moves O(blocks²) block pairs, never O(n²) rows.
+    Both sides stay distributed: the corpus is hashed into
+    ``GEMM_BLOCKS`` row-blocks (``vec_id % B``), the constant
+    upper-triangular block-pair table (B(B+1)/2 rows) is
+    broadcast-joined against both sides, and a cogrouped
+    ``applyInPandas`` runs one NumPy GEMM per block pair. Every
+    unordered vector pair lands in exactly one block pair, so the
+    result is exact — identical arithmetic to one-sided brute force —
+    while the shuffle moves O(n·B) replicated rows, never O(n²)
+    pairs, and nothing is collected to the driver. At 100 TB, B
+    scales with corpus size so each block fits an Arrow batch
+    (rows/B × dim doubles); the kernel is unchanged.
     """
-    import numpy as np
-
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("emb")
     )
-    rows = emb.collect()  # corpus side: small (n × 64 doubles)
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.array([r["emb"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((M * M).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, M, norms))
+    nb = GEMM_BLOCKS
+    emb_b = emb.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
+    )
+    pairs = spark.createDataFrame(
+        [(i, j, i * nb + j) for i in range(nb) for j in range(i, nb)],
+        "bi int, bj int, pair_id int",
+    )
+    left = (
+        emb_b.alias("el")
+        .join(F.broadcast(pairs.alias("pl")), F.col("el.blk") == F.col("pl.bi"))
+        .select(
+            F.col("pl.pair_id").alias("pair_id"),
+            F.col("el.vec_id").alias("vec_id"),
+            F.col("el.emb").alias("emb"),
+        )
+    )
+    right = (
+        emb_b.alias("er")
+        .join(F.broadcast(pairs.alias("pr")), F.col("er.blk") == F.col("pr.bj"))
+        .select(
+            F.col("pr.pair_id").alias("pair_id"),
+            F.col("er.vec_id").alias("vec_id"),
+            F.col("er.emb").alias("emb"),
+        )
+    )
     threshold = COS_DUP_THRESHOLD
 
-    def kernel(batches):
+    def gemm(key, ldf, rdf):
         import numpy as _np
         import pandas as _pd
 
-        ids_all, M_all, norms_all = bc.value
-        for pdf in batches:
-            A = _np.stack(pdf["emb"].to_numpy()).astype(_np.float64)
-            a_ids = pdf["vec_id"].to_numpy()
-            a_norms = _np.sqrt((A * A).sum(axis=1))
-            S = (A @ M_all.T) / _np.outer(a_norms, norms_all)
-            S = _np.round(S, 6)
-            out_a, out_b, out_s = [], [], []
-            for i in range(A.shape[0]):
-                mask = (S[i] >= threshold) & (ids_all > a_ids[i])
-                hits = _np.nonzero(mask)[0]
-                out_a.extend([int(a_ids[i])] * len(hits))
-                out_b.extend(ids_all[hits].tolist())
-                out_s.extend(S[i][hits].tolist())
-            yield _pd.DataFrame(
-                {"vec_a": out_a, "vec_b": out_b, "cos_sim": out_s}
-            )
+        empty = _pd.DataFrame(
+            {
+                "vec_a": _np.array([], dtype=_np.int64),
+                "vec_b": _np.array([], dtype=_np.int64),
+                "cos_sim": _np.array([], dtype=_np.float64),
+            }
+        )
+        if not len(ldf) or not len(rdf):
+            return empty
+        bi, bj = divmod(int(key[0]), nb)
+        A = _np.stack(ldf["emb"].to_numpy()).astype(_np.float64)
+        B = _np.stack(rdf["emb"].to_numpy()).astype(_np.float64)
+        a_ids = ldf["vec_id"].to_numpy()
+        b_ids = rdf["vec_id"].to_numpy()
+        an = _np.sqrt((A * A).sum(axis=1))
+        bn = _np.sqrt((B * B).sum(axis=1))
+        S = _np.round((A @ B.T) / _np.outer(an, bn), 6)
+        mask = S >= threshold
+        if bi == bj:
+            # diagonal block: same set on both sides — keep each
+            # unordered pair once and drop the self-pair
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ii, jj = _np.nonzero(mask)
+        if not len(ii):
+            return empty
+        # off-diagonal blocks are disjoint id sets; normalize to a<b
+        va = _np.minimum(a_ids[ii], b_ids[jj])
+        vb = _np.maximum(a_ids[ii], b_ids[jj])
+        return _pd.DataFrame(
+            {"vec_a": va, "vec_b": vb, "cos_sim": S[ii, jj]}
+        )
 
-    return emb.mapInPandas(
-        kernel, schema="vec_a long, vec_b long, cos_sim double"
+    return (
+        left.groupBy("pair_id")
+        .cogroup(right.groupBy("pair_id"))
+        .applyInPandas(gemm, schema="vec_a long, vec_b long, cos_sim double")
     )
 
 
@@ -343,61 +384,70 @@ def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("s06_ann_int8")
 def s06_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 top-k ANN: the N_QUERIES probe vectors are quantized on the
+    driver (bounded collect — N_QUERIES rows, same class as S05's
+    NLIST centroids) and broadcast; the corpus NEVER leaves the
+    executors. Each Arrow batch quantizes its slice, runs the int8
+    GEMM probe × batch, and emits only a per-batch local top-k
+    (rounded score desc, id asc — the same total order the final
+    global window ranks by, so the local prune is lossless). The
+    reduce is top_k × n_batches candidate rows, not the corpus.
+    """
     import numpy as np
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("emb")
     )
-    rows = emb.collect()  # corpus side: small (n × 64)
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.array([r["emb"] for r in rows], dtype=np.float64)
-    scales = np.abs(M).max(axis=1)
-    scales[scales == 0] = 1.0
-    Q = np.rint(M / scales[:, None] * 127).astype(np.int8)
-    qnorms = np.sqrt((Q.astype(np.float64) ** 2).sum(axis=1))
-    qnorms[qnorms == 0] = 1.0
-    bc = spark.sparkContext.broadcast((ids, Q, qnorms))
-    n_queries, top_k = N_QUERIES, TOP_K
+    probe_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    p_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    P = np.array([r["emb"] for r in probe_rows], dtype=np.float64)
+    p_scales = np.abs(P).max(axis=1)
+    p_scales[p_scales == 0] = 1.0
+    Pq = np.rint(P / p_scales[:, None] * 127).astype(np.int8)
+    pn = np.sqrt((Pq.astype(np.float64) ** 2).sum(axis=1))
+    pn[pn == 0] = 1.0
+    bc = spark.sparkContext.broadcast((p_ids, Pq.astype(np.int32), pn))
+    top_k = TOP_K
 
     def kernel(batches):
         import numpy as _np
         import pandas as _pd
 
-        ids_all, Q_all, qn_all = bc.value
+        ids_p, Pi, pn_p = bc.value
         for pdf in batches:
-            probe = pdf[pdf["vec_id"] < n_queries]
-            if not len(probe):
-                yield _pd.DataFrame(
-                    {"query_id": [], "neighbor_id": [], "cos_sim_q": [], "rank": []}
-                )
-                continue
-            A = _np.stack(probe["emb"].to_numpy()).astype(_np.float64)
-            a_scales = _np.abs(A).max(axis=1)
-            a_scales[a_scales == 0] = 1.0
-            Aq = _np.rint(A / a_scales[:, None] * 127).astype(_np.int8)
-            an = _np.sqrt((Aq.astype(_np.float64) ** 2).sum(axis=1))
-            an[an == 0] = 1.0
-            # int32 accumulation of the int8 dot, then normalize
-            S = (Aq.astype(_np.int32) @ Q_all.astype(_np.int32).T) / _np.outer(
-                an, qn_all
-            )
-            a_ids = probe["vec_id"].to_numpy()
-            out = {"query_id": [], "neighbor_id": [], "cos_sim_q": [], "rank": []}
-            for i in range(len(a_ids)):
-                s = S[i].copy()
-                s[ids_all == a_ids[i]] = -_np.inf
-                # deterministic top-k: score desc, id asc
-                order = _np.lexsort((ids_all, -s))[:top_k]
-                for r, j in enumerate(order, start=1):
-                    out["query_id"].append(int(a_ids[i]))
-                    out["neighbor_id"].append(int(ids_all[j]))
-                    out["cos_sim_q"].append(round(float(s[j]), 6))
-                    out["rank"].append(r)
+            out = {"query_id": [], "neighbor_id": [], "cos_sim_q": []}
+            if len(pdf):
+                B = _np.stack(pdf["emb"].to_numpy()).astype(_np.float64)
+                scales = _np.abs(B).max(axis=1)
+                scales[scales == 0] = 1.0
+                Bq = _np.rint(B / scales[:, None] * 127).astype(_np.int8)
+                bn = _np.sqrt((Bq.astype(_np.float64) ** 2).sum(axis=1))
+                bn[bn == 0] = 1.0
+                # int32 accumulation of the int8 dot, then normalize
+                S = (Pi @ Bq.astype(_np.int32).T) / _np.outer(pn_p, bn)
+                S = _np.round(S, 6)
+                b_ids = pdf["vec_id"].to_numpy()
+                for i in range(len(ids_p)):
+                    keep = b_ids != ids_p[i]  # exclude self
+                    cand = _np.nonzero(keep)[0]
+                    s = S[i][cand]
+                    order = _np.lexsort((b_ids[cand], -s))[:top_k]
+                    for j in order:
+                        out["query_id"].append(int(ids_p[i]))
+                        out["neighbor_id"].append(int(b_ids[cand[j]]))
+                        out["cos_sim_q"].append(float(s[j]))
             yield _pd.DataFrame(out)
 
-    return emb.mapInPandas(
-        kernel,
-        schema="query_id long, neighbor_id long, cos_sim_q double, rank int",
+    cand = emb.mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, cos_sim_q double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "cos_sim_q", "rank")
     )
 
 

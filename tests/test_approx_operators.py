@@ -297,3 +297,44 @@ def test_stratified_sample_rates_and_determinism(spark, sf_small):
             mu = totals[lang] * frac
             sigma = math.sqrt(totals[lang] * frac * (1 - frac))
             assert abs(n - mu) <= 5 * sigma + 1, (lang, n, mu)
+
+
+def test_gemm_operators_never_collect_the_corpus(spark, sf_small, monkeypatch):
+    """Scale invariant for the GEMM family: plan construction must not
+    pull the corpus to the driver. S04 collects nothing; S06 may only
+    collect the bounded probe set (N_QUERIES rows, same class as
+    S05's NLIST centroids)."""
+    from omop_dump_to_parquet_spark.operators import similarity as S
+
+    # patch the concrete runtime class (Spark 4: classic.dataframe
+    # subclasses pyspark.sql.DataFrame and overrides collect)
+    df_cls = type(spark.range(1))
+    collected: list[int] = []
+    orig = df_cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(df_cls, "collect", spy)
+    S.s04_dedup_embedding(spark, sf_small)
+    assert collected == [], "s04 plan build must not collect"
+    S.s06_ann_int8(spark, sf_small)
+    assert collected and all(n <= S.N_QUERIES for n in collected), collected
+
+
+def test_blocked_gemm_matches_oracle_pairs(spark, sf_small, duck):
+    """The cogrouped block-pair GEMM must reproduce the exact all-pairs
+    answer (every unordered pair in exactly one block pair)."""
+    from omop_dump_to_parquet_spark.operators import similarity as S
+
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in S.s04_dedup_embedding(spark, sf_small).collect()
+    }
+    want = {
+        (a, b): s
+        for a, b, s in duck.sql(S.S04_ORACLE).fetchall()
+    }
+    assert got == want
