@@ -89,11 +89,11 @@ def d02_dedup_hash_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # D03 — word-set Jaccard near-dup pairs, blocked by (lang, source).
-# Exact similarity join: explode distinct tokens, self-join inside the
-# block on shared tokens, count intersections, Jaccard from
-# inclusion-exclusion. Blocking bounds the candidate space the same
-# way LSH bands do, but deterministically — this is the *oracle-exact*
-# member of the near-dup family.
+# Exact similarity join: prefix-filtered candidate generation (index
+# only each doc's rarest nw-⌈t·nw⌉+1 tokens — the provably-lossless
+# AllPairs prefix guard, which keeps hot/stopword tokens OUT of the
+# inverted index), then exact int64-hashed Jaccard verification.
+# This is the *oracle-exact* member of the near-dup family.
 # ---------------------------------------------------------------------------
 
 JACCARD_THRESHOLD = 0.6
@@ -130,45 +130,85 @@ def _distinct_tokens(docs: DataFrame, *block_cols: str) -> DataFrame:
     )
 
 
+def prefix_filter_candidates(
+    docs: DataFrame,
+    num: int,
+    den: int,
+    *block_cols: str,
+) -> DataFrame:
+    """Exact candidate pairs for Jaccard ≥ num/den via prefix
+    filtering (Bayardo et al., AllPairs — public algorithm).
+
+    Tokens get a global total order (document frequency ASC, token
+    ASC); each doc INDEXES only its prefix — the ``nw - ⌈t·nw⌉ + 1``
+    rarest tokens. The probe side keeps full token lists. Lemma: if
+    J(A,B) ≥ t then |A∩B| ≥ t·|B|, while B's unindexed suffix holds
+    only ``⌈t·|B|⌉ - 1 < t·|B|`` tokens, so A must hit B's prefix —
+    zero recall loss by construction.
+
+    This is the hot-token guard: a stopword shared by every doc in a
+    block has maximal document frequency, so it sorts LAST and never
+    enters any prefix — the |block|² token-group blowup of a naive
+    inverted-index self-join cannot occur. Join group size per token
+    is df_full × df_prefix, and df_prefix ≈ 0 for hot tokens. The
+    exact set-size condition (den·min(nw) ≥ num·max(nw), cf.
+    lsh_candidate_pairs) prunes further at zero recall cost.
+    """
+    tok = _distinct_tokens(docs, *block_cols)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    dfreq = tok.groupBy(*block_cols, "w").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ranked = (
+        tok.join(dfreq, [*block_cols, "w"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("w").asc()
+                )
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix length nw - ⌈t·nw⌉ + 1, integer-exact: ⌈num·nw/den⌉
+    ceil_t_nw = F.floor(
+        (F.lit(num) * F.col("nw") + F.lit(den - 1)) / F.lit(den)
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("nw") - ceil_t_nw + 1)
+    probe = tok.join(sizes, "doc_id").alias("a")
+    index = prefix.alias("b")
+    cond = (
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.nw") * den >= F.col("b.nw") * num)
+        & (F.col("b.nw") * den >= F.col("a.nw") * num)
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        probe.join(index, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 @query("d03_dedup_ngram_jaccard", oracle=D03_ORACLE)
 def d03_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked Jaccard join: prefix-filtered candidates (no
+    hot-token quadratic blowup — see prefix_filter_candidates), then
+    exact int64-hashed verification (verify_jaccard_pairs)."""
+    from fractions import Fraction
+
     docs = table(spark, sf_dir, "documents")
-    tok = _distinct_tokens(docs, "lang", "source")
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    ratio = Fraction(str(JACCARD_THRESHOLD))
+    candidates = prefix_filter_candidates(
+        docs, ratio.numerator, ratio.denominator, "lang", "source"
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b")
-    )
-    jac = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("nw_a") + F.col("nw_b") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

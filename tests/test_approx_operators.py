@@ -338,3 +338,73 @@ def test_blocked_gemm_matches_oracle_pairs(spark, sf_small, duck):
         for a, b, s in duck.sql(S.S04_ORACLE).fetchall()
     }
     assert got == want
+
+
+def test_prefix_filter_excludes_hot_tokens_and_loses_no_recall(
+    spark, sf_small, duck
+):
+    """The d03 hot-token guard: stopword-frequency tokens must not
+    enter the inverted index (they sort last in the (df, w) order and
+    fall outside every doc's prefix), while the candidate set still
+    covers every true >=t pair (prefix-filter lemma)."""
+    from fractions import Fraction
+
+    from omop_dump_to_parquet_spark.operators import dedup as D
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    docs = table(spark, sf_small, "documents")
+    ratio = Fraction(str(D.JACCARD_THRESHOLD))
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.prefix_filter_candidates(
+            docs, ratio.numerator, ratio.denominator, "lang", "source"
+        ).collect()
+    }
+    true_pairs = {
+        (a, b) for a, b, _ in duck.sql(D.D03_ORACLE).fetchall()
+    }
+    assert true_pairs <= cand, "prefix filter lost true pairs"
+
+    # index-size guard: join work is sum(df_full * df_prefix); the
+    # naive self-join pays sum(df_full^2). Require a real reduction.
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    tok = D._distinct_tokens(docs, "lang", "source")
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    dfreq = tok.groupBy("lang", "source", "w").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ranked = (
+        tok.join(dfreq, ["lang", "source", "w"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "w")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    ceil_t_nw = F.floor(
+        (F.lit(ratio.numerator) * F.col("nw") + F.lit(ratio.denominator - 1))
+        / F.lit(ratio.denominator)
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("nw") - ceil_t_nw + 1)
+    pfreq = prefix.groupBy("lang", "source", "w").agg(
+        F.count(F.lit(1)).alias("pdf")
+    )
+    joined = dfreq.join(pfreq, ["lang", "source", "w"], "left").select(
+        "df", F.coalesce(F.col("pdf"), F.lit(0)).alias("pdf")
+    )
+    work = joined.agg(
+        F.sum(F.col("df") * F.col("pdf")).alias("guarded"),
+        F.sum(F.col("df") * F.col("df")).alias("naive"),
+    ).collect()[0]
+    assert work["guarded"] * 2 <= work["naive"], (
+        work["guarded"],
+        work["naive"],
+    )
+    # the sharp guard: the hottest (stopword-class) tokens sort last
+    # in the (df, w) order and must be absent from the index entirely
+    hottest = joined.orderBy(F.col("df").desc()).first()
+    assert hottest["pdf"] == 0, hottest
