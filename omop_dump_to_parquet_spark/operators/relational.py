@@ -772,8 +772,9 @@ def q29_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q30 — TPC-H Q5 shape: 6-way join (region→nation→{customer,supplier}
 # →orders→lineitem) with a region filter and a date range, revenue by
-# nation. The canonical star-plus-constraint plan: region/nation (and
-# supplier at this SF) broadcast, the fact-fact joins shuffle on their
+# nation. The canonical star-plus-constraint plan: region/nation hard-
+# broadcast (fixed cardinality), supplier left to AQE (it grows with
+# SF), the fact-fact joins shuffle on their
 # keys, and the l_suppkey = s_suppkey ∧ c_nationkey = s_nationkey
 # constraint ("local supplier") prunes after the join. DECIMAL revenue
 # for cross-engine determinism (registry docstring).
@@ -813,8 +814,10 @@ def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
+        # supplier grows with scale factor (10k rows/SF) — no hard
+        # broadcast hint; AQE/autoBroadcastJoinThreshold decide.
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

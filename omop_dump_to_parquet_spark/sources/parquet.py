@@ -26,10 +26,12 @@ FIXTURE_TABLES = (
     "embeddings",
 )
 
-#: Dimension tables small enough to broadcast at ANY scale factor —
-#: TPC-H `region`/`nation` are fixed-cardinality (5/25 rows) even at
-#: 100 TB, `supplier` grows but stays MB-scale relative to the facts.
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+#: Dimension tables small enough to HARD-broadcast at ANY scale
+#: factor — TPC-H `region`/`nation` are fixed-cardinality (5/25 rows)
+#: even at 100 TB. `supplier` GROWS with scale factor (10k rows/SF),
+#: so it gets no hard hint: `spark.sql.autoBroadcastJoinThreshold` /
+#: AQE decide per-run whether it still fits.
+BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
