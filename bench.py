@@ -58,18 +58,43 @@ def main() -> None:
     warm = get_spark("bench").read.parquet(f"{sf_dir}/region.parquet")
     warm.groupBy("r_name").count().collect()
     # ... and the Python-worker pool, so Arrow-UDF queries don't pay
-    # daemon spawn + import time inside their measurement.
-    def _noop(batches):
-        yield from batches
+    # daemon spawn + import time inside their measurement. The warm
+    # batch mirrors the GEMM kernels' shape (array<double> column,
+    # NumPy stacked inside the worker) so their first measured batch
+    # doesn't pay the numpy import either.
+    def _warm_gemm(batches):
+        import numpy as _np
 
-    spark.range(64).toDF("id").mapInPandas(_noop, schema="id long").count()
+        for pdf in batches:
+            _np.stack(pdf["emb"].to_numpy())
+            yield pdf[["id"]]
+
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(64)
+        .select("id", F.array(*[F.lit(float(i)) for i in range(64)]).alias("emb"))
+        .mapInPandas(_warm_gemm, schema="id long")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in names:
         fn = queries[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # Evaluate EVERY output column, not just the row count — a
+        # bare count() lets Catalyst prune computed columns (a window
+        # aggregate that doesn't change cardinality would never run).
+        # hash(*) depends on all columns, and the 32-bit hash summed
+        # into a long cannot overflow under ANSI mode until ~2^32 rows.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash(*[F.col(c) for c in df.columns]).cast("long")).alias(
+                "h"
+            ),
+        ).collect()[0]
+        n = row["n"]
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
