@@ -68,15 +68,33 @@ def upsert_parquet(
             f"upsert schema mismatch: {current.schema.simpleString()} "
             f"vs {updates.schema.simpleString()}"
         )
-    kept = current.join(updates.select(*key_cols), on=key_cols, how="left_anti")
-    merged = updates.unionByName(kept)
+    # Persist updates: its subtree feeds BOTH union branches (directly,
+    # and negated through the anti join); a nondeterministic source
+    # (limit/sample/shuffle-dependent) re-evaluated per branch could
+    # otherwise drop or duplicate keys within one write.
+    updates = updates.persist()
+    try:
+        kept = current.join(
+            updates.select(*key_cols), on=key_cols, how="left_anti"
+        )
+        merged = updates.unionByName(kept)
 
-    write_parquet(merged, tmp, max_records_per_file=max_records_per_file)
-    n = spark.read.parquet(tmp).count()
-    expected = updates.count() + kept.count()
-    if n != expected:  # conservation violated — keep the original lake
-        shutil.rmtree(tmp)
-        raise RuntimeError(f"upsert row-count mismatch: {n} != {expected}")
+        # Conservation is checked against the rows ACTUALLY written
+        # (captured by observe inside the write job), not a separate
+        # re-execution of the updates/kept plans.
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
+        write_parquet(merged, tmp, max_records_per_file=max_records_per_file)
+        expected = obs.get["n"]
+        n = spark.read.parquet(tmp).count()
+        if n != expected:  # conservation violated — keep the original lake
+            shutil.rmtree(tmp)
+            raise RuntimeError(f"upsert row-count mismatch: {n} != {expected}")
+    finally:
+        updates.unpersist()
     os.rename(lake_path, old)
     os.rename(tmp, lake_path)
     shutil.rmtree(old)

@@ -28,6 +28,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+def _est_bytes(dt) -> int:
+    """Rough uncompressed bytes per value (PySpark exposes no
+    defaultSize); only used to translate the reference's row-count
+    row-group sizing into parquet.block.size bytes."""
+    s = dt.simpleString()
+    if s.startswith(("array", "map", "struct")):
+        return 64
+    if s.startswith(("string", "binary", "varchar", "char")):
+        return 20
+    if s.startswith(("double", "bigint", "timestamp", "decimal")):
+        return 8
+    return 4
+
+
 #: The reference's tuning constants (dump_table.py:182-190).
 REFERENCE_SIZING = {
     "rows_per_file": 2**19,  # dump_table.py:182
@@ -90,10 +104,23 @@ def write_parquet(
         out = out.repartitionByRange(num_files, range_partition_on)
     elif num_files is not None:
         out = out.repartition(num_files)
+    # Row-group / page sizing, mirroring the reference's constants
+    # (dump_table.py:186-190). parquet.block.size is in BYTES; the
+    # reference thinks in rows ("≈4 row groups per file"), so derive
+    # bytes-per-row from the plan's schema default sizes — coarse, but
+    # it preserves the row-group-count intent across row widths.
+    bytes_per_row = max(1, sum(_est_bytes(f.dataType) for f in out.schema.fields))
+    block_bytes = max(
+        1 << 20,
+        (max_records_per_file // REFERENCE_SIZING["row_groups_per_file"])
+        * bytes_per_row,
+    )
     writer = (
         out.write.mode(mode)
         .option("maxRecordsPerFile", str(max_records_per_file))
         .option("compression", compression)
+        .option("parquet.block.size", str(block_bytes))
+        .option("parquet.page.size", str(REFERENCE_SIZING["page_size_bytes"]))
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)

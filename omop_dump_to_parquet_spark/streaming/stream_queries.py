@@ -37,6 +37,22 @@ from ..sources.parquet import table
 _STAGED: dict[str, str] = {}
 
 
+def _cleanup_staged() -> None:
+    """Remove staged landing dirs at interpreter exit — they hold only
+    symlinks, but a long-lived driver (or the correctness harness
+    running from its own CWD) shouldn't accumulate temp dirs."""
+    import shutil
+
+    while _STAGED:
+        _sf, stage = _STAGED.popitem()
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+import atexit
+
+atexit.register(_cleanup_staged)
+
+
 def _stage_events(sf_dir: str) -> str:
     stage = _STAGED.get(sf_dir)
     if stage is None or not os.path.exists(stage):
@@ -60,11 +76,24 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> str:
+def _run_to_memory(
+    df: DataFrame,
+    prefix: str,
+    output_mode: str,
+    expect_single_batch: bool = False,
+) -> str:
     """Run a streaming plan to completion into a memory sink; returns
     the sink table name. Memory-sink tables live for the session —
     bounded here by one uniquely named table per invocation (driver
-    RAM holds only the small aggregated results)."""
+    RAM holds only the small aggregated results).
+
+    ``expect_single_batch``: ST03/ST04's oracle-equality holds only if
+    the replay lands in ONE micro-batch (update-mode sinks append each
+    batch's rows; watermark eviction can re-emit keys across batches).
+    The staging layout guarantees it (one file, no maxFilesPerTrigger)
+    — this assertion turns any future violation into a loud error
+    instead of a silent hash mismatch.
+    """
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         df.writeStream.outputMode(output_mode)
@@ -74,6 +103,19 @@ def _run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> str:
     )
     try:
         q.processAllAvailable()
+        if expect_single_batch:
+            import json as _json
+
+            n_data_batches = sum(
+                1
+                for p in q.recentProgress
+                if _json.loads(p.json).get("numInputRows", 0) > 0
+            )
+            if n_data_batches != 1:
+                raise RuntimeError(
+                    f"{prefix}: replay split into {n_data_batches} "
+                    "micro-batches; single-batch assumption violated"
+                )
     finally:
         q.stop()
     return sink
@@ -204,7 +246,9 @@ def st03_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return spark.table(_run_to_memory(agg, "st03_out", "update"))
+    return spark.table(
+        _run_to_memory(agg, "st03_out", "update", expect_single_batch=True)
+    )
 
 # ---------------------------------------------------------------------------
 # ST04 — streaming dedup-on-ingest: dropDuplicatesWithinWatermark.
@@ -232,7 +276,9 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return spark.table(_run_to_memory(deduped, "st04_out", "append"))
+    return spark.table(
+        _run_to_memory(deduped, "st04_out", "append", expect_single_batch=True)
+    )
 
 
 # ---------------------------------------------------------------------------

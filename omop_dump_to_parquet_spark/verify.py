@@ -22,6 +22,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _norm_uri(uri: str) -> str:
+    """Canonical key for a file URI so the two listing sources agree.
+
+    ``input_file_name()`` returns percent-encoded ``file:///a%20b``
+    URIs; Hadoop's ``Path.toUri`` renders ``file:/a b``. Decode and
+    normalize to ``scheme://netloc/path`` so paths with spaces (or any
+    URL-escapable byte) don't double-count as phantom 0-row shards.
+    """
+    from urllib.parse import unquote, urlparse
+
+    pr = urlparse(uri)
+    scheme = pr.scheme or "file"
+    return f"{scheme}://{pr.netloc}{unquote(pr.path)}"
+
+
+def _list_parquet_uris(spark: SparkSession, path: str) -> list[str]:
+    """Recursive ``.parquet`` listing through the Hadoop FileSystem
+    API — works for ANY registered scheme (file, hdfs, s3a, abfs…),
+    unlike a driver-side ``os.walk``, which silently reports nothing
+    for object-store paths."""
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    uris: list[str] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        uri = f.getPath().toUri().toString()
+        if uri.endswith(".parquet"):
+            uris.append(uri)
+    return uris
+
+
 @dataclass
 class VerifyReport:
     total_rows: int
@@ -55,25 +89,21 @@ def verify_parquet(
     Spark has no public footer API, and the verify pass doubles as a
     readability check of every row). Zero-row shards produce no rows
     for the groupBy to see, so the file list is reconciled against a
-    driver-side directory listing — they count as 0-row files instead
-    of silently vanishing from the report.
+    Hadoop-FileSystem recursive listing (scheme-agnostic: file, hdfs,
+    s3a, …) — they count as 0-row files instead of silently vanishing
+    from the report.
     """
     back = spark.read.parquet(path)
     per_file = {
-        r["file"]: r["rows"]
+        _norm_uri(r["file"]): r["rows"]
         for r in (
             back.groupBy(F.input_file_name().alias("file"))
             .agg(F.count(F.lit(1)).alias("rows"))
             .collect()
         )
     }
-    import os
-
-    for root, _dirs, names in os.walk(path):
-        for name in names:
-            if name.endswith(".parquet"):
-                uri = "file://" + os.path.join(root, name)
-                per_file.setdefault(uri, 0)
+    for uri in _list_parquet_uris(spark, path):
+        per_file.setdefault(_norm_uri(uri), 0)
     total = sum(per_file.values())
     report = VerifyReport(
         total_rows=total,

@@ -98,3 +98,29 @@ def test_upsert_merges_by_key(spark, sf_small, tmp_path):
     with _pytest.raises(ValueError):
         upsert_parquet(spark, lake, updates.drop("c_acctbal"), ["c_custkey"])
     assert spark.read.parquet(lake).count() == cust.count() + 2
+
+
+def test_verify_handles_uri_escapable_paths_and_zero_row_shards(
+    spark, sf_small, tmp_path
+):
+    """Percent-encoding reconciliation: a path with a space must not
+    double-count as a phantom 0-row shard, and a genuinely empty shard
+    must still be reported (via the Hadoop-FS listing, which also
+    covers non-file schemes)."""
+    from omop_dump_to_parquet_spark.sources.parquet import table
+    from omop_dump_to_parquet_spark.verify import verify_parquet
+
+    out = str(tmp_path / "with space" / "region")
+    df = table(spark, sf_small, "region")
+    df.coalesce(1).write.parquet(out)
+    rep = verify_parquet(spark, out, expected_count=df.count())
+    assert rep.count_matches
+    assert rep.n_files == 1, rep.per_file_rows
+    assert all(" " in f for f in rep.per_file_rows), rep.per_file_rows
+
+    # add an empty shard: same schema, zero rows
+    df.limit(0).coalesce(1).write.mode("append").parquet(out)
+    rep2 = verify_parquet(spark, out, expected_count=df.count())
+    assert rep2.count_matches
+    assert rep2.n_files == 2, rep2.per_file_rows
+    assert 0 in rep2.per_file_rows.values()

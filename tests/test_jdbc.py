@@ -149,3 +149,51 @@ def test_cli_dump_from_jdbc(spark, derby_url, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert back.count() == 50
     assert dict(back.dtypes)["PROVIDER_ID"] == "bigint"
+
+
+def test_decimal_custom_schema_pinning(spark, derby_url, tmp_path):
+    """The reference's Oracle-NUMBER fight (dump_table.py:144-146)
+    generalized: a wide DECIMAL column must reach the lake with a
+    PINNED decimal type and exact values — never inferred through
+    double (the 21-integer-digit fixture value is not double-
+    representable, so exactness here proves the decimal path).
+    Derby caps precision at 31; ``customSchema`` pins the Spark-side
+    type to decimal(38,10), Oracle NUMBER's usual landing width."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE measurements ("
+        "m_id INT PRIMARY KEY, amount DECIMAL(31,10))"
+    )
+    vals = [
+        "123456789012345678901.1234567890",  # 21 int digits: > double
+        "-0.0000000001",
+        "0E-10",
+    ]
+    ps = conn.prepareStatement("INSERT INTO measurements VALUES (?,?)")
+    for i, v in enumerate(vals):
+        ps.setInt(1, i)
+        ps.setBigDecimal(2, jvm.java.math.BigDecimal(v))
+        ps.addBatch()
+    ps.executeBatch()
+    conn.commit()
+    conn.close()
+
+    df = read_jdbc_table(
+        spark,
+        derby_url,
+        "measurements",
+        custom_schema="AMOUNT decimal(38,10)",
+    )
+    assert dict(df.dtypes)["AMOUNT"] == "decimal(38,10)"
+
+    out = str(tmp_path / "measurements_lake")
+    result = dump_table(spark, df, out, max_records_per_file=10)
+    assert result.ok
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes)["AMOUNT"] == "decimal(38,10)"
+    from decimal import Decimal
+
+    got = {r["M_ID"]: r["AMOUNT"] for r in back.collect()}
+    assert got == {i: Decimal(v) for i, v in enumerate(vals)}

@@ -113,6 +113,27 @@ def test_q30_six_way_join_broadcasts_dims_no_cartesian(spark, sf_small):
     assert "o_orderdate" in pushed  # date range reaches the orders scan
 
 
+def test_s04_gemm_is_distributed_cogroup(spark, sf_small):
+    """S04's corpus must never be collected to the driver: the plan is
+    two broadcast joins of the embeddings scan against the constant
+    block-pair table feeding a cogrouped Arrow GEMM. A driver-collect
+    regression would show a LocalTableScan in place of the second
+    parquet scan."""
+    plan = formatted_plan(spark, "s04_dedup_embedding", sf_small)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("Scan parquet") >= 2  # both GEMM sides read distributed
+    assert "LocalTableScan" not in plan
+
+
+def test_s06_corpus_stays_on_executors(spark, sf_small):
+    """S06 broadcasts only the N_QUERIES probe vectors; the corpus side
+    is a parquet scan into mapInPandas — no driver round-trip."""
+    plan = formatted_plan(spark, "s06_ann_int8", sf_small)
+    assert "MapInPandas" in plan
+    assert "Scan parquet" in plan
+    assert "LocalTableScan" not in plan
+
+
 STREAMING_QUERIES = {
     "st01_stream_tumbling",
     "st03_stateful_running_agg",
