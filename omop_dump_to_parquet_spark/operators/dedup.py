@@ -341,6 +341,20 @@ def lsh_candidate_pairs(
         F.col("bb.band").alias("band"),
         F.col("bb.bkey").alias("bkey"),
     )
+    # PAIR-EXPANSION STAGES DEFEAT AQE's SIZE HEURISTIC: the banded
+    # table is tiny (|docs|·bands rows, a few MB at sf0.1) so adaptive
+    # partition coalescing folds its shuffle into 1-2 partitions — but
+    # the join OUTPUT is ~E[n_bands]·|pairs| rows, and those 1-2 tasks
+    # then generate tens of millions of rows serially (measured 15.9s
+    # vs 4.6s for the identical join at sf0.1). An explicit
+    # user-specified repartition on the join keys is exempt from
+    # coalescing, pins the parallelism to the session's shuffle width,
+    # and is reused by BOTH the hot-bucket window and both join sides
+    # (one exchange via ReuseExchange — no added shuffle).
+    n_part = int(
+        banded.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    banded = banded.repartition(n_part, "band", "bkey")
     # Cap pathologically hot buckets (constant-content guard).
     wb = W.partitionBy("band", "bkey")
     banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(wb)).filter(
@@ -447,6 +461,17 @@ def verify_jaccard_pairs(
     )
     if use_broadcast:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
+        # The candidate set arrives from an upstream groupBy whose
+        # shuffle AQE coalesces by BYTE size (~80 MB at sf0.1 → 1-2
+        # partitions) — but the per-row work here (array_intersect
+        # over ~25-token arrays) is CPU-bound, so those 1-2 tasks
+        # serialize the verification (measured 19.1s vs 4.3s at
+        # sf0.1). Explicit repartition restores the session's
+        # parallelism; broadcast keeps both joins map-side.
+        n_part = int(
+            candidates.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        candidates = candidates.repartition(n_part, "doc_a", "doc_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = (
         candidates.join(ta, "doc_a")
@@ -522,6 +547,15 @@ def d05_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb.chunk").alias("chunk"),
         F.col("bb.ckey").alias("ckey"),
         *[F.col(f"c{i}") for i in range(SIMHASH_CHUNKS)],
+    )
+    # Pair-expansion join: pin parallelism with an explicit repartition
+    # so AQE's byte-based coalescing can't serialize the pair emission
+    # onto 1-2 tasks (same pathology as lsh_candidate_pairs — the
+    # banded input is KBs, the join output is millions of rows).
+    banded = banded.repartition(
+        int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "chunk",
+        "ckey",
     )
     a = banded.alias("a")
     b = banded.alias("b")
