@@ -76,6 +76,23 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+#: State partition count for the streaming queries. Stateful operators
+#: pay a PER-PARTITION constant every micro-batch — each partition's
+#: state store(s) must be opened, updated, snapshotted, and committed
+#: (a symmetric hash join keeps 4 stores per partition) — so state
+#: parallelism must be sized by STATE VOLUME (O(arrival rate ×
+#: watermark horizon)), never inherited from the batch shuffle width.
+#: Measured at sf0.1 (40k buffered rows): ST05 runs 13.9s with the
+#: batch-sized 32 partitions vs 3.1s with 8 — commitTimeMs alone was
+#: 70s summed across the 32×4 stores. In a checkpointed production
+#: job this is picked once at first start (it is frozen into the
+#: checkpoint) and sized for peak state; override here via
+#: SPARK_GRAFT_STREAM_PARTITIONS.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+)
+
+
 def _run_to_memory(
     df: DataFrame,
     prefix: str,
@@ -95,29 +112,39 @@ def _run_to_memory(
     instead of a silent hash mismatch.
     """
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(sink)
-        .start()
+    spark = df.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # The incremental planner reads this at .start(); restore after so
+    # batch queries keep the session's shuffle width.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
     try:
-        q.processAllAvailable()
-        if expect_single_batch:
-            import json as _json
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            if expect_single_batch:
+                import json as _json
 
-            n_data_batches = sum(
-                1
-                for p in q.recentProgress
-                if _json.loads(p.json).get("numInputRows", 0) > 0
-            )
-            if n_data_batches != 1:
-                raise RuntimeError(
-                    f"{prefix}: replay split into {n_data_batches} "
-                    "micro-batches; single-batch assumption violated"
+                n_data_batches = sum(
+                    1
+                    for p in q.recentProgress
+                    if _json.loads(p.json).get("numInputRows", 0) > 0
                 )
+                if n_data_batches != 1:
+                    raise RuntimeError(
+                        f"{prefix}: replay split into {n_data_batches} "
+                        "micro-batches; single-batch assumption violated"
+                    )
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sink
 
 
