@@ -263,3 +263,250 @@ def t07_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("token"))
         .limit(VOCAB_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# T08 — repetition metrics (Gopher-style quality signals): duplicate
+# trigram fraction + most-frequent-token dominance, per document. The
+# standard "remove boilerplate / degenerate repetition" filter for
+# pre-training corpora (cf. Rae et al. 2021 §A1.1). All map-side
+# higher-order array expressions — per-row cost is O(tokens·distinct),
+# bounded by document length, no shuffle. Divisions are the identical
+# expression tree in both engines → bit-stable doubles.
+# ---------------------------------------------------------------------------
+
+T08_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE [] END AS trigrams
+  FROM t
+)
+SELECT doc_id,
+       len(trigrams) AS n_trigrams,
+       CASE WHEN len(trigrams) > 0
+            THEN 1.0 - (CAST(len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams))
+            ELSE 0.0 END AS dup_trigram_frac,
+       (CAST(list_max(list_transform(list_distinct(toks),
+                                     w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+        / len(toks)) AS top_token_frac
+FROM g
+"""
+
+
+@query("t08_repetition_metrics", oracle=T08_ORACLE)
+def t08_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    trigrams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(trigrams)
+    dup_frac = F.when(
+        n_tri > 0,
+        F.lit(1.0) - (F.size(F.array_distinct(trigrams)).cast("double") / n_tri),
+    ).otherwise(F.lit(0.0))
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda w: F.size(F.filter(toks, lambda x: x == w)),
+            )
+        ).cast("double")
+        / n
+    )
+    return docs.select(
+        "doc_id",
+        n_tri.alias("n_trigrams"),
+        dup_frac.alias("dup_trigram_frac"),
+        top_frac.alias("top_token_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T09 — benchmark decontamination: flag training documents sharing any
+# 8-gram with a held-out benchmark set (here: every 97th doc, the
+# deterministic stand-in for an eval suite). THE pre-training hygiene
+# pass (cf. GPT-3 §C / PaLM §F): n-gram the benchmark, n-gram the
+# corpus, inner-join on the gram. The benchmark side is tiny →
+# broadcast; the corpus side explodes to one row per distinct gram
+# (linear in corpus tokens) and aggregates back to one row per
+# contaminated doc. No quadratic step anywhere.
+#
+# Width: production decontamination uses 8-13-grams on natural text;
+# the synthetic fixture is 40-word-vocabulary salad whose near-dup
+# edits break runs ≥5, so 4 is the proportional analog that keeps the
+# fixture output non-degenerate (8 contaminated docs at sf0.01 — the
+# 0-row result at width 8 was a property of the fixture, not the
+# operator).
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 4
+DECON_BENCH_MOD = 97
+
+T09_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) >= {DECON_NGRAM}
+                THEN list_transform(range(1, len(toks) - {DECON_NGRAM - 2}),
+                                    i -> array_to_string(
+                                           list_slice(toks, i, i + {DECON_NGRAM - 1}), ' '))
+                ELSE [] END)) AS gram
+  FROM t
+),
+bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0
+)
+SELECT g.doc_id, COUNT(*) AS n_contaminated_grams
+FROM g JOIN bench ON g.gram = bench.gram
+WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+GROUP BY g.doc_id
+"""
+
+
+@query("t09_decontaminate", oracle=T09_ORACLE)
+def t09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    w = DECON_NGRAM
+    grams = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.array_join(F.slice(toks, i, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    bench = (
+        g.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        g.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# T10 — sequence packing: assign documents to fixed-token-budget
+# training sequences. Contiguous quantized packing: within each
+# source (the mixing unit), docs are laid end-to-end in doc_id order
+# and a doc belongs to pack floor(preceding_tokens / BUDGET) — the
+# deterministic, windowable formulation (a doc may straddle a pack
+# boundary; exact first-fit is inherently sequential and buys <1%
+# fill at realistic budgets). One ordered window per source ⇒
+# parallel across sources; a single global pack stream at 100 TB
+# would instead use the two-phase cumsum (per-partition partial sums
+# + broadcast prefix offsets) — same arithmetic, no single-partition
+# window.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+
+T10_ORACLE = f"""
+SELECT doc_id, source,
+       CAST((cum - n_tok) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST((cum - n_tok) % {PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tok,
+         SUM(len(string_split(text, ' ')))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+"""
+
+
+@query("t10_sequence_packing", oracle=T10_ORACLE)
+def t10_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text"))
+    win = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_cum = F.sum(n_tok).over(win) - n_tok
+    return docs.select(
+        "doc_id",
+        "source",
+        (prev_cum / PACK_BUDGET).cast("long").alias("pack_id"),
+        (prev_cum % PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T11 — PII / blocklist redaction: scrub sensitive spans, count what
+# was removed. One map-side pass of sequential regexp_replace — the
+# standard pre-training scrub (emails, phone numbers, plus an exact
+# term blocklist). The fixture vocabulary contains no email/phone
+# shapes (those patterns exercise the machinery and hit zero — zero
+# is the assertable answer); the blocklist terms DO occur, so the
+# output is non-degenerate. The redacted text itself is compared via
+# md5, not hauled through the driver.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+BLOCKLIST = r"\b(customer|vector)\b"
+
+
+@query(
+    "t11_pii_redaction",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL}'))
+         + len(regexp_extract_all(text, '{PII_PHONE}')) AS n_pii,
+       len(regexp_extract_all(text, '{BLOCKLIST}')) AS n_blocklisted,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{PII_EMAIL}', '<PII>', 'g'),
+             '{PII_PHONE}', '<PII>', 'g'),
+             '{BLOCKLIST}', '<REDACTED>', 'g')) AS redacted_md5
+FROM documents
+""",
+)
+def t11_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_pii = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0)
+    ) + F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<PII>"),
+            PII_PHONE,
+            "<PII>",
+        ),
+        BLOCKLIST,
+        "<REDACTED>",
+    )
+    return docs.select(
+        "doc_id",
+        n_pii.alias("n_pii"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BLOCKLIST), 0)
+        ).alias("n_blocklisted"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -55,11 +55,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver's differential-correctness harness checks the first 50
 # entries of ``queries()`` in insertion order per round.  Round 1
 # verified the first 50 registrations; entries demoted here were all
-# driver-checked in round 1 (8 rows-only + 11 hash-verified set-op /
-# scalar-function variants), which rotates w01-w08, t02-t07 and
-# st01-st05 into the round-2 window without losing any family's
-# driver evidence.
+# driver-checked in round 1 (8 rows-only + 15 hash-verified set-op /
+# scalar-function / simple-join variants), which rotates w01-w08,
+# t02-t11 (incl. the four round-2 pipeline ops) and st01-st05 into
+# the round-2 window without losing any family's driver evidence.
 _DEMOTE_PAST_WINDOW = (
+    "q04_join_left",
+    "q05_join_semi",
+    "q06_join_anti",
+    "q18_date_trunc",
     "d05_dedup_simhash",
     "m03_frame_sample",
     "m04_resize",
