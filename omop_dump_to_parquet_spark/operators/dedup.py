@@ -391,18 +391,17 @@ def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fractions import Fraction
 
     docs = table(spark, sf_dir, "documents")
-    # The signature subtree feeds every band; persist so the banding
-    # explode reads it once (one doc-count-sized cache). Lifecycle:
-    # Spark's CacheManager dedupes by analyzed plan, so repeated calls
-    # on the same sf_dir reuse ONE cache entry; unpersisting here is
-    # impossible (the returned plan is lazy) — a long-lived driver
-    # rotating many datasets should spark.catalog.clearCache()
-    # between corpora.
+    # No persist on the signature subtree: both self-join sides read
+    # the explicit (band, bkey) repartition in lsh_candidate_pairs, so
+    # ReuseExchange already computes signatures ONCE per run — a cache
+    # adds a columnar-serialization pass and leaks until clearCache()
+    # (measured: persist 4.8s vs plain 4.0s warm at sf0.1, and the
+    # round-1 cache-leak caveat disappears with the cache).
     nw_df = docs.select(
         "doc_id",
         F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("nw"),
     )
-    sigs = minhash_signatures(docs).join(nw_df, "doc_id").persist()
+    sigs = minhash_signatures(docs).join(nw_df, "doc_id")
     ratio = Fraction(str(MINHASH_THRESHOLD))
     candidates = lsh_candidate_pairs(
         sigs, size_ratio=(ratio.numerator, ratio.denominator)
