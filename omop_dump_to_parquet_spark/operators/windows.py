@@ -312,3 +312,60 @@ def w08_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("cheapest"),
         F.last("o_totalprice").over(w).alias("priciest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W09 — sliding (hopping) window aggregation: 1-hour windows every 15
+# minutes over the event stream, in BATCH. Spark's native
+# ``F.window(ts, window, slide)`` emits one row per (event, covering
+# slot) — window/hop = 4 slots per event here — then aggregates; the
+# replication factor is the window/hop ratio, a constant chosen by
+# the analyst, and the shuffle is the ordinary partial-agg exchange
+# on (slot, type). The same expression runs under readStream with a
+# watermark (st01 is its tumbling twin). Sums route through
+# DECIMAL(12,2) (exact for the 2-decimal fixture values; the
+# engine-determinism contract of registry.py).
+# ---------------------------------------------------------------------------
+
+SLIDE_WINDOW = "1 hour"
+SLIDE_HOP = "15 minutes"
+_HOP_US = 15 * 60 * 1_000_000
+_SLOTS_PER_WINDOW = 4  # window / hop
+
+W09_ORACLE = f"""
+WITH slots AS (
+  SELECT event_type, value,
+         unnest(range(epoch_us(ts) // {_HOP_US} - {_SLOTS_PER_WINDOW - 1},
+                      epoch_us(ts) // {_HOP_US} + 1)) AS slot
+  FROM events
+)
+SELECT make_timestamp(slot * {_HOP_US}) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM slots
+GROUP BY window_start, event_type
+"""
+
+
+@query("w09_sliding_window", oracle=W09_ORACLE)
+def w09_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", SLIDE_WINDOW, SLIDE_HOP).alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -64,6 +64,7 @@ _DEMOTE_PAST_WINDOW = (
     "q05_join_semi",
     "q06_join_anti",
     "q18_date_trunc",
+    "q21_correlated_avg",
     "d05_dedup_simhash",
     "m03_frame_sample",
     "m04_resize",

@@ -85,3 +85,43 @@ def infer_then_pin(
         sample = [path]
     schema = read(spark, sample, schema=None, **options).schema
     return schema, read(spark, path, schema=schema, **options)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read ORC (bundled native format — same columnar/pushdown
+    contract as parquet; schema travels in the file footer, so the
+    pinning concern of CSV/JSON does not apply)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Raw-file ingestion via the ``binaryFile`` source: one row per
+    file with (path, modificationTime, length, content: binary).
+
+    This is the landing step for the multimodal surface
+    (operators/multimodal.py): raw image/audio/video files become
+    binary+metadata rows that the sized parquet sink
+    (sinks/parquet_sink.py) lands as the m01-shaped lake — after
+    which every decode/feature stage operates on the lake, never the
+    object store. Filtering on file METADATA (name, size) happens
+    source-side via ``pathGlobFilter`` and Catalyst pushdown on
+    ``length`` — bytes of excluded files are never read.
+    """
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.load(path)

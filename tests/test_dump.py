@@ -124,3 +124,44 @@ def test_verify_handles_uri_escapable_paths_and_zero_row_shards(
     assert rep2.count_matches
     assert rep2.n_files == 2, rep2.per_file_rows
     assert 0 in rep2.per_file_rows.values()
+
+
+def test_orc_roundtrip_sized_shards(spark, sf_small, tmp_path):
+    """ORC source/sink: sized shards + identical data back."""
+    from omop_dump_to_parquet_spark.sinks.parquet_sink import write_orc
+    from omop_dump_to_parquet_spark.sources.files import read_orc
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    df = table(spark, sf_small, "customer")
+    out = str(tmp_path / "customer_orc")
+    write_orc(df, out, max_records_per_file=40)
+    back = read_orc(spark, out)
+    assert back.count() == df.count()
+    assert back.schema == df.schema
+    assert back.exceptAll(df).count() == 0
+    import glob
+
+    shards = glob.glob(f"{out}/*.orc")
+    assert shards and all(
+        r <= 40
+        for r in [
+            spark.read.orc(s).count() for s in shards
+        ]
+    )
+
+
+def test_binary_file_ingestion_to_multimodal_lake(spark, tmp_path):
+    """binaryFile source → m01-shaped lake: one row per raw file,
+    bytes + metadata, glob filtering source-side."""
+    from omop_dump_to_parquet_spark.sources.files import read_binary_files
+
+    land = tmp_path / "raw"
+    land.mkdir()
+    (land / "a.img").write_bytes(b"\x89PNG fake payload")
+    (land / "b.img").write_bytes(b"\xff\xd8 other payload!!")
+    (land / "ignore.txt").write_text("not media")
+    df = read_binary_files(spark, str(land), path_glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert rows["a.img"]["length"] == 17
+    assert bytes(rows["a.img"]["content"]).startswith(b"\x89PNG")
