@@ -31,6 +31,24 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources.parquet import table
 
+
+def pin_expansion_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit keyed repartition at a pair-expansion point.
+
+    AQE sizes post-shuffle partitions by shuffle-read BYTES, but an
+    expansion stage (LSH band self-join, SimHash chunk join, pair
+    verification) reads KBs-MBs and emits millions of rows — adaptive
+    coalescing folds its exchange to 1-2 partitions and those tasks
+    generate the whole pair set serially (measured at sf0.1: band join
+    15.9s vs 4.6s, verify 19.1s vs 4.3s). A USER-specified repartition
+    is exempt from coalescing; pinning to the session's shuffle width
+    keeps one conf as the scale knob, and downstream windows/self-joins
+    on the same keys reuse the single exchange (ReuseExchange).
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys)
+
+
 # ---------------------------------------------------------------------------
 # D01 — exact dedup: group identical content, keep lowest doc_id.
 # Shuffle key = md5 digest (uniform) — scales flat; this is THE
@@ -130,6 +148,41 @@ def _distinct_tokens(docs: DataFrame, *block_cols: str) -> DataFrame:
     )
 
 
+def prefix_index(
+    docs: DataFrame,
+    num: int,
+    den: int,
+    *block_cols: str,
+) -> DataFrame:
+    """The AllPairs prefix index: per doc, its ``nw - ⌈t·nw⌉ + 1``
+    rarest tokens under the global (document-frequency ASC, token ASC)
+    order, with ``nw`` attached. Exposed separately so tests assert
+    the SHIPPED index's properties (hot tokens excluded, sizes exact)
+    rather than re-deriving them."""
+    tok = _distinct_tokens(docs, *block_cols)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    dfreq = tok.groupBy(*block_cols, "w").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ranked = (
+        tok.join(dfreq, [*block_cols, "w"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("w").asc()
+                )
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix length nw - ⌈t·nw⌉ + 1, integer-exact: ⌈num·nw/den⌉
+    ceil_t_nw = F.floor(
+        (F.lit(num) * F.col("nw") + F.lit(den - 1)) / F.lit(den)
+    )
+    return ranked.filter(F.col("rn") <= F.col("nw") - ceil_t_nw + 1)
+
+
 def prefix_filter_candidates(
     docs: DataFrame,
     num: int,
@@ -156,26 +209,7 @@ def prefix_filter_candidates(
     """
     tok = _distinct_tokens(docs, *block_cols)
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    dfreq = tok.groupBy(*block_cols, "w").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    ranked = (
-        tok.join(dfreq, [*block_cols, "w"])
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(
-                    F.col("df").asc(), F.col("w").asc()
-                )
-            ),
-        )
-        .join(sizes, "doc_id")
-    )
-    # prefix length nw - ⌈t·nw⌉ + 1, integer-exact: ⌈num·nw/den⌉
-    ceil_t_nw = F.floor(
-        (F.lit(num) * F.col("nw") + F.lit(den - 1)) / F.lit(den)
-    )
-    prefix = ranked.filter(F.col("rn") <= F.col("nw") - ceil_t_nw + 1)
+    prefix = prefix_index(docs, num, den, *block_cols)
     probe = tok.join(sizes, "doc_id").alias("a")
     index = prefix.alias("b")
     cond = (
@@ -341,20 +375,7 @@ def lsh_candidate_pairs(
         F.col("bb.band").alias("band"),
         F.col("bb.bkey").alias("bkey"),
     )
-    # PAIR-EXPANSION STAGES DEFEAT AQE's SIZE HEURISTIC: the banded
-    # table is tiny (|docs|·bands rows, a few MB at sf0.1) so adaptive
-    # partition coalescing folds its shuffle into 1-2 partitions — but
-    # the join OUTPUT is ~E[n_bands]·|pairs| rows, and those 1-2 tasks
-    # then generate tens of millions of rows serially (measured 15.9s
-    # vs 4.6s for the identical join at sf0.1). An explicit
-    # user-specified repartition on the join keys is exempt from
-    # coalescing, pins the parallelism to the session's shuffle width,
-    # and is reused by BOTH the hot-bucket window and both join sides
-    # (one exchange via ReuseExchange — no added shuffle).
-    n_part = int(
-        banded.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    banded = banded.repartition(n_part, "band", "bkey")
+    banded = pin_expansion_parallelism(banded, "band", "bkey")
     # Cap pathologically hot buckets (constant-content guard).
     wb = W.partitionBy("band", "bkey")
     banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(wb)).filter(
@@ -460,17 +481,10 @@ def verify_jaccard_pairs(
     )
     if use_broadcast:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
-        # The candidate set arrives from an upstream groupBy whose
-        # shuffle AQE coalesces by BYTE size (~80 MB at sf0.1 → 1-2
-        # partitions) — but the per-row work here (array_intersect
-        # over ~25-token arrays) is CPU-bound, so those 1-2 tasks
-        # serialize the verification (measured 19.1s vs 4.3s at
-        # sf0.1). Explicit repartition restores the session's
-        # parallelism; broadcast keeps both joins map-side.
-        n_part = int(
-            candidates.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-        candidates = candidates.repartition(n_part, "doc_a", "doc_b")
+        # CPU-bound per-pair verification must not inherit the 1-2
+        # AQE-coalesced partitions of the upstream groupBy; broadcast
+        # keeps both token joins map-side.
+        candidates = pin_expansion_parallelism(candidates, "doc_a", "doc_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = (
         candidates.join(ta, "doc_a")
@@ -547,15 +561,7 @@ def d05_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb.ckey").alias("ckey"),
         *[F.col(f"c{i}") for i in range(SIMHASH_CHUNKS)],
     )
-    # Pair-expansion join: pin parallelism with an explicit repartition
-    # so AQE's byte-based coalescing can't serialize the pair emission
-    # onto 1-2 tasks (same pathology as lsh_candidate_pairs — the
-    # banded input is KBs, the join output is millions of rows).
-    banded = banded.repartition(
-        int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        "chunk",
-        "ckey",
-    )
+    banded = pin_expansion_parallelism(banded, "chunk", "ckey")
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = None

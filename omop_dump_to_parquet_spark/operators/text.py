@@ -469,8 +469,11 @@ def t10_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5, not hauled through the driver.
 # ---------------------------------------------------------------------------
 
-PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+"
-PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+# (?i) — emails are case-insensitive; phones cover the common
+# separator variants ((555) 123-4567, 555.123.4567, 555 123 4567).
+# Both patterns are valid Java regex (Spark) AND RE2 (DuckDB).
+PII_EMAIL = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
 BLOCKLIST = r"\b(customer|vector)\b"
 
 

@@ -327,10 +327,13 @@ def w08_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-determinism contract of registry.py).
 # ---------------------------------------------------------------------------
 
-SLIDE_WINDOW = "1 hour"
-SLIDE_HOP = "15 minutes"
-_HOP_US = 15 * 60 * 1_000_000
-_SLOTS_PER_WINDOW = 4  # window / hop
+SLIDE_WINDOW_MIN = 60
+SLIDE_HOP_MIN = 15
+assert SLIDE_WINDOW_MIN % SLIDE_HOP_MIN == 0, "hop must divide window"
+SLIDE_WINDOW = f"{SLIDE_WINDOW_MIN} minutes"
+SLIDE_HOP = f"{SLIDE_HOP_MIN} minutes"
+_HOP_US = SLIDE_HOP_MIN * 60 * 1_000_000
+_SLOTS_PER_WINDOW = SLIDE_WINDOW_MIN // SLIDE_HOP_MIN
 
 W09_ORACLE = f"""
 WITH slots AS (

@@ -68,31 +68,42 @@ def upsert_parquet(
             f"upsert schema mismatch: {current.schema.simpleString()} "
             f"vs {updates.schema.simpleString()}"
         )
-    # Persist updates: its subtree feeds BOTH union branches (directly,
-    # and negated through the anti join); a nondeterministic source
-    # (limit/sample/shuffle-dependent) re-evaluated per branch could
-    # otherwise drop or duplicate keys within one write.
+    # Persist updates AND MATERIALIZE IT NOW (the count() action):
+    # its subtree feeds BOTH union branches (directly, and negated
+    # through the anti join). A lazy persist would not help — the
+    # first job to touch it races get-or-compute per partition, so a
+    # nondeterministic source (limit/sample/shuffle-dependent) could
+    # still evaluate to different key sets per branch. After the
+    # count, every partition is pinned, both branches read the same
+    # rows, and n_updates is an INDEPENDENT expectation (not derived
+    # from the write job it validates).
     updates = updates.persist()
     try:
+        n_updates = updates.count()
         kept = current.join(
             updates.select(*key_cols), on=key_cols, how="left_anti"
         )
         merged = updates.unionByName(kept)
 
-        # Conservation is checked against the rows ACTUALLY written
-        # (captured by observe inside the write job), not a separate
-        # re-execution of the updates/kept plans.
+        # Two-sided conservation: observe counts the rows that ACTUALLY
+        # flowed into the write; the independent expectation is
+        # n_updates (pinned above) + kept.count() (deterministic: a
+        # parquet scan anti-joined against the pinned cache).
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         obs = Observation()
         merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
         write_parquet(merged, tmp, max_records_per_file=max_records_per_file)
-        expected = obs.get["n"]
+        written = obs.get["n"]
+        expected = n_updates + kept.count()
         n = spark.read.parquet(tmp).count()
-        if n != expected:  # conservation violated — keep the original lake
+        if not (n == written == expected):  # keep the original lake
             shutil.rmtree(tmp)
-            raise RuntimeError(f"upsert row-count mismatch: {n} != {expected}")
+            raise RuntimeError(
+                f"upsert row-count mismatch: read-back={n} "
+                f"written={written} expected={expected}"
+            )
     finally:
         updates.unpersist()
     os.rename(lake_path, old)

@@ -88,9 +88,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: job this is picked once at first start (it is frozen into the
 #: checkpoint) and sized for peak state; override here via
 #: SPARK_GRAFT_STREAM_PARTITIONS.
-STREAM_STATE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
-)
+def _stream_partitions() -> int:
+    raw = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8").strip()
+    try:
+        n = int(raw)
+    except ValueError:
+        return 8  # malformed override: fall back, don't kill the package
+    return n if n > 0 else 8
+
+
+STREAM_STATE_PARTITIONS = _stream_partitions()
 
 
 def _run_to_memory(
@@ -110,6 +117,14 @@ def _run_to_memory(
     The staging layout guarantees it (one file, no maxFilesPerTrigger)
     — this assertion turns any future violation into a loud error
     instead of a silent hash mismatch.
+
+    Concurrency caveat: the state-partition override mutates the
+    SESSION conf around ``.start()`` and restores it afterwards — a
+    caller planning batch queries on another thread of the same
+    SparkSession during the replay would see the narrowed width. The
+    catalog harness is single-threaded per session; a multi-tenant
+    driver should give streaming jobs their own session (checkpointed
+    production queries pin the width at first start anyway).
     """
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
     spark = df.sparkSession

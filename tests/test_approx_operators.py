@@ -367,29 +367,17 @@ def test_prefix_filter_excludes_hot_tokens_and_loses_no_recall(
 
     # index-size guard: join work is sum(df_full * df_prefix); the
     # naive self-join pays sum(df_full^2). Require a real reduction.
-    from pyspark.sql import Window as W
+    # The index inspected here is the SHIPPED one (D.prefix_index),
+    # not a test-local re-derivation.
     from pyspark.sql import functions as F
 
     tok = D._distinct_tokens(docs, "lang", "source")
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
     dfreq = tok.groupBy("lang", "source", "w").agg(
         F.count(F.lit(1)).alias("df")
     )
-    ranked = (
-        tok.join(dfreq, ["lang", "source", "w"])
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy("df", "w")
-            ),
-        )
-        .join(sizes, "doc_id")
+    prefix = D.prefix_index(
+        docs, ratio.numerator, ratio.denominator, "lang", "source"
     )
-    ceil_t_nw = F.floor(
-        (F.lit(ratio.numerator) * F.col("nw") + F.lit(ratio.denominator - 1))
-        / F.lit(ratio.denominator)
-    )
-    prefix = ranked.filter(F.col("rn") <= F.col("nw") - ceil_t_nw + 1)
     pfreq = prefix.groupBy("lang", "source", "w").agg(
         F.count(F.lit(1)).alias("pdf")
     )
@@ -408,3 +396,58 @@ def test_prefix_filter_excludes_hot_tokens_and_loses_no_recall(
     # in the (df, w) order and must be absent from the index entirely
     hottest = joined.orderBy(F.col("df").desc()).first()
     assert hottest["pdf"] == 0, hottest
+
+
+def test_int8_ann_matches_numpy_reference_exactly(spark, sf_small):
+    """The distributed SQ8 kernel (per-batch local top-k + global
+    window) must equal a straight single-process NumPy reference of
+    the SAME quantization semantics — this pins the rewrite's
+    batch-local pruning and tie-breaks, which the overlap-vs-exact
+    test above cannot see."""
+    import numpy as np
+
+    from omop_dump_to_parquet_spark.functions.vectors import to_double_array
+    from omop_dump_to_parquet_spark.operators import similarity as S
+    from omop_dump_to_parquet_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    emb = (
+        table(spark, sf_small, "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("emb"))
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in emb], dtype=np.int64)
+    M = np.array([r["emb"] for r in emb], dtype=np.float64)
+
+    def quantize(X):
+        scales = np.abs(X).max(axis=1)
+        scales[scales == 0] = 1.0
+        Q = np.rint(X / scales[:, None] * 127).astype(np.int8)
+        n = np.sqrt((Q.astype(np.float64) ** 2).sum(axis=1))
+        n[n == 0] = 1.0
+        return Q, n
+
+    pmask = ids < S.N_QUERIES
+    Pq, pn = quantize(M[pmask])
+    p_ids = ids[pmask]
+    Bq, bn = quantize(M)
+    Sc = np.round(
+        (Pq.astype(np.int32) @ Bq.astype(np.int32).T)
+        / np.outer(pn, bn),
+        6,
+    )
+    expect = set()
+    for i in range(len(p_ids)):
+        keep = ids != p_ids[i]
+        cand = np.nonzero(keep)[0]
+        order = np.lexsort((ids[cand], -Sc[i][cand]))[: S.TOP_K]
+        for rank, j in enumerate(order, start=1):
+            expect.add(
+                (int(p_ids[i]), int(ids[cand[j]]), float(Sc[i][cand[j]]), rank)
+            )
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim_q"], r["rank"])
+        for r in S.s06_ann_int8(spark, sf_small).collect()
+    }
+    assert got == expect

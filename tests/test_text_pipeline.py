@@ -130,3 +130,37 @@ def test_t11_redaction_removes_blocklist_and_is_idempotent(spark, sf_small):
     assert out.filter(F.col("n_blocklisted") > 0).count() > 0
     # and no email/phone shapes (documented fixture property)
     assert out.filter(F.col("n_pii") > 0).count() == 0
+
+
+def test_t11_patterns_catch_real_pii_shapes(spark):
+    """The fixture contains no PII, so prove the patterns on synthetic
+    rows: mixed-case emails and the common phone formats must all be
+    caught and fully scrubbed."""
+    rows = [
+        (1, "contact Alice.Smith@Example.COM for details"),
+        (2, "call (555) 123-4567 now"),
+        (3, "or 555.123.4567 / 555 123 4567"),
+        (4, "clean text with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from omop_dump_to_parquet_spark.operators import text as T2
+
+    scrubbed = df.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), T2.PII_EMAIL, "<PII>"),
+            T2.PII_PHONE,
+            "<PII>",
+        ).alias("clean"),
+        (
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(T2.PII_EMAIL), 0))
+            + F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(T2.PII_PHONE), 0)
+            )
+        ).alias("n_pii"),
+    )
+    got = {r["doc_id"]: r for r in scrubbed.collect()}
+    assert got[1]["n_pii"] == 1 and "Example.COM" not in got[1]["clean"]
+    assert got[2]["n_pii"] == 1 and "4567" not in got[2]["clean"]
+    assert got[3]["n_pii"] == 2
+    assert got[4]["n_pii"] == 0 and got[4]["clean"] == rows[3][1]
