@@ -78,8 +78,7 @@ def main() -> None:
         .count()
     )
 
-    timings: dict[str, float] = {}
-    for name in names:
+    def run_once(name: str) -> tuple[float, int]:
         fn = queries[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -88,15 +87,39 @@ def main() -> None:
         # aggregate that doesn't change cardinality would never run).
         # hash(*) depends on all columns, and the 32-bit hash summed
         # into a long cannot overflow under ANSI mode until ~2^32 rows.
+        # hash() rejects MapType, so route maps through to_json first.
+        from pyspark.sql.types import MapType
+
+        cols = [
+            F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
+            for f in df.schema.fields
+        ]
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.hash(*[F.col(c) for c in df.columns]).cast("long")).alias(
-                "h"
-            ),
+            F.sum(F.hash(*cols).cast("long")).alias("h"),
         ).collect()[0]
-        n = row["n"]
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        return time.perf_counter() - t0, row["n"]
+
+    # A single-shot timing on a shared box is load noise, not a plan
+    # measurement (observed 6x swings: 15.6s idle vs 91s under
+    # concurrent load for the same binary). Run each query REPS times
+    # and report the per-query MIN — the min is the best estimate of
+    # the plan's cost with contention excluded — alongside the raw
+    # list so the variance itself is visible in the artifact.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
+    for name in names:
+        runs = []
+        for _ in range(reps):
+            elapsed, n = run_once(name)
+            runs.append(round(elapsed, 3))
+        raw[name] = runs
+        timings[name] = min(runs)
+        print(
+            f"# {name}: min {timings[name]:.3f}s of {runs} ({n} rows)",
+            file=sys.stderr,
+        )
 
     # The reference's actual job: ingest → normalize → sized write →
     # read-back verify, on the largest fixture table.
@@ -106,21 +129,25 @@ def main() -> None:
     from omop_dump_to_parquet_spark.plans import dump_table as run_dump
     from omop_dump_to_parquet_spark.sources.parquet import table
 
-    out_dir = tempfile.mkdtemp(prefix="bench_dump_")
-    try:
-        t0 = time.perf_counter()
-        result = run_dump(
-            spark, table(spark, sf_dir, "lineitem"), f"{out_dir}/lineitem"
-        )
-        timings["pipeline_dump_verify"] = round(time.perf_counter() - t0, 3)
-        assert result.ok, "dump verification failed"
-        print(
-            f"# pipeline_dump_verify: {timings['pipeline_dump_verify']:.3f}s "
-            f"({result.rows_written} rows)",
-            file=sys.stderr,
-        )
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    runs = []
+    for _ in range(reps):
+        out_dir = tempfile.mkdtemp(prefix="bench_dump_")
+        try:
+            t0 = time.perf_counter()
+            result = run_dump(
+                spark, table(spark, sf_dir, "lineitem"), f"{out_dir}/lineitem"
+            )
+            runs.append(round(time.perf_counter() - t0, 3))
+            assert result.ok, "dump verification failed"
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    raw["pipeline_dump_verify"] = runs
+    timings["pipeline_dump_verify"] = min(runs)
+    print(
+        f"# pipeline_dump_verify: min {timings['pipeline_dump_verify']:.3f}s "
+        f"of {runs} ({result.rows_written} rows)",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -131,6 +158,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "raw_timings": raw,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
             }
         )
