@@ -19,6 +19,7 @@ Determinism contract (cross-engine value hashing):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,44 +53,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The driver's differential-correctness harness checks the first 50
-# entries of ``queries()`` in insertion order per round.  Round 1
-# verified the first 50 registrations; entries demoted here were all
-# driver-checked in round 1 (8 rows-only + 16 hash-verified set-op /
-# scalar-function / simple-join variants), which rotates w01-w09,
-# t02-t11 (incl. the round-2 pipeline ops) and st01-st05 into the
-# round-2 window without losing any family's driver evidence.
-# Caveat: s06 and d05 were REWRITTEN after round 1 (distributed GEMM,
-# pinned parallelism); both are rows-only checks driver-side (no SQL
-# oracle), so their correctness evidence is local either way — s06 is
-# pinned exactly against a NumPy reference implementation and d05
-# against fingerprint-algebra unit tests (tests/test_approx_operators).
-_DEMOTE_PAST_WINDOW = (
-    "q04_join_left",
-    "q05_join_semi",
-    "q06_join_anti",
-    "q18_date_trunc",
-    "q21_correlated_avg",
-    "d05_dedup_simhash",
-    "m03_frame_sample",
-    "m04_resize",
-    "q09_distinct",
-    "q14_union",
-    "q15_except",
-    "q16_intersect",
-    "q17_json_extract",
-    "q19_string_funcs",
-    "q22_scalar_math",
-    "q24_histogram",
-    "q26_union_all",
-    "q27_approx_sketches",
-    "q31_array_map_funcs",
-    "q32_set_ops_all",
-    "s02_ann_lsh",
-    "s05_ann_ivf",
-    "s06_ann_int8",
-    "s07_kmeans_clusters",
+# The driver's differential-correctness harness checks the first
+# ``_WINDOW`` entries of ``queries()`` in insertion order per round;
+# the catalog is larger than the window, so registration order decides
+# which queries get fresh driver evidence each round.  Rather than a
+# hand-curated rotation, order the catalog STALEST-EVIDENCE-FIRST,
+# computed from the driver's own CORRECTNESS_r*.json artifacts: fewest
+# past checks first, then least-recently-checked, then registration
+# order.  Properties: deterministic (pure function of committed
+# artifacts), self-rotating (each round's check makes those queries
+# "freshest", pushing them behind next round), bounded staleness (a
+# query sits outside the window only while 50 stale-er queries exist),
+# and failure-sticky (a run with a real ``err`` doesn't count as
+# evidence, so a failing query stays in the window until it passes).
+_WINDOW = 50
+
+# Operators REWRITTEN since their last driver check are forced to the
+# very front regardless of history — changed code must be re-verified
+# before anything else is rotated in.  Clear entries once the next
+# CORRECTNESS artifact shows a clean post-rewrite run.
+_FORCE_IN_WINDOW: tuple[str, ...] = (
+    "s06_ann_int8",  # rewritten after its r1 check (executor-side SQ8 probe)
+    "d05_dedup_simhash",  # rewritten after its r1 check (pigeonhole chunks)
 )
+
+
+def _driver_check_history() -> dict[str, tuple[int, int]]:
+    """``name -> (times_checked, last_round_checked)`` parsed from the
+    driver's ``CORRECTNESS_r*.json`` artifacts at the repo root.
+
+    A clean run (``err`` null) and a by-design rows-only run
+    (``err == "no_oracle"``) both count as evidence; any other ``err``
+    does not, keeping failing queries inside the checked window.
+    """
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    history: dict[str, tuple[int, int]] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        match = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if match is None:
+            continue
+        rnd = int(match.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, res in data.items():
+            if not isinstance(res, dict):
+                continue
+            if res.get("err") not in (None, "no_oracle"):
+                continue
+            checked, last = history.get(name, (0, 0))
+            history[name] = (checked + 1, max(last, rnd))
+    return history
 
 
 def load_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -107,8 +127,15 @@ def load_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
         )
         from .streaming import stream_queries  # noqa: F401
 
-        demoted = [n for n in _DEMOTE_PAST_WINDOW if n in QUERIES]
-        ordered = [n for n in QUERIES if n not in _DEMOTE_PAST_WINDOW] + demoted
+        history = _driver_check_history()
+        reg_pos = {n: i for i, n in enumerate(QUERIES)}
+
+        def staleness(name: str) -> tuple[int, int, int, int]:
+            checked, last = history.get(name, (0, 0))
+            forced = 0 if name in _FORCE_IN_WINDOW else 1
+            return (forced, checked, last, reg_pos[name])
+
+        ordered = sorted(QUERIES, key=staleness)
         reordered = {n: QUERIES[n] for n in ordered}
         QUERIES.clear()
         QUERIES.update(reordered)

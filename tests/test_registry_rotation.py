@@ -1,0 +1,77 @@
+"""The driver's correctness harness checks the first ``_WINDOW``
+entries of ``queries()`` per round; the catalog exceeds the window, so
+registration order IS the rotation policy.  These tests pin the
+policy's contract: stalest evidence first, rewritten operators always
+re-checked, and determinism (the order is a pure function of the
+committed CORRECTNESS artifacts).
+"""
+
+from __future__ import annotations
+
+from omop_dump_to_parquet_spark import load_catalog
+from omop_dump_to_parquet_spark.registry import (
+    _FORCE_IN_WINDOW,
+    _WINDOW,
+    _driver_check_history,
+)
+
+
+def test_forced_rewritten_ops_lead_the_window():
+    queries, _ = load_catalog()
+    names = list(queries)
+    for forced in _FORCE_IN_WINDOW:
+        assert forced in names[: len(_FORCE_IN_WINDOW)], (
+            f"{forced} was rewritten since its last driver check and must "
+            "be at the front of the checked window"
+        )
+
+
+def test_window_prefers_stalest_evidence():
+    """No query outside the window may have FEWER past checks than a
+    non-forced query inside it — the window always holds the stalest."""
+    queries, _ = load_catalog()
+    names = list(queries)
+    history = _driver_check_history()
+    in_counts = [
+        history.get(n, (0, 0))[0]
+        for n in names[:_WINDOW]
+        if n not in _FORCE_IN_WINDOW
+    ]
+    out_counts = [history.get(n, (0, 0))[0] for n in names[_WINDOW:]]
+    if in_counts and out_counts:
+        assert max(in_counts) <= min(out_counts)
+
+
+def test_ordering_is_deterministic():
+    queries, _ = load_catalog()
+    first = list(queries)
+    queries2, _ = load_catalog()
+    assert list(queries2) == first
+
+
+def test_history_ignores_real_failures(tmp_path, monkeypatch):
+    """A run with a genuine err must NOT count as evidence (the query
+    stays in the window until it passes); no_oracle runs do count."""
+    import json
+
+    import omop_dump_to_parquet_spark.registry as registry
+
+    art = tmp_path / "CORRECTNESS_r07.json"
+    art.write_text(
+        json.dumps(
+            {
+                "ok_query": {"err": None},
+                "rows_only_query": {"err": "no_oracle"},
+                "broken_query": {"err": "AnalysisException: boom"},
+            }
+        )
+    )
+    monkeypatch.setattr(
+        registry.os.path,
+        "dirname",
+        lambda p: str(tmp_path),
+    )
+    history = registry._driver_check_history()
+    assert history["ok_query"] == (1, 7)
+    assert history["rows_only_query"] == (1, 7)
+    assert "broken_query" not in history
