@@ -65,10 +65,65 @@ def _stage_events(sf_dir: str) -> str:
     return stage
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stage_events_flush(sf_dir: str) -> str:
+    """Staging dir holding the events fixture PLUS a one-row sentinel
+    2 hours past the fixture's max event time (``event_type
+    '__flush__'``).
+
+    Why: in append mode a windowed aggregate emits a window only when
+    the watermark passes its end, and the watermark advances only on
+    arriving data — a finite replay would strand the final windows in
+    state forever. The sentinel is the standard flush trick: it drags
+    the watermark past every real window without contributing to any
+    (it is filtered out downstream of the watermark node). A real
+    deployment needs none of this — new data arrives continuously.
+
+    The sentinel row is built from the parquet FOOTER only (schema +
+    column statistics give max(ts) without scanning data) and written
+    with pyarrow so it lands as a flat file the FileStreamSource lists.
+    """
+    key = f"{sf_dir}::flush"
+    stage = _STAGED.get(key)
+    if stage is None or not os.path.exists(stage):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        stage = tempfile.mkdtemp(prefix="events_stream_flush_")
+        src = os.path.abspath(f"{sf_dir}/events.parquet")
+        os.symlink(src, os.path.join(stage, "events.parquet"))
+
+        pf = pq.ParquetFile(src)
+        md = pf.metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        ts_idx = names.index("ts")
+        max_ts = max(
+            md.row_group(i).column(ts_idx).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        one = pa.Table.from_batches([next(pf.iter_batches(batch_size=1))])
+        flush_ts = pa.array(
+            [max_ts.to_datetime64() + 7_200_000_000_000],  # +2h in ns
+            type=one.schema.field("ts").type,
+        )
+        sentinel = one.set_column(
+            one.schema.get_field_index("ts"), "ts", flush_ts
+        ).set_column(
+            one.schema.get_field_index("event_type"),
+            "event_type",
+            pa.array(["__flush__"], type=pa.string()),
+        )
+        pq.write_table(sentinel, os.path.join(stage, "zz_flush.parquet"))
+        _STAGED[key] = stage
+    return stage
+
+
+def _events_stream(
+    spark: SparkSession, sf_dir: str, with_flush: bool = False
+) -> DataFrame:
     """events fixture replayed as a stream, ts normalized to micros."""
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = spark.readStream.schema(raw.schema).parquet(_stage_events(sf_dir))
+    stage = _stage_events_flush(sf_dir) if with_flush else _stage_events(sf_dir)
+    stream = spark.readStream.schema(raw.schema).parquet(stage)
     if dict(raw.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS)
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
@@ -105,6 +160,7 @@ def _run_to_memory(
     prefix: str,
     output_mode: str,
     expect_single_batch: bool = False,
+    await_watermark_flush: bool = False,
 ) -> str:
     """Run a streaming plan to completion into a memory sink; returns
     the sink table name. Memory-sink tables live for the session —
@@ -143,6 +199,27 @@ def _run_to_memory(
         )
         try:
             q.processAllAvailable()
+            if await_watermark_flush:
+                # Append-mode window emission happens in the NO-DATA
+                # micro-batch that runs after the watermark advances;
+                # processAllAvailable() only guarantees source offsets
+                # are committed, so poll the sink until its row count
+                # is nonzero and stable across two consecutive reads.
+                import time as _time
+
+                deadline = _time.monotonic() + 30.0
+                prev = -1
+                while _time.monotonic() < deadline:
+                    cur = spark.table(sink).count()
+                    if cur > 0 and cur == prev:
+                        break
+                    prev = cur
+                    _time.sleep(0.15)
+                else:
+                    raise RuntimeError(
+                        f"{prefix}: sink never stabilized after watermark "
+                        "flush (no-data micro-batch did not emit)"
+                    )
             if expect_single_batch:
                 import json as _json
 
@@ -175,7 +252,20 @@ GROUP BY window_start, event_type
 
 @query("st01_stream_tumbling", oracle=ST01_ORACLE)
 def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _events_stream(spark, sf_dir)
+    # Append mode + watermark: state holds only windows newer than the
+    # watermark horizon and each window is emitted exactly once when
+    # the watermark passes its end — the form that runs forever on an
+    # unbounded stream (complete mode would retain every window ever
+    # seen). The finite replay needs the '__flush__' sentinel (see
+    # _stage_events_flush) to drag the watermark past the last real
+    # window. The sentinel is NOT filtered inside the streaming plan:
+    # Catalyst pushes deterministic filters BELOW EventTimeWatermark
+    # (verified — a pre-agg filter strands the last 2 windows because
+    # the sentinel is dropped before the watermark stats see it).
+    # Instead it flows into its own group, whose window ends past the
+    # final watermark and is therefore never emitted; the batch-side
+    # filter on the sink below is insurance for that invariant.
+    stream = _events_stream(spark, sf_dir, with_flush=True)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(
@@ -196,7 +286,14 @@ def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Materialize the sink table into a plain DataFrame for the caller.
-    return spark.table(_run_to_memory(agg, "st01_out", "complete"))
+    sink = _run_to_memory(
+        agg,
+        "st01_out",
+        "append",
+        expect_single_batch=True,
+        await_watermark_flush=True,
+    )
+    return spark.table(sink).filter(F.col("event_type") != "__flush__")
 
 
 # Gap comparison is >= : Spark's session_window is end-EXCLUSIVE
