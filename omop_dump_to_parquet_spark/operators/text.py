@@ -136,8 +136,10 @@ def t03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by marker-token overlap, argmax with alphabetical tie-break. The
 # fixture corpus is synthetic word soup, so predictions are degenerate
 # by construction — the operator's *shape* (map-side scoring + argmax)
-# is what carries to a real corpus. Rows-only check (heuristic output,
-# no meaningful SQL oracle).
+# is what carries to a real corpus. The marker vote is fully
+# deterministic (integer counts, lexicographic tie-break), so it gets
+# a differential oracle: unnest the candidate languages, count marker
+# hits per (doc, lang), keep the best row per doc.
 # ---------------------------------------------------------------------------
 
 LANG_MARKERS = {
@@ -147,7 +149,34 @@ LANG_MARKERS = {
 }
 
 
-@query("t04_langid")
+def _t04_oracle() -> str:
+    cands = ", ".join(
+        "('{}', [{}])".format(
+            lang, ", ".join(f"'{m}'" for m in markers)
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         cand.l AS cand_lang,
+         len(list_filter(t.toks, w -> list_contains(cand.m, w))) AS hits
+  FROM t, (VALUES {cands}) AS cand(l, m)
+)
+SELECT doc_id,
+       lang AS labeled_lang,
+       cand_lang AS predicted_lang,
+       hits AS marker_hits
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY hits DESC, cand_lang) = 1
+"""
+
+
+@query("t04_langid", oracle=_t04_oracle())
 def t04_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = tokens("text")
@@ -202,27 +231,69 @@ def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # T06 — stratified sampling (per-language downsampling): the curation
-# step that rebalances a corpus before training. ``sampleBy`` is
-# map-side Bernoulli per stratum — no shuffle, one pass, and the seed
-# pins the row set per Spark build. Engine-specific RNG → rows-only
-# check; per-stratum rates and determinism asserted in unit tests.
-# At 100 TB this is THE way to downsample: no count-then-limit (two
-# passes + skewless guarantee problems), just one seeded scan.
+# step that rebalances a corpus before training. Deterministic
+# HASH-BUCKET sampling instead of an RNG: a row survives iff the first
+# 3 hex chars of md5(doc_id ':' salt) fall below floor(frac·4096) —
+# the same map-side one-pass shape as ``sampleBy``, but reproducible
+# across engines, Spark versions, partitionings, AND re-runs (the
+# property a training corpus actually needs: re-materializing the
+# sample months later must yield the identical row set). Changing the
+# salt draws an independent sample. Engine-portable → full
+# differential oracle. At 100 TB this is THE way to downsample: no
+# count-then-limit (two passes + skew problems), just one hashed scan.
 # ---------------------------------------------------------------------------
 
 SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25}
+DEFAULT_FRACTION = 0.1
 SAMPLE_SEED = 13
 
 
-@query("t06_stratified_sample")
+def _sample_threshold(frac: float) -> str:
+    """3-hex-char lexicographic threshold for P(substr < thr) ≈ frac.
+    'zzz' sorts after every hex string → keep-all for frac >= 1."""
+    return "zzz" if frac >= 1.0 else format(int(frac * 4096), "03x")
+
+
+def _t06_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{_sample_threshold(fr)}'"
+        for lang, fr in sorted(SAMPLE_FRACTIONS.items())
+    )
+    return f"""
+SELECT lang,
+       COUNT(*) AS n_sampled,
+       MIN(doc_id) AS first_doc
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':{SAMPLE_SEED}'), 1, 3) <
+      CASE lang {cases} ELSE '{_sample_threshold(DEFAULT_FRACTION)}' END
+GROUP BY lang
+"""
+
+
+@query("t06_stratified_sample", oracle=_t06_oracle())
 def t06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
-    fractions = {l: SAMPLE_FRACTIONS.get(l, 0.1) for l in langs}
-    sampled = docs.sampleBy("lang", fractions, seed=SAMPLE_SEED)
-    return sampled.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.min("doc_id").alias("first_doc"),
+    bucket = F.substring(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(f":{SAMPLE_SEED}")
+            )
+        ),
+        1,
+        3,
+    )
+    thr = F.lit(_sample_threshold(DEFAULT_FRACTION))
+    for lang, fr in sorted(SAMPLE_FRACTIONS.items()):
+        thr = F.when(
+            F.col("lang") == lang, F.lit(_sample_threshold(fr))
+        ).otherwise(thr)
+    return (
+        docs.filter(bucket < thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+        )
     )
 
 
