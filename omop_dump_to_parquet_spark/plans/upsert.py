@@ -21,11 +21,9 @@ atomic-rename recipe as sinks/compact.py.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import fs
 from ..sinks import REFERENCE_SIZING, write_parquet
 
 
@@ -51,14 +49,20 @@ def upsert_parquet(
     the live path is missing and RESTORES the aside copy before ever
     deleting anything. True atomicity needs a manifest/table format
     (Delta/Iceberg) — out of scope for a plain-parquet lake.
+
+    All path manipulation goes through the Hadoop FileSystem API
+    (``fs.py``) so the swap works unchanged on ``file:``, HDFS and
+    object-store schemes. On object stores a directory "rename" is a
+    server-side copy+delete (O(files), not O(1)) — correct but wider
+    as a crash window; a manifest format is the real fix at that tier.
     """
     tmp = f"{lake_path}.__upsert_tmp"
     old = f"{lake_path}.__upsert_old"
-    if not os.path.exists(lake_path) and os.path.exists(old):
-        os.rename(old, lake_path)  # crashed mid-swap: restore, don't delete
+    if not fs.exists(spark, lake_path) and fs.exists(spark, old):
+        # crashed mid-swap: restore, don't delete
+        fs.rename(spark, old, lake_path)
     for stale in (tmp, old):  # now safe: the live copy exists
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+        fs.delete(spark, stale)
 
     current = spark.read.parquet(lake_path)
     if [(f.name, f.dataType) for f in current.schema.fields] != [
@@ -99,14 +103,14 @@ def upsert_parquet(
         expected = n_updates + kept.count()
         n = spark.read.parquet(tmp).count()
         if not (n == written == expected):  # keep the original lake
-            shutil.rmtree(tmp)
+            fs.delete(spark, tmp)
             raise RuntimeError(
                 f"upsert row-count mismatch: read-back={n} "
                 f"written={written} expected={expected}"
             )
     finally:
         updates.unpersist()
-    os.rename(lake_path, old)
-    os.rename(tmp, lake_path)
-    shutil.rmtree(old)
+    fs.rename(spark, lake_path, old)
+    fs.rename(spark, tmp, lake_path)
+    fs.delete(spark, old)
     return n

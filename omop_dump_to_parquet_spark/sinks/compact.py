@@ -17,11 +17,9 @@ rename — readers see the old layout or the new one, never a mix.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import SparkSession
 
+from .. import fs
 from .parquet_sink import write_parquet
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # one comfortable scan split
@@ -53,29 +51,31 @@ def compact_parquet_dir(
     # mid-swap the only copy of a leaf lives under .__compact_old —
     # restore it before any deletion. Stale marker dirs also contain
     # "=" for hive leaves, so they must never be mistaken for
-    # partition directories.
-    if not os.path.exists(path) and os.path.exists(f"{path}.__compact_old"):
-        os.rename(f"{path}.__compact_old", path)
+    # partition directories. All listing/rename/delete goes through
+    # the Hadoop FileSystem API (fs.py) so the same code serves
+    # file:, HDFS and object-store lakes.
+    if not fs.exists(spark, path) and fs.exists(
+        spark, f"{path}.__compact_old"
+    ):
+        fs.rename(spark, f"{path}.__compact_old", path)
     for stale in (f"{path}.__compact_tmp", f"{path}.__compact_old"):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+        fs.delete(spark, stale)
 
-    for d in sorted(os.listdir(path)):
+    for e in fs.list_entries(spark, path):
         # stale markers INSIDE a hive root (leaf-level crash): restore
         # a missing leaf from its .__compact_old, drop everything else
-        full = os.path.join(path, d)
-        if ".__compact_old" in d:
+        full = f"{path}/{e.name}"
+        if ".__compact_old" in e.name:
             leaf = full[: -len(".__compact_old")]
-            if not os.path.exists(leaf):
-                os.rename(full, leaf)
+            if not fs.exists(spark, leaf):
+                fs.rename(spark, full, leaf)
             else:
-                shutil.rmtree(full)
-        elif ".__compact_tmp" in d:
-            shutil.rmtree(full)
+                fs.delete(spark, full)
+        elif ".__compact_tmp" in e.name:
+            fs.delete(spark, full)
+    entries = fs.list_entries(spark, path)
     subdirs = [
-        os.path.join(path, d)
-        for d in sorted(os.listdir(path))
-        if "=" in d and os.path.isdir(os.path.join(path, d))
+        f"{path}/{e.name}" for e in entries if "=" in e.name and e.is_dir
     ]
     total = 0
     if subdirs:  # hive layout: recurse into each partition directory
@@ -85,11 +85,7 @@ def compact_parquet_dir(
             )
             for d in subdirs
         )
-    files = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    ]
+    files = [e for e in entries if e.name.endswith(".parquet")]
     if subdirs and not files:
         return total
     if subdirs and files:
@@ -104,7 +100,7 @@ def compact_parquet_dir(
         )
     if len(files) < min_files_to_bother:
         return len(files)
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    total_bytes = sum(e.size for e in files)
     n_target = max(1, round(total_bytes / target_file_bytes))
     if n_target >= len(files):
         return len(files)  # already at or below target sizes
@@ -115,12 +111,12 @@ def compact_parquet_dir(
     write_parquet(df, tmp, num_files=n_target)
     actual = spark.read.parquet(tmp).count()
     if actual != expected:  # conservation violated — keep the original
-        shutil.rmtree(tmp)
+        fs.delete(spark, tmp)
         raise RuntimeError(
             f"compaction row-count mismatch: {actual} != {expected}"
         )
     old = f"{path}.__compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    fs.rename(spark, path, old)
+    fs.rename(spark, tmp, path)
+    fs.delete(spark, old)
     return n_target

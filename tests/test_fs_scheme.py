@@ -1,0 +1,77 @@
+"""Upsert/compaction swaps must work on non-plain-path schemes — at
+100 TB the lake is an object store, where driver-side ``os``/``shutil``
+calls silently no-op. Forcing a ``file:`` URI through the Hadoop Path
+API exercises the exact dispatch an ``s3a://``/``abfs://`` path takes
+(FileSystem.get by scheme), while staying runnable in this container.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from omop_dump_to_parquet_spark import fs
+from omop_dump_to_parquet_spark.plans import upsert_parquet
+from omop_dump_to_parquet_spark.sinks import compact_parquet_dir, write_parquet
+from omop_dump_to_parquet_spark.sources.parquet import table
+
+
+def test_fs_helpers_on_file_scheme(spark, tmp_path):
+    base = f"file:{tmp_path}"
+    assert not fs.exists(spark, f"{base}/nope")
+    fs.delete(spark, f"{base}/nope")  # absent is not an error
+
+    os.makedirs(f"{tmp_path}/d1")
+    (tmp_path / "d1" / "a.parquet").write_bytes(b"x" * 7)
+    assert fs.exists(spark, f"{base}/d1")
+    entries = fs.list_entries(spark, f"{base}/d1")
+    assert [(e.name, e.is_dir, e.size) for e in entries] == [
+        ("a.parquet", False, 7)
+    ]
+
+    fs.rename(spark, f"{base}/d1", f"{base}/d2")
+    assert not os.path.exists(f"{tmp_path}/d1")
+    assert os.path.exists(f"{tmp_path}/d2/a.parquet")
+
+    # Hadoop signals a refused rename by returning false — the wrapper
+    # must surface it, not silently drop a swap step. (An existing
+    # destination DIRECTORY is not a refusal — Hadoop moves the source
+    # inside it, mv-style — so an existing destination FILE is the
+    # refusal case.)
+    (tmp_path / "blocker").write_bytes(b"x")
+    with pytest.raises(OSError):
+        fs.rename(spark, f"{base}/d2", f"{base}/blocker")
+
+    fs.delete(spark, f"{base}/d2")
+    assert not os.path.exists(f"{tmp_path}/d2")
+
+
+def test_compaction_over_file_scheme_uri(spark, sf_small, tmp_path):
+    region = table(spark, sf_small, "region")
+    path = f"file:{tmp_path}/many"
+    write_parquet(region, path, num_files=6)
+    n = compact_parquet_dir(spark, path, target_file_bytes=512 * 1024)
+    assert n == 1
+    assert spark.read.parquet(path).count() == region.count()
+    local = f"{tmp_path}/many"
+    assert not os.path.exists(f"{local}.__compact_tmp")
+    assert not os.path.exists(f"{local}.__compact_old")
+
+
+def test_upsert_over_file_scheme_uri(spark, sf_small, tmp_path):
+    from pyspark.sql import functions as F
+
+    region = table(spark, sf_small, "region")
+    lake = f"file:{tmp_path}/lake"
+    write_parquet(region, lake)
+    updates = region.limit(2).withColumn(
+        "r_name", F.lit("UPDATED").cast("string")
+    )
+    n = upsert_parquet(spark, lake, updates, ["r_regionkey"])
+    assert n == region.count()
+    out = spark.read.parquet(lake)
+    assert out.filter(F.col("r_name") == "UPDATED").count() == 2
+    local = f"{tmp_path}/lake"
+    assert not os.path.exists(f"{local}.__upsert_tmp")
+    assert not os.path.exists(f"{local}.__upsert_old")
