@@ -153,14 +153,22 @@ def prefix_index(
     num: int,
     den: int,
     *block_cols: str,
+    tok: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """The AllPairs prefix index: per doc, its ``nw - ⌈t·nw⌉ + 1``
     rarest tokens under the global (document-frequency ASC, token ASC)
     order, with ``nw`` attached. Exposed separately so tests assert
     the SHIPPED index's properties (hot tokens excluded, sizes exact)
-    rather than re-deriving them."""
-    tok = _distinct_tokens(docs, *block_cols)
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    rather than re-deriving them.
+
+    ``tok``/``sizes`` let the caller pass the token explosion and
+    per-doc size aggregate it already computed (identical subtrees →
+    one scan via ReuseExchange instead of three)."""
+    if tok is None:
+        tok = _distinct_tokens(docs, *block_cols)
+    if sizes is None:
+        sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
     dfreq = tok.groupBy(*block_cols, "w").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -209,7 +217,7 @@ def prefix_filter_candidates(
     """
     tok = _distinct_tokens(docs, *block_cols)
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    prefix = prefix_index(docs, num, den, *block_cols)
+    prefix = prefix_index(docs, num, den, *block_cols, tok=tok, sizes=sizes)
     probe = tok.join(sizes, "doc_id").alias("a")
     index = prefix.alias("b")
     cond = (

@@ -521,11 +521,19 @@ def t10_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     prev_cum = F.sum(n_tok).over(win) - n_tok
+    # `div` is Spark SQL's INTEGRAL division — exact for any budget.
+    # (double division + cast truncation only matches the oracle's
+    # integer `//` while the budget is a power of two and cumsums stay
+    # below 2^53.)
     return docs.select(
         "doc_id",
         "source",
-        (prev_cum / PACK_BUDGET).cast("long").alias("pack_id"),
-        (prev_cum % PACK_BUDGET).cast("long").alias("pack_offset"),
+        prev_cum.alias("prev_cum"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(f"prev_cum div {PACK_BUDGET}").alias("pack_id"),
+        (F.col("prev_cum") % PACK_BUDGET).cast("long").alias("pack_offset"),
     )
 
 

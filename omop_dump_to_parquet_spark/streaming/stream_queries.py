@@ -156,16 +156,23 @@ STREAM_STATE_PARTITIONS = _stream_partitions()
 
 
 def _run_to_memory(
-    df: DataFrame,
+    build,
+    spark: SparkSession,
     prefix: str,
     output_mode: str,
     expect_single_batch: bool = False,
     await_watermark_flush: bool = False,
-) -> str:
+) -> DataFrame:
     """Run a streaming plan to completion into a memory sink; returns
-    the sink table name. Memory-sink tables live for the session —
-    bounded here by one uniquely named table per invocation (driver
-    RAM holds only the small aggregated results).
+    the sink contents as a (batch) DataFrame. ``build`` is a
+    ``SparkSession -> streaming DataFrame`` callable — the plan is
+    constructed against a CLONED session (``spark.newSession()``:
+    separate SQLConf and temp-view catalog, shared SparkContext), so
+    the state-partition override below lands on the clone only and a
+    caller planning batch queries on the original session concurrently
+    can never observe the narrowed shuffle width. The memory-sink temp
+    view also registers in the clone's catalog, keeping the caller's
+    catalog clean; the returned DataFrame carries the clone session.
 
     ``expect_single_batch``: ST03/ST04's oracle-equality holds only if
     the replay lands in ONE micro-batch (update-mode sinks append each
@@ -173,71 +180,63 @@ def _run_to_memory(
     The staging layout guarantees it (one file, no maxFilesPerTrigger)
     — this assertion turns any future violation into a loud error
     instead of a silent hash mismatch.
-
-    Concurrency caveat: the state-partition override mutates the
-    SESSION conf around ``.start()`` and restores it afterwards — a
-    caller planning batch queries on another thread of the same
-    SparkSession during the replay would see the narrowed width. The
-    catalog harness is single-threaded per session; a multi-tenant
-    driver should give streaming jobs their own session (checkpointed
-    production queries pin the width at first start anyway).
     """
+    from ..session import apply_runtime_confs
+
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    spark = df.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    # The incremental planner reads this at .start(); restore after so
-    # batch queries keep the session's shuffle width.
-    spark.conf.set(
+    clone = spark.newSession()
+    apply_runtime_confs(clone)
+    # The incremental planner reads this at .start(); in a checkpointed
+    # production job it is frozen into the checkpoint at first start.
+    clone.conf.set(
         "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
+    df = build(clone)
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
     try:
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(sink)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            if await_watermark_flush:
-                # Append-mode window emission happens in the NO-DATA
-                # micro-batch that runs after the watermark advances;
-                # processAllAvailable() only guarantees source offsets
-                # are committed, so poll the sink until its row count
-                # is nonzero and stable across two consecutive reads.
-                import time as _time
+        q.processAllAvailable()
+        if await_watermark_flush:
+            # Append-mode window emission happens in the NO-DATA
+            # micro-batch that runs after the watermark advances;
+            # processAllAvailable() only guarantees source offsets
+            # are committed, so poll the sink until its row count
+            # is nonzero and stable across two consecutive reads.
+            import time as _time
 
-                deadline = _time.monotonic() + 30.0
-                prev = -1
-                while _time.monotonic() < deadline:
-                    cur = spark.table(sink).count()
-                    if cur > 0 and cur == prev:
-                        break
-                    prev = cur
-                    _time.sleep(0.15)
-                else:
-                    raise RuntimeError(
-                        f"{prefix}: sink never stabilized after watermark "
-                        "flush (no-data micro-batch did not emit)"
-                    )
-            if expect_single_batch:
-                import json as _json
-
-                n_data_batches = sum(
-                    1
-                    for p in q.recentProgress
-                    if _json.loads(p.json).get("numInputRows", 0) > 0
+            deadline = _time.monotonic() + 30.0
+            prev = -1
+            while _time.monotonic() < deadline:
+                cur = clone.table(sink).count()
+                if cur > 0 and cur == prev:
+                    break
+                prev = cur
+                _time.sleep(0.15)
+            else:
+                raise RuntimeError(
+                    f"{prefix}: sink never stabilized after watermark "
+                    "flush (no-data micro-batch did not emit)"
                 )
-                if n_data_batches != 1:
-                    raise RuntimeError(
-                        f"{prefix}: replay split into {n_data_batches} "
-                        "micro-batches; single-batch assumption violated"
-                    )
-        finally:
-            q.stop()
+        if expect_single_batch:
+            import json as _json
+
+            n_data_batches = sum(
+                1
+                for p in q.recentProgress
+                if _json.loads(p.json).get("numInputRows", 0) > 0
+            )
+            if n_data_batches != 1:
+                raise RuntimeError(
+                    f"{prefix}: replay split into {n_data_batches} "
+                    "micro-batches; single-batch assumption violated"
+                )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return sink
+        q.stop()
+    return clone.table(sink)
 
 
 ST01_ORACLE = """
@@ -265,35 +264,37 @@ def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Instead it flows into its own group, whose window ends past the
     # final watermark and is therefore never emitted; the batch-side
     # filter on the sink below is insurance for that invariant.
-    stream = _events_stream(spark, sf_dir, with_flush=True)
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(
-            F.window("ts", "1 hour").alias("win"),
-            "event_type",
+    def build(s: SparkSession) -> DataFrame:
+        stream = _events_stream(s, sf_dir, with_flush=True)
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.window("ts", "1 hour").alias("win"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            F.col("win.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
-    # Materialize the sink table into a plain DataFrame for the caller.
-    sink = _run_to_memory(
-        agg,
+
+    out = _run_to_memory(
+        build,
+        spark,
         "st01_out",
         "append",
         expect_single_batch=True,
         await_watermark_flush=True,
     )
-    return spark.table(sink).filter(F.col("event_type") != "__flush__")
+    return out.filter(F.col("event_type") != "__flush__")
 
 
 # Gap comparison is >= : Spark's session_window is end-EXCLUSIVE
@@ -354,8 +355,6 @@ GROUP BY user_id
 
 @query("st03_stateful_running_agg", oracle=ST03_ORACLE)
 def st03_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _events_stream(spark, sf_dir)
-
     output_schema = "user_id long, n_events long, max_value double"
     state_schema = "n long, vmax double"
 
@@ -376,17 +375,20 @@ def st03_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "max_value": [out_max]}
         )
 
-    from pyspark.sql.streaming.state import GroupStateTimeout
+    def build(s: SparkSession) -> DataFrame:
+        from pyspark.sql.streaming.state import GroupStateTimeout
 
-    agg = stream.groupBy("user_id").applyInPandasWithState(
-        update_state,
-        outputStructType=output_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    return spark.table(
-        _run_to_memory(agg, "st03_out", "update", expect_single_batch=True)
+        stream = _events_stream(s, sf_dir)
+        return stream.groupBy("user_id").applyInPandasWithState(
+            update_state,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _run_to_memory(
+        build, spark, "st03_out", "update", expect_single_batch=True
     )
 
 # ---------------------------------------------------------------------------
@@ -409,14 +411,16 @@ SELECT DISTINCT user_id, event_type FROM events
 
 @query("st04_stream_dedup", oracle=ST04_ORACLE)
 def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    deduped = (
-        _events_stream(spark, sf_dir)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type")
-    )
-    return spark.table(
-        _run_to_memory(deduped, "st04_out", "append", expect_single_batch=True)
+    def build(s: SparkSession) -> DataFrame:
+        return (
+            _events_stream(s, sf_dir)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    return _run_to_memory(
+        build, spark, "st04_out", "append", expect_single_batch=True
     )
 
 
@@ -445,33 +449,35 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') e
 
 @query("st05_stream_stream_join", oracle=ST05_ORACLE)
 def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_event"),
-            "user_id",
-            F.col("ts").alias("p_ts"),
+    def build(s: SparkSession) -> DataFrame:
+        purchases = (
+            _events_stream(s, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_event"),
+                "user_id",
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
         )
-        .withWatermark("p_ts", "1 hour")
-    )
-    errors = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("error_event"),
-            F.col("user_id").alias("e_user"),
-            F.col("ts").alias("e_ts"),
+        errors = (
+            _events_stream(s, sf_dir)
+            .filter(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_event"),
+                F.col("user_id").alias("e_user"),
+                F.col("ts").alias("e_ts"),
+            )
+            .withWatermark("e_ts", "1 hour")
         )
-        .withWatermark("e_ts", "1 hour")
-    )
-    joined = purchases.join(
-        errors,
-        (F.col("user_id") == F.col("e_user"))
-        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
-        & (F.col("e_ts") <= F.col("p_ts")),
-    ).select("purchase_event", "error_event", "user_id")
-    return spark.table(_run_to_memory(joined, "st05_out", "append"))
+        return purchases.join(
+            errors,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("e_ts") <= F.col("p_ts")),
+        ).select("purchase_event", "error_event", "user_id")
+
+    return _run_to_memory(build, spark, "st05_out", "append")
 
 
 # NOTE on transformWithStateInPandas (Spark 4's successor to
