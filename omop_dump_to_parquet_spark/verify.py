@@ -75,35 +75,70 @@ class VerifyReport:
         )
 
 
+def _footer_row_counts(
+    spark: SparkSession, uris: list[str]
+) -> dict[str, int]:
+    """Per-file row counts read from parquet FOOTER metadata only —
+    the reference's verification trick (``dump_table.py:244-246`` sums
+    ``fragment.count_rows()`` without scanning data). Goes through the
+    JVM's ParquetFileReader so any Hadoop scheme works; cost is one
+    footer round-trip per file, no column data."""
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    counts: dict[str, int] = {}
+    for uri in uris:
+        # Path(String) would take the listing's percent-encoding
+        # literally (%20 as three path chars); Path(java.net.URI)
+        # decodes it, so escapable paths resolve.
+        jpath = jvm.org.apache.hadoop.fs.Path(jvm.java.net.URI.create(uri))
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jpath, hconf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            counts[_norm_uri(uri)] = int(reader.getRecordCount())
+        finally:
+            reader.close()
+    return counts
+
+
 def verify_parquet(
     spark: SparkSession,
     path: str,
     expected_count: int | None = None,
     expected_schema=None,
     max_records_per_file: int | None = None,
+    fast: bool = False,
 ) -> VerifyReport:
     """Check count conservation + schema stability + shard sizing.
 
-    Per-file counts come from a ``groupBy(input_file_name())`` pass
-    (row iteration, unlike the reference's footer-metadata trick —
-    Spark has no public footer API, and the verify pass doubles as a
-    readability check of every row). Zero-row shards produce no rows
-    for the groupBy to see, so the file list is reconciled against a
-    Hadoop-FileSystem recursive listing (scheme-agnostic: file, hdfs,
-    s3a, …) — they count as 0-row files instead of silently vanishing
-    from the report.
+    Two modes, same report shape:
+
+    - ``fast=True`` — per-file counts from footer metadata only
+      (``_footer_row_counts``), matching the reference's
+      metadata-level verification. No row data is read.
+    - ``fast=False`` (default) — per-file counts from a
+      ``groupBy(input_file_name())`` row-iteration pass, which doubles
+      as a READABILITY check: every row must actually decode. Zero-row
+      shards produce no rows for the groupBy to see, so the file list
+      is reconciled against a Hadoop-FileSystem recursive listing
+      (scheme-agnostic: file, hdfs, s3a, …) — they count as 0-row
+      files instead of silently vanishing from the report.
     """
     back = spark.read.parquet(path)
-    per_file = {
-        _norm_uri(r["file"]): r["rows"]
-        for r in (
-            back.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        )
-    }
-    for uri in _list_parquet_uris(spark, path):
-        per_file.setdefault(_norm_uri(uri), 0)
+    if fast:
+        per_file = _footer_row_counts(spark, _list_parquet_uris(spark, path))
+    else:
+        per_file = {
+            _norm_uri(r["file"]): r["rows"]
+            for r in (
+                back.groupBy(F.input_file_name().alias("file"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            )
+        }
+        for uri in _list_parquet_uris(spark, path):
+            per_file.setdefault(_norm_uri(uri), 0)
     total = sum(per_file.values())
     report = VerifyReport(
         total_rows=total,

@@ -126,6 +126,35 @@ def test_verify_handles_uri_escapable_paths_and_zero_row_shards(
     assert 0 in rep2.per_file_rows.values()
 
 
+def test_verify_fast_footer_mode_matches_full_scan(spark, sf_small, tmp_path):
+    """fast=True reads ONLY parquet footers (the reference's
+    metadata-level verification, dump_table.py:244-246) and must agree
+    file-by-file with the row-iterating mode, including 0-row shards
+    and URI-escapable paths."""
+    from omop_dump_to_parquet_spark.sources.parquet import table
+    from omop_dump_to_parquet_spark.verify import verify_parquet
+
+    out = str(tmp_path / "with space" / "orders")
+    df = table(spark, sf_small, "orders")
+    df.repartition(3).write.parquet(out)
+    df.limit(0).coalesce(1).write.mode("append").parquet(out)
+
+    full = verify_parquet(
+        spark, out, expected_count=df.count(), max_records_per_file=10**9
+    )
+    fast = verify_parquet(
+        spark,
+        out,
+        expected_count=df.count(),
+        max_records_per_file=10**9,
+        fast=True,
+    )
+    assert fast.count_matches and full.count_matches
+    assert fast.per_file_rows == full.per_file_rows
+    assert fast.n_files == full.n_files == 4
+    assert fast.sizing_ok and fast.max_file_rows == full.max_file_rows
+
+
 def test_orc_roundtrip_sized_shards(spark, sf_small, tmp_path):
     """ORC source/sink: sized shards + identical data back."""
     from omop_dump_to_parquet_spark.sinks.parquet_sink import write_orc
