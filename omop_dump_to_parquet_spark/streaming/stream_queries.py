@@ -101,10 +101,15 @@ def _stage_events_flush(sf_dir: str) -> str:
             for i in range(md.num_row_groups)
         )
         one = pa.Table.from_batches([next(pf.iter_batches(batch_size=1))])
-        flush_ts = pa.array(
-            [max_ts.to_datetime64() + 7_200_000_000_000],  # +2h in ns
-            type=one.schema.field("ts").type,
-        )
+        # Footer statistics surface TIMESTAMP columns as datetime.datetime
+        # and TIMESTAMP(NANOS)/int64 physical columns as plain ints.
+        import datetime as _dt
+
+        if isinstance(max_ts, _dt.datetime):
+            flush_val = max_ts + _dt.timedelta(hours=2)
+        else:
+            flush_val = int(max_ts) + 7_200_000_000_000  # +2h in ns
+        flush_ts = pa.array([flush_val], type=one.schema.field("ts").type)
         sentinel = one.set_column(
             one.schema.get_field_index("ts"), "ts", flush_ts
         ).set_column(
@@ -124,10 +129,16 @@ def _events_stream(
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     stage = _stage_events_flush(sf_dir) if with_flush else _stage_events(sf_dir)
     stream = spark.readStream.schema(raw.schema).parquet(stage)
-    if dict(raw.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS)
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) surfaced as int64
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # isAdjustedToUTC=false parquet reads as TIMESTAMP_NTZ, which
+        # EventTimeWatermark rejects; the session timezone is pinned
+        # UTC (session.py), so the LTZ cast is wall-clock-identical.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
