@@ -116,8 +116,9 @@ def d02_dedup_hash_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.6
 
-D03_ORACLE = f"""
-WITH tok AS (
+# Split into CTE-list + final-select parts so graph.py's d06 oracle
+# can reuse the identical pair definition inside a WITH RECURSIVE.
+_D03_CTES = """tok AS (
   SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS w
   FROM documents
 ),
@@ -130,14 +131,16 @@ inter AS (
     ON a.lang = b.lang AND a.source = b.source
    AND a.w = b.w AND a.doc_id < b.doc_id
   GROUP BY doc_a, doc_b
-)
-SELECT doc_a, doc_b,
+)"""
+
+_D03_SELECT = f"""SELECT doc_a, doc_b,
        (CAST(n_common AS DOUBLE) / (sa.nw + sb.nw - n_common)) AS jaccard
 FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
-WHERE (CAST(n_common AS DOUBLE) / (sa.nw + sb.nw - n_common)) >= {JACCARD_THRESHOLD}
-"""
+WHERE (CAST(n_common AS DOUBLE) / (sa.nw + sb.nw - n_common)) >= {JACCARD_THRESHOLD}"""
+
+D03_ORACLE = f"WITH {_D03_CTES}\n{_D03_SELECT}"
 
 
 def _distinct_tokens(docs: DataFrame, *block_cols: str) -> DataFrame:

@@ -1,0 +1,215 @@
+"""Graph operators: connected components over near-duplicate pairs.
+
+The dedup family (d03/d04/d05, dedup.py) emits verified PAIRS, but a
+training pipeline needs CLUSTERS — "these 7 docs are one document;
+keep the canonical one, drop 6". Pair→cluster is connected components
+on the similarity graph, the step the reference's single-table ETL
+(dump_table.py:81-111 is a straight scan) never needs but any
+dedup-at-scale deployment does. [EXT] per SURVEY.md §2.3.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC'14). Why not plain min-label propagation: label
+propagation needs O(graph diameter) rounds, and a 100 TB corpus with
+chained near-dups (A~B~C~… boilerplate drift) can have long paths;
+the star algorithm provably converges in O(log² n) rounds on ANY
+graph, each round two uniform-key shuffles proportional to the
+CURRENT edge set (which only shrinks toward star graphs).
+
+Scale design:
+- every round is groupBy(min) + join on node ids — uniform keys,
+  map-side partial aggregation, broadcast-free;
+- ``localCheckpoint`` after each round truncates lineage (iterative
+  plans otherwise grow exponentially and re-execute from the source);
+  a production job on a flaky cluster should use a reliable
+  ``checkpoint(dir)`` instead — hook provided via ``checkpoint_fn``;
+- convergence is detected from an order-independent (count, hash-sum)
+  fingerprint of the edge multiset — one tiny aggregate per round on
+  the already-materialized checkpoint, no exceptAll shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.parquet import table
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Orient every edge (big → small), drop self-loops, dedupe."""
+    u, v = F.col(src).cast("long"), F.col(dst).cast("long")
+    return (
+        edges.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u, connect every STRICTLY LARGER neighbor to
+    m = min(Γ(u) ∪ {u}). Halves path depth (a chain's far nodes gain
+    direct edges toward the minimum)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u (edges oriented big→small, so Γ⁻(u) = its
+    smaller neighbors), connect u and all of Γ⁻(u) to m = min(Γ⁻(u)).
+    Flattens partial stars into stars centered at the minimum."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    to_min = e.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edge = mins.select("u", F.col("m").alias("v"))
+    return (
+        to_min.union(self_edge)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 50,
+    checkpoint_fn: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """``(node, component_id)`` for every node in ``edges``, where
+    ``component_id`` is the smallest node id in the component.
+
+    ``max_rounds`` is a safety valve far above the O(log² n) bound
+    (50 rounds covers any graph a 2⁶⁴-id space can hold); hitting it
+    raises rather than returning a partial clustering.
+
+    ``checkpoint_fn`` defaults to eager ``localCheckpoint`` — executor-
+    local, right for a single job; pass ``lambda df: df.checkpoint()``
+    with a configured checkpoint dir for fault-tolerant production runs.
+    """
+    if checkpoint_fn is None:
+        def checkpoint_fn(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    e = checkpoint_fn(_canonical_edges(edges, src, dst))
+
+    def fingerprint(df: DataFrame):
+        # Order-independent multiset fingerprint: count + sum of a
+        # per-edge hash. xxhash64 sums can overflow long under ANSI
+        # mode, so fold to 32 bits before summing (2³² · count < 2⁶³
+        # for any count < 2³¹).
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2**32))).alias("h"),
+        ).first()
+
+    prev = fingerprint(e)
+    for _ in range(max_rounds):
+        e = checkpoint_fn(_small_star(_large_star(e)))
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # Fixpoint = disjoint stars: every edge points (member → center).
+    centers = e.select(F.col("v").alias("node")).distinct()
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component_id"))
+        .union(centers.select("node", F.col("node").alias("component_id")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# D06 — dedup clusters: the d03 exact-Jaccard pair graph, collapsed to
+# components, joined back to the corpus as a keep-list. The full
+# pair→cluster→canonical pipeline a dedup deployment runs; docs in no
+# pair are their own singleton cluster.
+#
+# Oracle: DuckDB recursive CTE — label(v) = min over all nodes that
+# reach v; components are min-reachable-id, identical to the star
+# fixpoint. Tractable at oracle scale (sf0.01: 910 pairs) because the
+# reachability closure is bounded by Σ cluster_size²; the Spark side
+# never materializes a closure.
+# ---------------------------------------------------------------------------
+
+from .dedup import (  # noqa: E402  (cycle-free: dedup imports nothing from here)
+    JACCARD_THRESHOLD,
+    _D03_CTES,
+    _D03_SELECT,
+    prefix_filter_candidates,
+    verify_jaccard_pairs,
+)
+
+D06_ORACLE = f"""
+WITH RECURSIVE {_D03_CTES},
+pairs AS ({_D03_SELECT}),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+cc(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+  UNION
+  SELECT s.v, cc.label FROM cc JOIN sym s ON cc.node = s.u
+),
+comp AS (SELECT node, MIN(label) AS component_id FROM cc GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component_id, d.doc_id) AS component_id,
+       COUNT(*) OVER (PARTITION BY COALESCE(c.component_id, d.doc_id))
+         AS cluster_size,
+       CAST(d.doc_id = COALESCE(c.component_id, d.doc_id) AS INT)
+         AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+@query("d06_dedup_clusters", oracle=D06_ORACLE)
+def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (d03's exact blocked Jaccard) → connected
+    components → per-doc keep-list with canonical flag."""
+    from fractions import Fraction
+
+    docs = table(spark, sf_dir, "documents")
+    ratio = Fraction(str(JACCARD_THRESHOLD))
+    candidates = prefix_filter_candidates(
+        docs, ratio.numerator, ratio.denominator, "lang", "source"
+    )
+    pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+
+    assigned = docs.join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+    )
+    wc = W.partitionBy("component_id")
+    return assigned.select(
+        "doc_id",
+        "component_id",
+        F.count(F.lit(1)).over(wc).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component_id"))
+        .cast("int")
+        .alias("is_canonical"),
+    )

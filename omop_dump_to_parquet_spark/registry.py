@@ -118,6 +118,7 @@ def load_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
     if not _LOADED:
         from .operators import (  # noqa: F401
             dedup,
+            graph,
             multimodal,
             relational,
             similarity,
