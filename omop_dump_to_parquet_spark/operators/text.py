@@ -592,3 +592,55 @@ def t11_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_blocklisted"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T12 — deterministic shard assignment + in-shard ordering ("global
+# shuffle" for training export). Training runs need the corpus
+# randomized and split into fixed shards REPRODUCIBLY — no RNG, no
+# engine-specific sample(): shard = first md5 nibble of the key,
+# in-shard position = rank of the full digest. Identical output on any
+# engine, any partitioning, any run.
+#
+# Scale: the digest is map-side; the only shuffle is the row_number
+# repartition on shard. 16 shards here (one hex nibble) — at lake
+# scale take k nibbles for 16^k shards so each shard fits an output
+# file target, then df.write.partitionBy("shard"). The in-shard sort
+# is the standard sort-within-partitions export.
+# ---------------------------------------------------------------------------
+
+T12_N_SHARDS = 16  # one md5 hex nibble; 16^k via k nibbles at scale
+
+
+@query(
+    "t12_shard_assignment",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS shard,
+       row_number() OVER (PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id)
+         AS pos
+FROM hashed
+""",
+)
+def t12_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    # instr('0123…f', nibble)-1 maps the hex char to 0..15 with the
+    # same expression text both engines accept.
+    shard = F.expr(
+        "cast(instr('0123456789abcdef', substr(h, 1, 1)) - 1 as int)"
+    )
+    w = W.partitionBy(F.substring("h", 1, 1)).orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )

@@ -372,3 +372,81 @@ def w09_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W10 — time-series gap-fill + forward fill: daily per-type rollup,
+# missing calendar days materialized from a generated date spine
+# (sequence + explode — a codegen generator, no driver loop), counts
+# zero-filled, last observed daily value carried forward with
+# last(ignorenulls) over an ordered frame.
+#
+# Scale: the rollup is a partial-agg groupBy on (event_type, day); the
+# spine explode is O(types × days) — tiny next to the input. The final
+# window partitions by event_type, which is low-cardinality: fine for
+# a rollup output this small, but if the per-type day range were huge,
+# partition the carry-forward by (event_type, year) and stitch the
+# boundary rows — noted, not needed at rollup scale.
+# Determinism: daily sums route through DECIMAL (exact) before the
+# double cast; the carried value is bit-copied, not recomputed.
+# ---------------------------------------------------------------------------
+
+W10_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+  FROM events
+  GROUP BY event_type, day
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE AS day
+  FROM daily GROUP BY event_type
+)
+SELECT s.event_type, CAST(s.day AS TIMESTAMP) AS day,
+       COALESCE(d.n, 0) AS n_events,
+       COALESCE(d.v, 0.0) AS day_value,
+       last_value(d.v IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_value
+FROM spine s LEFT JOIN daily d USING (event_type, day)
+"""
+
+
+@query("w10_gapfill", oracle=W10_ORACLE)
+def w10_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("v"),
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        # DATE → TIMESTAMP (midnight under the pinned-UTC session) so
+        # both engines hand the comparator a timestamp column — the
+        # same convention st01/w09 use for window_start.
+        F.col("day").cast("timestamp").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("v", F.lit(0.0)).alias("day_value"),
+        F.last("v", ignorenulls=True).over(w).alias("carry_value"),
+    )
