@@ -91,12 +91,18 @@ def connected_components(
     max_rounds: int = 50,
     checkpoint_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
-    """``(node, component_id)`` for every node in ``edges``, where
-    ``component_id`` is the smallest node id in the component.
+    """``(node, component_id)`` for every node with at least one
+    NON-self-loop edge, where ``component_id`` is the smallest node id
+    in the component. Nodes appearing only in self-loop edges are
+    dropped with the self-loops themselves — callers that need them
+    (d06 below needs every doc) coalesce missing nodes to singleton
+    components on the join back, which is cheaper than scanning the
+    raw edge set a second time here.
 
-    ``max_rounds`` is a safety valve far above the O(log² n) bound
-    (50 rounds covers any graph a 2⁶⁴-id space can hold); hitting it
-    raises rather than returning a partial clustering.
+    ``max_rounds`` is a safety valve: the theoretical bound is
+    O(log² n) rounds but convergence is ~log n empirically (SoCC'14
+    §5), so 50 is generous for any practical graph; hitting it raises
+    rather than returning a partial clustering.
 
     ``checkpoint_fn`` defaults to eager ``localCheckpoint`` — executor-
     local, right for a single job; pass ``lambda df: df.checkpoint()``
@@ -110,19 +116,31 @@ def connected_components(
 
     def fingerprint(df: DataFrame):
         # Order-independent multiset fingerprint: count + sum of a
-        # per-edge hash. xxhash64 sums can overflow long under ANSI
-        # mode, so fold to 32 bits before summing (2³² · count < 2⁶³
-        # for any count < 2³¹).
+        # per-edge hash folded to 32 bits, accumulated as decimal so
+        # the sum cannot overflow long (and thus cannot throw under
+        # ANSI mode) at any edge count.
         return df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2**32))).alias("h"),
+            F.sum(
+                F.pmod(F.xxhash64("u", "v"), F.lit(2**32)).cast("decimal(38,0)")
+            ).alias("h"),
         ).first()
+
+    def is_star_forest(df: DataFrame) -> bool:
+        # At the fixpoint every edge points member → center and no
+        # node is both: u-set ∩ v-set must be empty. Guards against a
+        # fingerprint collision between consecutive non-equal rounds
+        # silently ending iteration on a non-star graph.
+        return (
+            df.select("u").intersect(df.select(F.col("v").alias("u"))).limit(1).count()
+            == 0
+        )
 
     prev = fingerprint(e)
     for _ in range(max_rounds):
         e = checkpoint_fn(_small_star(_large_star(e)))
         cur = fingerprint(e)
-        if cur == prev:
+        if cur == prev and is_star_forest(e):
             break
         prev = cur
     else:

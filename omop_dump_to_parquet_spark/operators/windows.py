@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.parquet import table
+from ..sources.parquet import table, ts_us
 
 # ---------------------------------------------------------------------------
 # W01 — ranking: top-3 orders per priority class.
@@ -101,7 +101,7 @@ def w03_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         (
-            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            ts_us("ts") - ts_us(F.lag("ts").over(w))
         ).alias("gap_us"),
     )
 
@@ -142,7 +142,7 @@ FROM per_session GROUP BY user_id
 def w04_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap = ts_us("ts") - ts_us(F.lag("ts").over(w))
     flagged = ev.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0),
@@ -231,12 +231,12 @@ def w06_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_event"),
         F.col("user_id"),
-        F.unix_micros("ts").alias("a_us"),
+        ts_us("ts").alias("a_us"),
     )
     b = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_event"),
         F.col("user_id").alias("b_user"),
-        F.unix_micros("ts").alias("b_us"),
+        ts_us("ts").alias("b_us"),
     )
     return (
         a.join(

@@ -72,10 +72,10 @@ _WINDOW = 50
 # very front regardless of history — changed code must be re-verified
 # before anything else is rotated in.  Clear entries once the next
 # CORRECTNESS artifact shows a clean post-rewrite run.
-_FORCE_IN_WINDOW: tuple[str, ...] = (
-    "s06_ann_int8",  # rewritten after its r1 check (executor-side SQ8 probe)
-    "d05_dedup_simhash",  # rewritten after its r1 check (pigeonhole chunks)
-)
+# Queries rewritten since their last driver check, pinned to the front
+# of the checked window until the driver re-validates them. s06/d05
+# were pinned in r3 and came back clean (CORRECTNESS_r03) — cleared.
+_FORCE_IN_WINDOW: tuple[str, ...] = ()
 
 
 def _driver_check_history() -> dict[str, tuple[int, int]]:

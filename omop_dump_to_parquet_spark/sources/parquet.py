@@ -37,18 +37,46 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads as
-    a nanosecond long under ``spark.sql.legacy.parquet.nanosAsLong``;
-    normalize to a microsecond timestamp (truncating division — the
-    same conversion DuckDB applies reading ns parquet as its us-native
-    TIMESTAMP, so differential oracles agree).
+    This is the single choke point that canonicalizes fixture dtypes so
+    the whole catalog can assume ``events.ts: timestamp`` (TIMESTAMP_LTZ)
+    regardless of how the driver happened to write the parquet. Layouts
+    seen across rounds:
+
+    * TIMESTAMP(NANOS) read as a nanosecond ``bigint`` under
+      ``spark.sql.legacy.parquet.nanosAsLong`` — truncate-divide to
+      micros (same conversion DuckDB applies reading ns parquet as its
+      us-native TIMESTAMP, so differential oracles agree).
+    * ``timestamp[us]`` with ``isAdjustedToUTC=false``, which Spark
+      reads as TIMESTAMP_NTZ — cast to TIMESTAMP. The session pins UTC
+      (session.py), so NTZ→LTZ is value-preserving and ``unix_micros``
+      et al. see the same instants DuckDB does.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and dtypes.get("ts") == "timestamp_ntz":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def ts_us(col="ts"):
+    """Event time as an epoch-microsecond long.
+
+    Every catalog operator that needs arithmetic on ``events.ts`` goes
+    through this helper rather than calling ``F.unix_micros`` directly,
+    so if the driver ships yet another timestamp layout that ``table()``
+    misses, the failure surfaces at one definition instead of N call
+    sites. ``unix_micros`` requires TIMESTAMP (not NTZ) — ``table()``
+    guarantees that; the analysis error otherwise names this function.
+    """
+    from pyspark.sql import functions as F
+
+    return F.unix_micros(col if not isinstance(col, str) else F.col(col))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
