@@ -143,12 +143,37 @@ WHERE (CAST(n_common AS DOUBLE) / (sa.nw + sb.nw - n_common)) >= {JACCARD_THRESH
 D03_ORACLE = f"WITH {_D03_CTES}\n{_D03_SELECT}"
 
 
-def _distinct_tokens(docs: DataFrame, *block_cols: str) -> DataFrame:
-    return docs.select(
-        "doc_id",
-        *block_cols,
-        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
+def word_shingles(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a text column, as an array of
+    space-joined strings. A doc with fewer than ``n`` words yields its
+    single sub-``n`` shingle (the whole doc) rather than nothing, so
+    short near-identical docs still pair up.
+
+    Pure codegen (split → sequence → transform/slice) — the shingle
+    set never leaves the JVM.
+    """
+    w = F.split(col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(w, i + F.lit(1), n), " "),
+        )
     )
+
+
+def _distinct_tokens(
+    docs: DataFrame, *block_cols: str, tokens: Column | None = None
+) -> DataFrame:
+    """Explode one row per distinct token; ``tokens`` overrides the
+    default word tokenizer with any already-distinct array expression
+    (e.g. ``word_shingles``) — the whole AllPairs/verify machinery is
+    tokenizer-agnostic."""
+    toks = (
+        tokens
+        if tokens is not None
+        else F.array_distinct(F.split(F.col("text"), " "))
+    )
+    return docs.select("doc_id", *block_cols, F.explode(toks).alias("w"))
 
 
 def prefix_index(
@@ -199,6 +224,7 @@ def prefix_filter_candidates(
     num: int,
     den: int,
     *block_cols: str,
+    tokens: Column | None = None,
 ) -> DataFrame:
     """Exact candidate pairs for Jaccard ≥ num/den via prefix
     filtering (Bayardo et al., AllPairs — public algorithm).
@@ -218,7 +244,7 @@ def prefix_filter_candidates(
     exact set-size condition (den·min(nw) ≥ num·max(nw), cf.
     lsh_candidate_pairs) prunes further at zero recall cost.
     """
-    tok = _distinct_tokens(docs, *block_cols)
+    tok = _distinct_tokens(docs, *block_cols, tokens=tokens)
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
     prefix = prefix_index(docs, num, den, *block_cols, tok=tok, sizes=sizes)
     probe = tok.join(sizes, "doc_id").alias("a")
@@ -454,8 +480,13 @@ def verify_jaccard_pairs(
     candidates: DataFrame,
     threshold: float,
     use_broadcast: bool = True,
+    tokens: Column | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs.
+
+    ``tokens`` overrides the default word tokenizer with any
+    already-distinct array expression over ``docs`` (must match the
+    tokenizer used for candidate generation).
 
     ``use_broadcast=True`` (default): the per-doc distinct-token ARRAY
     table is tiny relative to the pair set (|docs| rows, ~25 tokens
@@ -474,7 +505,11 @@ def verify_jaccard_pairs(
     (P ≈ |vocab|²/2⁶⁵ — vanishing; the differential oracle at sf0.01
     pins exactness).
     """
-    toks = F.array_distinct(F.split(F.col("text"), " "))
+    toks = (
+        tokens
+        if tokens is not None
+        else F.array_distinct(F.split(F.col("text"), " "))
+    )
     tok_arr = docs.select(
         "doc_id",
         F.transform(toks, lambda t: F.xxhash64(t)).alias("toks"),
@@ -596,3 +631,74 @@ def d05_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# D07 — true SHINGLE n-gram Jaccard near-dup pairs (word 3-grams).
+#
+# d03 measures word-SET overlap, which is blind to word order — two
+# docs with the same vocabulary in scrambled order score 1.0. Shingle
+# Jaccard (Broder's resemblance, the classic n-gram dedup measure) is
+# order-sensitive: a 3-gram survives only where three consecutive
+# words match, so boilerplate-with-reordered-sections scores low and
+# true near-copies score high. Same AllPairs prefix-filter candidate
+# machinery and exact verification as d03, parameterized by the
+# shingle tokenizer — candidate generation stays provably lossless
+# because the prefix lemma is tokenizer-agnostic (it only needs "doc =
+# finite set of tokens").
+#
+# Scale: shingle sets are ~|words| per doc (same as word sets), and
+# shingles are RARER than words (df concentrates near 1), so prefix
+# index groups are smaller than d03's — the inverted-index join gets
+# cheaper, not hotter, at 100 TB.
+# ---------------------------------------------------------------------------
+
+SHINGLE_N = 3
+SHINGLE_THRESHOLD = 0.5
+
+D07_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents
+),
+tok AS (
+  SELECT doc_id, lang, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - {SHINGLE_N - 1}, 1) + 1),
+           i -> array_to_string(list_slice(w, i, i + {SHINGLE_N - 1}), ' ')
+         ))) AS s
+  FROM base
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS ns FROM tok GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a JOIN tok b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       (CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common)) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common))
+      >= {SHINGLE_THRESHOLD}
+"""
+
+
+@query("d07_dedup_shingle_jaccard", oracle=D07_ORACLE)
+def d07_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram shingle Jaccard ≥ 0.5, blocked by (lang, source):
+    prefix-filtered candidates + exact verification, both over the
+    shingle tokenizer."""
+    from fractions import Fraction
+
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(F.col("text"), SHINGLE_N)
+    ratio = Fraction(str(SHINGLE_THRESHOLD))
+    candidates = prefix_filter_candidates(
+        docs, ratio.numerator, ratio.denominator, "lang", "source", tokens=sh
+    )
+    return verify_jaccard_pairs(docs, candidates, SHINGLE_THRESHOLD, tokens=sh)

@@ -90,6 +90,7 @@ def connected_components(
     dst: str = "v",
     max_rounds: int = 50,
     checkpoint_fn: Callable[[DataFrame], DataFrame] | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(node, component_id)`` for every node with at least one
     NON-self-loop edge, where ``component_id`` is the smallest node id
@@ -137,10 +138,13 @@ def connected_components(
         )
 
     prev = fingerprint(e)
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         e = checkpoint_fn(_small_star(_large_star(e)))
         cur = fingerprint(e)
         if cur == prev and is_star_forest(e):
+            if stats is not None:
+                stats["rounds"] = rnd + 1
+                stats["final_edges"] = cur["n"]
             break
         prev = cur
     else:
@@ -202,6 +206,12 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
+#: Convergence stats of the most recent d06 run (rounds, final edge
+#: count) — written by ``connected_components`` via its ``stats`` hook;
+#: read by bench.py's secondary measurements and SCALING.md evidence.
+LAST_CC_STATS: dict = {}
+
+
 @query("d06_dedup_clusters", oracle=D06_ORACLE)
 def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (d03's exact blocked Jaccard) → connected
@@ -214,7 +224,8 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ratio.numerator, ratio.denominator, "lang", "source"
     )
     pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD)
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    LAST_CC_STATS.clear()
+    comp = connected_components(pairs, "doc_a", "doc_b", stats=LAST_CC_STATS)
 
     assigned = docs.join(
         comp, docs["doc_id"] == comp["node"], "left"

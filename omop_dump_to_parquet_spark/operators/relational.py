@@ -954,3 +954,42 @@ def q33_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q34 — statistical aggregates: correlation, covariance, dispersion
+# per group. All are one-pass mergeable moment sketches (sum, sum²,
+# sum of products) — map-side partial aggregation, one row per group
+# crosses the wire; the scalable shape at any corpus size.
+# Oracle columns are chosen small-magnitude (discount/tax in [0,0.1],
+# corr bounded in [-1,1]) so a 6-decimal round absorbs the
+# summation-order FP divergence between engines without masking real
+# errors.
+# ---------------------------------------------------------------------------
+
+Q34_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+       round(stddev_samp(l_discount), 6) AS stddev_disc,
+       round(var_pop(l_tax), 6) AS var_tax,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q34_stats_aggregates", oracle=Q34_ORACLE)
+def q34_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "covar_qty_disc"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("stddev_disc"),
+        F.round(F.var_pop("l_tax"), 6).alias("var_tax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -450,3 +450,45 @@ def w10_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("v", F.lit(0.0)).alias("day_value"),
         F.last("v", ignorenulls=True).over(w).alias("carry_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W11 — time-RANGE frame: per-user trailing 1-hour average, frame
+# bounded by the ORDER-BY VALUE (epoch micros), not row offsets — the
+# correct trailing-window semantics for irregular event streams (w09's
+# sliding windows are bucket-aligned; this is per-event continuous).
+# One shuffle on user_id + one sort; RANGE peers are defined by the
+# key value, so ties in ts get identical frames in any engine —
+# deterministic without a tie-break column.
+# ---------------------------------------------------------------------------
+
+RANGE_FRAME_US = 3_600 * 1_000_000  # trailing 1 hour
+
+W11_ORACLE = f"""
+SELECT event_id, user_id,
+       round(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW
+       ), 6) AS trailing_avg,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW
+       ) AS n_in_window
+FROM events
+"""
+
+
+@query("w11_time_range_frame", oracle=W11_ORACLE)
+def w11_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(ts_us("ts"))
+        .rangeBetween(-RANGE_FRAME_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )

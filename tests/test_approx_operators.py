@@ -451,3 +451,43 @@ def test_int8_ann_matches_numpy_reference_exactly(spark, sf_small):
         for r in S.s06_ann_int8(spark, sf_small).collect()
     }
     assert got == expect
+
+
+def test_word_shingles_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.operators.dedup import word_shingles
+
+    rows = (
+        spark.createDataFrame(
+            [("a b c d e",), ("a b",), ("solo",), ("a b c",)], ["text"]
+        )
+        .select(word_shingles(F.col("text"), 3).alias("sh"))
+        .collect()
+    )
+    assert sorted(rows[0]["sh"]) == ["a b c", "b c d", "c d e"]
+    assert rows[1]["sh"] == ["a b"]  # sub-n doc → whole-doc shingle
+    assert rows[2]["sh"] == ["solo"]
+    assert rows[3]["sh"] == ["a b c"]
+
+
+def test_shingle_jaccard_order_sensitive(spark):
+    """The property d07 adds over d03: word-set Jaccard can't see word
+    order, shingle Jaccard can."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [("x", "the quick brown fox jumps high",),
+         ("y", "high jumps fox brown quick the",)],
+        ["doc_id", "text"],
+    )
+    sets = df.select(
+        F.array_distinct(F.split("text", " ")).alias("w"),
+        word_shingles(F.col("text"), 3).alias("sh"),
+    ).collect()
+    # identical vocabulary...
+    assert sorted(sets[0]["w"]) == sorted(sets[1]["w"])
+    # ...but zero shared shingles
+    assert not set(sets[0]["sh"]) & set(sets[1]["sh"])
