@@ -491,6 +491,39 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(build, spark, "st05_out", "append")
 
 
+# ---------------------------------------------------------------------------
+# ST06 — stream-STATIC enrichment join: the standard "attach dimension
+# attributes to events on ingest" pattern. Stateless — no watermark,
+# no state store: each micro-batch joins against the (broadcast)
+# static table and emits immediately, so it runs forever at constant
+# memory and any batch-side change is picked up on the next
+# micro-batch (Spark re-plans the static side per batch for file
+# sources). The static side is a dimension small enough to broadcast;
+# at 100 TB-of-events scale that is exactly the shape this pattern
+# requires — a big static side would call for pre-bucketing both
+# sides instead.
+# ---------------------------------------------------------------------------
+
+ST06_ORACLE = """
+SELECT event_id, user_id, event_type, c_mktsegment, c_nationkey
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
+@query("st06_stream_static_enrich", oracle=ST06_ORACLE)
+def st06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(s: SparkSession) -> DataFrame:
+        ev = _events_stream(s, sf_dir)
+        cust = table(s, sf_dir, "customer")
+        return ev.join(
+            F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+        ).select(
+            "event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"
+        )
+
+    return _run_to_memory(build, spark, "st06_out", "append")
+
+
 # NOTE on transformWithStateInPandas (Spark 4's successor to
 # applyInPandasWithState): attempted and verified to fail in this
 # environment — its driver-side runner requires a working
