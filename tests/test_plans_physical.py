@@ -139,6 +139,9 @@ STREAMING_QUERIES = {
     "st03_stateful_running_agg",
     "st04_stream_dedup",
     "st05_stream_stream_join",
+    # st06 runs a real readStream replay; its "plan" would be the
+    # memory-sink scan, not the join — nothing to smell-check.
+    "st06_stream_static_enrich",
 }
 
 
