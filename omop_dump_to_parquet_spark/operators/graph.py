@@ -242,3 +242,65 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D08 — embedding near-dup CLUSTERS: s04's exact cosine-threshold pair
+# graph (cogrouped block-pair GEMM, similarity.py:208) collapsed to
+# connected components — the embedding-space twin of d06. Same scale
+# story: pair generation is blocked (O(n·B) shuffle), clustering is
+# O(log n) rounds of uniform-key shuffles on a shrinking edge set.
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import COS_DUP_THRESHOLD, S04_ORACLE  # noqa: E402
+
+D08_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {S04_ORACLE}
+),
+sym AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+cc(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+  UNION
+  SELECT s.v, cc.label FROM cc JOIN sym s ON cc.node = s.u
+),
+comp AS (SELECT node, MIN(label) AS component_id FROM cc GROUP BY node)
+SELECT e.vec_id,
+       COALESCE(c.component_id, e.vec_id) AS component_id,
+       COUNT(*) OVER (PARTITION BY COALESCE(c.component_id, e.vec_id))
+         AS cluster_size,
+       CAST(e.vec_id = COALESCE(c.component_id, e.vec_id) AS INT)
+         AS is_canonical
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+"""
+
+
+@query("d08_embedding_dedup_clusters", oracle=D08_ORACLE)
+def d08_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine ≥ threshold pairs (s04's blocked GEMM) → connected
+    components → per-vector keep-list with canonical flag."""
+    from .similarity import s04_dedup_embedding
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = s04_dedup_embedding(spark, sf_dir)
+    comp = connected_components(pairs, "vec_a", "vec_b")
+
+    assigned = emb.join(
+        comp, emb["vec_id"] == comp["node"], "left"
+    ).select(
+        "vec_id",
+        F.coalesce("component_id", "vec_id").alias("component_id"),
+    )
+    wc = W.partitionBy("component_id")
+    return assigned.select(
+        "vec_id",
+        "component_id",
+        F.count(F.lit(1)).over(wc).alias("cluster_size"),
+        (F.col("vec_id") == F.col("component_id"))
+        .cast("int")
+        .alias("is_canonical"),
+    )

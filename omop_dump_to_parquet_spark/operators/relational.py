@@ -993,3 +993,44 @@ def q34_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("l_tax"), 6).alias("var_tax"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q35 — correlated NOT EXISTS, written as a subquery (not a manual
+# anti join): customers with no order above a price cut. Exercises
+# Catalyst's subquery decorrelation — RewritePredicateSubquery turns
+# the correlated NOT EXISTS into a LEFT ANTI join on the correlation
+# key, so the physical plan is one shuffle (or broadcast) anti join,
+# never a per-row subquery execution. The plan assertion lives in
+# tests/test_plans_physical.py; q06 covers the hand-written anti join,
+# this covers the optimizer path that produces it.
+# ---------------------------------------------------------------------------
+
+Q35_PRICE_CUT = 200_000.0
+
+Q35_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_totalprice > {Q35_PRICE_CUT}
+)
+"""
+
+
+@query("q35_not_exists_decorrelated", oracle=Q35_ORACLE)
+def q35_not_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"q35_{t}")
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM q35_customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM q35_orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice > {Q35_PRICE_CUT}
+        )
+        """
+    )

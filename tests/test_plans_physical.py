@@ -155,3 +155,12 @@ def test_no_plan_smells_catalogwide(spark, sf_small, name):
     plan = formatted_plan(spark, name, sf_small)
     assert "CartesianProduct" not in plan, name
     assert "BatchEvalPython" not in plan, name
+
+
+def test_q35_not_exists_decorrelates_to_anti_join(spark, sf_small):
+    """The correlated NOT EXISTS must plan as ONE anti join
+    (RewritePredicateSubquery), never a per-row subquery."""
+    plan = formatted_plan(spark, "q35_not_exists_decorrelated", sf_small)
+    assert "LeftAnti" in plan, plan
+    # no residual subquery machinery in the physical plan
+    assert "Subquery" not in plan, plan
