@@ -175,6 +175,14 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        elapsed, n_rows = run_once("d07_dedup_shingle_jaccard")
+        secondary["d07_dedup_shingle_jaccard"] = round(elapsed, 3)
+        print(
+            f"# secondary d07_dedup_shingle_jaccard: {elapsed:.3f}s "
+            f"({n_rows} rows)",
+            file=sys.stderr,
+        )
+
         # The beyond-broadcast verify path — what a real 100 TB corpus
         # runs when the token-array table exceeds broadcast limits.
         # Same candidate set d04 verifies, so the delta vs the headline

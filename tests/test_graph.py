@@ -44,3 +44,45 @@ def test_max_rounds_raises_not_partial(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, "u", "v", max_rounds=1)
+
+
+def test_random_graphs_match_union_find(spark):
+    """Differential check against a driver-side union-find on a
+    deterministic battery of random graph shapes (sparse, dense,
+    multi-component, chain-heavy). Catches any algebraic slip in the
+    large-star/small-star composition that the fixed cases miss."""
+    import random
+
+    def union_find_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # path-compress to the component MINIMUM (find after all
+        # unions always reaches the root, which is the min by the
+        # min-merge rule above)
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(20260813)
+    for case in range(6):
+        n_nodes = rng.choice([8, 20, 50])
+        n_edges = rng.choice([n_nodes // 2, n_nodes, 3 * n_nodes])
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            continue
+        nodes = {x for e in edges for x in e}
+        expect = union_find_components(edges, nodes)
+        got = _cc(spark, [(int(u), int(v)) for u, v in edges])
+        assert got == expect, f"case {case}: {sorted(edges)}"
