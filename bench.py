@@ -155,12 +155,9 @@ def main() -> None:
     # these are trend lines, not the graded number.
     secondary: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SECONDARY", "1") != "0":
-        from fractions import Fraction
-
         from omop_dump_to_parquet_spark.operators.dedup import (
             MINHASH_THRESHOLD,
-            lsh_candidate_pairs,
-            minhash_signatures,
+            d04_candidate_pairs,
             verify_jaccard_pairs,
         )
         from omop_dump_to_parquet_spark.operators.graph import LAST_CC_STATS
@@ -185,18 +182,12 @@ def main() -> None:
 
         # The beyond-broadcast verify path — what a real 100 TB corpus
         # runs when the token-array table exceeds broadcast limits.
-        # Same candidate set d04 verifies, so the delta vs the headline
-        # d04 number isolates the broadcast→shuffle verify swap.
+        # Same candidate set d04 verifies (shared helper), MATERIALIZED
+        # before the timer so the measurement isolates the verify
+        # stage — a lazy candidate plan would re-run signature + LSH
+        # inside the timed region and double-count half of d04.
         docs = _table(spark, sf_dir, "documents")
-        nw_df = docs.select(
-            "doc_id",
-            F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("nw"),
-        )
-        sigs = minhash_signatures(docs).join(nw_df, "doc_id")
-        ratio = Fraction(str(MINHASH_THRESHOLD))
-        cands = lsh_candidate_pairs(
-            sigs, size_ratio=(ratio.numerator, ratio.denominator)
-        ).select("doc_a", "doc_b")
+        cands = d04_candidate_pairs(docs).localCheckpoint(eager=True)
         t0 = time.perf_counter()
         n_pairs = verify_jaccard_pairs(
             docs, cands, MINHASH_THRESHOLD, use_broadcast=False

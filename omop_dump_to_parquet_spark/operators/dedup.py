@@ -444,11 +444,14 @@ def lsh_candidate_pairs(
     )
 
 
-@query("d04_dedup_minhash_lsh", oracle=D04_ORACLE)
-def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d04_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """d04's candidate set: MinHash signatures → LSH band buckets →
+    size-pruned pairs. Shared by the catalog query and bench.py's
+    beyond-broadcast verify measurement so both verify the IDENTICAL
+    candidate set (a drifting copy would invalidate the bench delta).
+    """
     from fractions import Fraction
 
-    docs = table(spark, sf_dir, "documents")
     # No persist on the signature subtree: both self-join sides read
     # the explicit (band, bkey) repartition in lsh_candidate_pairs, so
     # ReuseExchange already computes signatures ONCE per run — a cache
@@ -470,9 +473,15 @@ def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≥2-collision cut would cost ~3 true pairs per million at j=0.9,
     # so the verified-output path keeps every candidate — the
     # map-side broadcast verify below is cheaper than the risk.
-    candidates = candidates.select("doc_a", "doc_b")
+    return candidates.select("doc_a", "doc_b")
 
-    return verify_jaccard_pairs(docs, candidates, MINHASH_THRESHOLD)
+
+@query("d04_dedup_minhash_lsh", oracle=D04_ORACLE)
+def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return verify_jaccard_pairs(
+        docs, d04_candidate_pairs(docs), MINHASH_THRESHOLD
+    )
 
 
 def verify_jaccard_pairs(

@@ -1006,7 +1006,11 @@ def q34_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this covers the optimizer path that produces it.
 # ---------------------------------------------------------------------------
 
-Q35_PRICE_CUT = 200_000.0
+# Calibrated so the answer is discriminating at BOTH parity scales
+# (sf0.001: 20/150 customers qualify; sf0.01: 202/1500) — at 200k the
+# oracle returned 0 rows at sf0.001 and the differential test was
+# vacuously green for any empty-result bug.
+Q35_PRICE_CUT = 400_000.0
 
 Q35_ORACLE = f"""
 SELECT c_custkey, c_name, c_acctbal

@@ -75,7 +75,13 @@ _WINDOW = 50
 # Queries rewritten since their last driver check, pinned to the front
 # of the checked window until the driver re-validates them. s06/d05
 # were pinned in r3 and came back clean (CORRECTNESS_r03) — cleared.
-_FORCE_IN_WINDOW: tuple[str, ...] = ()
+# r4 rewrote verify_jaccard_pairs (single-broadcast alias join) which
+# d03/d04/d06 share — pinned until the driver re-checks them.
+_FORCE_IN_WINDOW: tuple[str, ...] = (
+    "d03_dedup_ngram_jaccard",
+    "d04_dedup_minhash_lsh",
+    "d06_dedup_clusters",
+)
 
 
 def _driver_check_history() -> dict[str, tuple[int, int]]:
