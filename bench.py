@@ -163,22 +163,19 @@ def main() -> None:
         from omop_dump_to_parquet_spark.operators.graph import LAST_CC_STATS
         from omop_dump_to_parquet_spark.sources.parquet import table as _table
 
-        elapsed, n_rows = run_once("d06_dedup_clusters")
-        secondary["d06_dedup_clusters"] = round(elapsed, 3)
-        secondary["d06_cc_rounds"] = LAST_CC_STATS.get("rounds", -1)
-        print(
-            f"# secondary d06_dedup_clusters: {elapsed:.3f}s, "
-            f"{LAST_CC_STATS.get('rounds')} rounds ({n_rows} rows)",
-            file=sys.stderr,
-        )
-
-        elapsed, n_rows = run_once("d07_dedup_shingle_jaccard")
-        secondary["d07_dedup_shingle_jaccard"] = round(elapsed, 3)
-        print(
-            f"# secondary d07_dedup_shingle_jaccard: {elapsed:.3f}s "
-            f"({n_rows} rows)",
-            file=sys.stderr,
-        )
+        # min-of-reps like the headline: a single-shot secondary on a
+        # shared box is load noise (observed 5.3s vs 13.9s for the
+        # same d06 plan across runs).
+        for sec_name in ("d06_dedup_clusters", "d07_dedup_shingle_jaccard"):
+            runs = [run_once(sec_name) for _ in range(reps)]
+            secondary[sec_name] = round(min(t for t, _ in runs), 3)
+            if sec_name == "d06_dedup_clusters":
+                secondary["d06_cc_rounds"] = LAST_CC_STATS.get("rounds", -1)
+            print(
+                f"# secondary {sec_name}: min {secondary[sec_name]:.3f}s "
+                f"of {[round(t, 3) for t, _ in runs]} ({runs[-1][1]} rows)",
+                file=sys.stderr,
+            )
 
         # The beyond-broadcast verify path — what a real 100 TB corpus
         # runs when the token-array table exceeds broadcast limits.
