@@ -1,0 +1,127 @@
+"""End-to-end training-data manifest pipeline ([EXT]).
+
+The individual catalog operators (quality scoring t02, exact dedup
+d02, deterministic sampling t06, shard assignment t12) are the stages
+a pre-training data pipeline runs; this module composes them into ONE
+lineage — filter → dedup → sample → shard — the way a production job
+actually ships a corpus. Composing matters for the engine story:
+Catalyst plans the whole chain as one job (the quality filter and the
+content hash compute in the same scan; nothing is materialized
+between stages), which is exactly what a hand-rolled multi-tool
+pipeline (reference-style: one script per stage, parquet between
+each) cannot do.
+
+Scale: one scan of the corpus; two shuffles total (content-hash
+dedup window, shard window) — both on uniform hash-derived keys.
+Every intermediate is a column expression, not a table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.parquet import table
+from .text import STOPWORDS, tokens
+
+#: Quality cutoff ≈ the fixture's median score (0.698 at both gate
+#: scales) so the filter is discriminating, not vacuous.
+P01_QUALITY_CUT = 0.70
+#: Deterministic doc_id-hash sample: keep 3-hex-digit prefix < 'c00'
+#: (= 3072/4096 = 75%). Same mechanics as t06 — reproducible across
+#: engines, runs, and partitionings.
+P01_SAMPLE_SEED = 777
+P01_SAMPLE_THRESHOLD = "c00"
+
+P01_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         ((0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 400.0))
+          + (0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' '))))
+          + (0.3 * (1.0 - (CAST(len(list_filter(string_split(text, ' '),
+                                                w -> w = 'a' OR w = 'the')) AS DOUBLE)
+                           / len(string_split(text, ' ')))))) AS quality
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored WHERE quality >= {P01_QUALITY_CUT}
+),
+deduped AS (
+  SELECT doc_id, quality FROM (
+    SELECT doc_id, quality,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT doc_id, quality
+  FROM deduped
+  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':{P01_SAMPLE_SEED}'), 1, 3)
+        < '{P01_SAMPLE_THRESHOLD}'
+),
+sharded AS (
+  SELECT doc_id, quality,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM sampled
+)
+SELECT doc_id,
+       CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS shard,
+       row_number() OVER (PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id)
+         AS pos,
+       round(quality, 6) AS quality
+FROM sharded
+"""
+
+
+@query("p01_training_manifest", oracle=P01_ORACLE)
+def p01_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality-filter → exact-dedup keep-first → deterministic hash
+    sample → shard assignment, as one Catalyst-planned lineage."""
+    docs = table(spark, sf_dir, "documents")
+
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda w: (w == STOPWORDS[0]) | (w == STOPWORDS[1]))
+    )
+    quality = (
+        F.lit(0.3)
+        * F.least(F.lit(1.0), F.length("text").cast("double") / F.lit(400.0))
+        + F.lit(0.4) * (F.size(F.array_distinct(toks)).cast("double") / n_tok)
+        + F.lit(0.3) * (F.lit(1.0) - n_stop.cast("double") / n_tok)
+    )
+    kept = docs.select("doc_id", "text", quality.alias("quality")).filter(
+        F.col("quality") >= P01_QUALITY_CUT
+    )
+
+    dedup_w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality")
+    )
+
+    bucket = F.substring(
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":{P01_SAMPLE_SEED}"))
+        ),
+        1,
+        3,
+    )
+    sampled = deduped.filter(bucket < F.lit(P01_SAMPLE_THRESHOLD))
+
+    sharded = sampled.withColumn(
+        "h", F.md5(F.col("doc_id").cast("string"))
+    )
+    shard = F.expr(
+        "cast(instr('0123456789abcdef', substr(h, 1, 1)) - 1 as int)"
+    )
+    shard_w = W.partitionBy(F.substring("h", 1, 1)).orderBy("h", "doc_id")
+    return sharded.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(shard_w).alias("pos"),
+        F.round("quality", 6).alias("quality"),
+    )

@@ -126,6 +126,7 @@ def load_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
             dedup,
             graph,
             multimodal,
+            pipeline,
             relational,
             similarity,
             skew,
