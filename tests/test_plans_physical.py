@@ -164,3 +164,19 @@ def test_q35_not_exists_decorrelates_to_anti_join(spark, sf_small):
     assert "LeftAnti" in plan, plan
     # no residual subquery machinery in the physical plan
     assert "Subquery" not in plan, plan
+
+
+def test_p01_pipeline_is_one_scan_two_shuffles(spark, sf_small):
+    """The composed manifest pipeline must plan as ONE corpus scan
+    (pruned to doc_id+text) and exactly two shuffles (dedup window,
+    shard window), with WindowGroupLimit pushing the keep-first rank
+    below the dedup exchange — the fusion a stage-per-script pipeline
+    can't get."""
+    plan = formatted_plan(spark, "p01_training_manifest", sf_small)
+    # count physical nodes via their numbered detail headers (the tree
+    # section repeats each node name)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "WindowGroupLimit" in plan
+    schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in schema and "source" not in schema
