@@ -11,6 +11,11 @@ between stages), which is exactly what a hand-rolled multi-tool
 pipeline (reference-style: one script per stage, parquet between
 each) cannot do.
 
+The quality formula and the sample-threshold derivation are IMPORTED
+from text.py (``quality_expr``/``QUALITY_SQL``, ``_sample_threshold``)
+— single definitions shared with t02/t06, so a tuning change there
+cannot silently diverge from this pipeline.
+
 Scale: one scan of the corpus; two shuffles total (content-hash
 dedup window, shard window) — both on uniform hash-derived keys.
 Every intermediate is a column expression, not a table.
@@ -23,26 +28,21 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.parquet import table
-from .text import STOPWORDS, tokens
+from .text import QUALITY_SQL, _sample_threshold, quality_expr
 
 #: Quality cutoff ≈ the fixture's median score (0.698 at both gate
 #: scales) so the filter is discriminating, not vacuous.
 P01_QUALITY_CUT = 0.70
-#: Deterministic doc_id-hash sample: keep 3-hex-digit prefix < 'c00'
-#: (= 3072/4096 = 75%). Same mechanics as t06 — reproducible across
-#: engines, runs, and partitionings.
+#: Deterministic doc_id-hash sample (same mechanics as t06 —
+#: reproducible across engines, runs, and partitionings).
 P01_SAMPLE_SEED = 777
-P01_SAMPLE_THRESHOLD = "c00"
+P01_SAMPLE_FRACTION = 0.75
+P01_SAMPLE_THRESHOLD = _sample_threshold(P01_SAMPLE_FRACTION)
 
 P01_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id, text,
-         ((0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 400.0))
-          + (0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                    / len(string_split(text, ' '))))
-          + (0.3 * (1.0 - (CAST(len(list_filter(string_split(text, ' '),
-                                                w -> w = 'a' OR w = 'the')) AS DOUBLE)
-                           / len(string_split(text, ' ')))))) AS quality
+         {QUALITY_SQL} AS quality
   FROM documents
 ),
 kept AS (
@@ -81,20 +81,9 @@ def p01_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample → shard assignment, as one Catalyst-planned lineage."""
     docs = table(spark, sf_dir, "documents")
 
-    toks = tokens("text")
-    n_tok = F.size(toks)
-    n_stop = F.size(
-        F.filter(toks, lambda w: (w == STOPWORDS[0]) | (w == STOPWORDS[1]))
-    )
-    quality = (
-        F.lit(0.3)
-        * F.least(F.lit(1.0), F.length("text").cast("double") / F.lit(400.0))
-        + F.lit(0.4) * (F.size(F.array_distinct(toks)).cast("double") / n_tok)
-        + F.lit(0.3) * (F.lit(1.0) - n_stop.cast("double") / n_tok)
-    )
-    kept = docs.select("doc_id", "text", quality.alias("quality")).filter(
-        F.col("quality") >= P01_QUALITY_CUT
-    )
+    kept = docs.select(
+        "doc_id", "text", quality_expr().alias("quality")
+    ).filter(F.col("quality") >= P01_QUALITY_CUT)
 
     dedup_w = W.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (

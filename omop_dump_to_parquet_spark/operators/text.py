@@ -70,37 +70,48 @@ def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is identical in both engines → bit-stable doubles.
 # ---------------------------------------------------------------------------
 
-T02_ORACLE = """
-SELECT doc_id,
-       ((0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 400.0))
+#: The quality formula as a DuckDB scalar expression over a `text`
+#: column — shared by T02's oracle and p01's oracle (pipeline.py) so
+#: the two can never drift.
+QUALITY_SQL = """((0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 400.0))
         + (0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                   / len(string_split(text, ' '))))
         + (0.3 * (1.0 - (CAST(len(list_filter(string_split(text, ' '),
                                               w -> w = 'a' OR w = 'the')) AS DOUBLE)
-                         / len(string_split(text, ' ')))))) AS quality
+                         / len(string_split(text, ' '))))))"""
+
+T02_ORACLE = f"""
+SELECT doc_id,
+       {QUALITY_SQL} AS quality
 FROM documents
 """
 
 
-@query("t02_quality_score", oracle=T02_ORACLE)
-def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+def quality_expr() -> Column:
+    """The quality formula as a Spark column expression — the single
+    definition t02 and p01 both evaluate (identical tree → bit-stable
+    doubles across both call sites and both engines)."""
     toks = tokens("text")
     n_tok = F.size(toks)
     n_stop = F.size(
         F.filter(toks, lambda w: (w == STOPWORDS[0]) | (w == STOPWORDS[1]))
     )
-    len_score = F.least(F.lit(1.0), F.length("text").cast("double") / F.lit(400.0))
+    len_score = F.least(
+        F.lit(1.0), F.length("text").cast("double") / F.lit(400.0)
+    )
     diversity = F.size(F.array_distinct(toks)).cast("double") / n_tok
     stop_penalty = F.lit(1.0) - (n_stop.cast("double") / n_tok)
-    return docs.select(
-        "doc_id",
-        (
-            (F.lit(0.3) * len_score)
-            + (F.lit(0.4) * diversity)
-            + (F.lit(0.3) * stop_penalty)
-        ).alias("quality"),
+    return (
+        (F.lit(0.3) * len_score)
+        + (F.lit(0.4) * diversity)
+        + (F.lit(0.3) * stop_penalty)
     )
+
+
+@query("t02_quality_score", oracle=T02_ORACLE)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_expr().alias("quality"))
 
 
 # ---------------------------------------------------------------------------
