@@ -1038,3 +1038,37 @@ def q35_not_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q36 — union BY NAME across evolved schemas: the lake-maintenance
+# reality that two snapshots of "the same" table rarely share a column
+# list. `unionByName(allowMissingColumns=True)` aligns on names and
+# null-fills the gaps — positional UNION would silently mis-bind
+# columns or reject the query. Map-side only (no shuffle): each input
+# projects + null-pads independently.
+# ---------------------------------------------------------------------------
+
+Q36_ORACLE = """
+SELECT o_orderkey AS id, o_totalprice AS amount,
+       o_orderpriority AS priority, NULL AS segment
+FROM orders
+UNION ALL BY NAME
+SELECT c_custkey AS id, c_acctbal AS amount, c_mktsegment AS segment
+FROM customer
+"""
+
+
+@query("q36_union_by_name", oracle=Q36_ORACLE)
+def q36_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    customer = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("amount"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return orders.unionByName(customer, allowMissingColumns=True)
