@@ -180,3 +180,45 @@ def test_p01_pipeline_is_one_scan_two_shuffles(spark, sf_small):
     assert "WindowGroupLimit" in plan
     schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "lang" not in schema and "source" not in schema
+
+
+def test_runtime_bloom_filter_injects_at_scale_thresholds(spark, sf_small):
+    """Catalyst's InjectRuntimeFilter (on by default in Spark 4) adds a
+    bloom-filter semi-join reduction to the big side of a shuffle join
+    whose other side is selective — at 100 TB this prunes the fact scan
+    before the shuffle. Its size gates (10 GB application-side scan)
+    never trip on KB fixtures, so this pins the behavior with the
+    thresholds lowered on a cloned session: the mechanism the engine
+    relies on at scale, verified to engage."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.session import apply_runtime_confs
+
+    clone = spark.newSession()
+    apply_runtime_confs(clone)
+    clone.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    clone.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    # AQE folds the tiny join to broadcast before the filter matters;
+    # disable broadcast so the shuffle-join path (the 100 TB shape) is
+    # what gets planned.
+    clone.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    orders = clone.read.parquet(f"{sf_small}/orders.parquet").filter(
+        F.col("o_totalprice") > 450000
+    )
+    lineitem = clone.read.parquet(f"{sf_small}/lineitem.parquet")
+    j = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    mode = clone._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = j._jdf.queryExecution().explainString(mode)
+    assert "might_contain" in plan, plan[:2000]
