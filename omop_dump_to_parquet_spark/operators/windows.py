@@ -492,3 +492,36 @@ def w11_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W12 — windowed standardization (z-score per key): the anomaly-
+# detection shape — each event scored against its key's full-history
+# mean/stddev. One shuffle on user_id; both moments come out of the
+# same Window (single pass), and the division is NULL-guarded the
+# same way in both engines (a constant-valued key has stddev 0, and
+# ANSI Spark would otherwise throw on the divide).
+# ---------------------------------------------------------------------------
+
+W12_ORACLE = """
+SELECT event_id, user_id,
+       round((value - AVG(value) OVER w)
+             / NULLIF(stddev_samp(value) OVER w, 0.0), 6) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+
+@query("w12_window_zscore", oracle=W12_ORACLE)
+def w12_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - F.avg("value").over(w)) / F.when(
+        sd != 0.0, sd
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(z, 6).alias("zscore"),
+    )
