@@ -725,3 +725,54 @@ def d07_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_jaccard_pairs(
         docs_sh, candidates, SHINGLE_THRESHOLD, tokens=sh
     )
+
+
+# ---------------------------------------------------------------------------
+# D09 — normalize-then-exact dedup (the C4 recipe): lowercase, strip
+# non-alphanumerics, collapse whitespace, THEN group by the canonical
+# form. Catches the near-universal "same text, different casing /
+# punctuation / spacing" duplicate class at exact-dedup cost — one
+# map-side canonicalization pass + one groupBy shuffle on a digest-
+# quality key (uniform, unskewed). At 100 TB this runs BEFORE the
+# MinHash stages (d04): every pair it collapses is a pair LSH never
+# has to band, and the canonical text itself never shuffles — only
+# its md5 does (the group key is the 16-byte digest, not the string).
+#
+# Canonicalization is ASCII regex only ([^a-z0-9 ] and space runs) so
+# Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+# ---------------------------------------------------------------------------
+
+D09_ORACLE = """
+WITH canon AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               '  +', ' ', 'g'))) AS canon_key
+  FROM documents
+)
+SELECT canon_key,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_variants
+FROM canon
+GROUP BY canon_key
+"""
+
+
+@query("d09_dedup_normalized", oracle=D09_ORACLE)
+def d09_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            "  +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", F.md5(canon).alias("canon_key"))
+        .groupBy("canon_key")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

@@ -1072,3 +1072,80 @@ def q36_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     return orders.unionByName(customer, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Q37 — filtered aggregates (`agg FILTER (WHERE …)`): several
+# differently-predicated aggregates computed in ONE scan + ONE shuffle
+# instead of N self-joined subqueries. Spark expresses the FILTER
+# clause as `agg(CASE WHEN pred THEN x END)` — Catalyst folds all four
+# into a single hash-aggregate with map-side partials, which is the
+# shape that matters at 100 TB (the naive N-subquery formulation reads
+# the fact table N times). The reference has no aggregation at all
+# beyond a scalar count (SURVEY.md §2.2 — dump_table.py:56-78).
+# ---------------------------------------------------------------------------
+
+Q37_ORACLE = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_discount > 0.05)  AS n_high_discount,
+       ROUND(sum(l_extendedprice) FILTER (WHERE l_shipdate < TIMESTAMP '1995-01-01'), 2)
+                                                  AS sum_early_price,
+       count(*) FILTER (WHERE l_tax > 0.04)       AS n_taxed,
+       count(*)                                   AS n_total
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q37_filtered_agg", oracle=Q37_ORACLE)
+def q37_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_discount"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"),
+                    F.col("l_extendedprice"),
+                )
+            ),
+            2,
+        ).alias("sum_early_price"),
+        F.count(F.when(F.col("l_tax") > 0.04, 1)).alias("n_taxed"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q38 — null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+# match each other instead of vanishing, the semantics dimension-lookup
+# pipelines need when "unknown" is itself a category. Catalyst plans
+# EqualNullSafe as a proper hash-join key (null-safe equality is
+# hashable — NULL hashes to a fixed bucket), so this stays a single
+# shuffled hash join, NOT a nested-loop: the plan survives 100 TB. The
+# build side here is a groupBy of the same dimension (bounded by
+# segment cardinality) and broadcasts under AQE.
+# ---------------------------------------------------------------------------
+
+Q38_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+  FROM customer
+), s AS (
+  SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg, count(*) AS seg_size
+  FROM customer GROUP BY 1
+)
+SELECT c.c_custkey, c.seg, s.seg_size
+FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+"""
+
+
+@query("q38_nullsafe_join", oracle=Q38_ORACLE)
+def q38_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    c = cust.select("c_custkey", seg)
+    s = cust.select(seg).groupBy("seg").agg(F.count(F.lit(1)).alias("seg_size"))
+    return c.join(s, c["seg"].eqNullSafe(s["seg"])).select(
+        c["c_custkey"], c["seg"], s["seg_size"]
+    )

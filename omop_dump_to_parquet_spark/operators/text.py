@@ -655,3 +655,62 @@ def t12_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T13 — corpus-LM log-likelihood scoring: fit a unigram language model
+# on the corpus itself (p(w) = count(w) / total_tokens), then score
+# each document by its mean token log-probability. This is the cheap
+# stand-in for the perplexity filter every pre-training pipeline runs
+# (cf. CCNet's KenLM stage): documents full of corpus-rare tokens
+# score low and get culled.
+#
+# Scale shape: pass 1 builds the vocabulary — explode + groupBy(token)
+# with map-side partial counts (uniform keys, no skew); pass 2 joins
+# tokens back to the vocab. The vocab is BROADCAST: natural-language
+# vocabularies plateau in the low millions of types regardless of
+# corpus size (Heaps' law), so the build side stays executor-RAM-sized
+# at 100 TB while the fact side never shuffles — the alternative
+# (shuffle both on token) would re-exchange the full exploded corpus.
+# The final per-doc mean is a groupBy on doc_id with partial aggs.
+# Mean-of-logs is rounded at 6 dp: per-term libm drift is ~1 ulp and
+# docs are ~10² tokens, so cross-engine noise is ≤1e-13 — unobservable
+# at 1e-6.
+# ---------------------------------------------------------------------------
+
+T13_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, count(*) AS cnt FROM tok GROUP BY w
+), total AS (
+  SELECT sum(cnt) AS n FROM vocab
+)
+SELECT t.doc_id,
+       round(avg(ln(CAST(v.cnt AS DOUBLE) / total.n)), 6) AS avg_logprob,
+       count(*) AS n_tokens
+FROM tok t, vocab v, total
+WHERE t.w = v.w
+GROUP BY t.doc_id
+"""
+
+
+@query("t13_unigram_logprob", oracle=T13_ORACLE)
+def t13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # Fold the scalar total into the SMALL side before broadcasting, so
+    # the exploded fact side crosses exactly one BroadcastHashJoin —
+    # joining the 1-row total against the fact side instead would add a
+    # (cheap but pointless) nested-loop pass over every token.
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    logprobs = vocab.crossJoin(total).select(
+        "w", F.log(F.col("cnt").cast("double") / F.col("n")).alias("ll")
+    )
+    scored = tok.join(F.broadcast(logprobs), "w").select("doc_id", "ll")
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("ll"), 6).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -525,3 +525,65 @@ def w12_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(z, 6).alias("zscore"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W13 — gaps-and-islands: collapse each user's event stream into
+# maximal runs ("islands") of consecutive same-type events, then
+# profile run structure per (user, type). Implemented as change-point
+# detection (lag + running sum) over ONE window partitioned by
+# user_id — a single shuffle and a single sort. The textbook
+# two-row_number "difference trick" needs a second window partitioned
+# by (user_id, event_type), i.e. a second full shuffle of the fact
+# table; at 100 TB that extra exchange is the whole cost, so the
+# change-point form is the one this engine ships. Ties broken by
+# event_id (unique) so both engines see one deterministic sequence.
+# ---------------------------------------------------------------------------
+
+W13_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+), isl AS (
+  SELECT user_id, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM seq
+), runs AS (
+  SELECT user_id, event_type, island_id, count(*) AS island_len
+  FROM isl GROUP BY user_id, event_type, island_id
+)
+SELECT user_id, event_type,
+       count(*) AS n_islands,
+       max(island_len) AS max_island_len,
+       sum(island_len) AS n_events
+FROM runs GROUP BY user_id, event_type
+"""
+
+
+@query("w13_gaps_and_islands", oracle=W13_ORACLE)
+def w13_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    isl = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(chg).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("island_id"),
+    )
+    runs = isl.groupBy("user_id", "event_type", "island_id").agg(
+        F.count(F.lit(1)).alias("island_len")
+    )
+    return runs.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("island_len").alias("max_island_len"),
+        F.sum("island_len").alias("n_events"),
+    )

@@ -222,3 +222,45 @@ def test_runtime_bloom_filter_injects_at_scale_thresholds(spark, sf_small):
     )
     plan = j._jdf.queryExecution().explainString(mode)
     assert "might_contain" in plan, plan[:2000]
+
+
+def test_q38_nullsafe_join_hashes_not_nested_loop(spark, sf_small):
+    """EqualNullSafe must plan as a HASH join key (Catalyst rewrites
+    `a <=> b` to hashable (coalesce, isnull) tuples) — a planner that
+    demotes it to BroadcastNestedLoopJoin turns the dimension lookup
+    into an O(n·m) scan at scale."""
+    plan = formatted_plan(spark, "q38_nullsafe_join", sf_small)
+    assert "HashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_w13_gaps_and_islands_single_shuffle(spark, sf_small):
+    """Change-point formulation: lag + running-sum share ONE window
+    sort on user_id, and both downstream groupBys reuse that
+    partitioning (their keys are supersets of user_id) — the whole
+    query is exactly one Exchange. The textbook two-row_number
+    difference trick would shuffle the fact table twice."""
+    plan = formatted_plan(spark, "w13_gaps_and_islands", sf_small)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+
+
+def test_t13_fact_side_never_shuffles(spark, sf_small):
+    """The exploded token stream (the 100 TB side) must meet the vocab
+    via BroadcastHashJoin only; every Exchange in the plan belongs to
+    the vocab build or the final per-doc aggregate — none may sit
+    between the fact scan's explode and the join."""
+    plan = formatted_plan(spark, "t13_unigram_logprob", sf_small)
+    # fact stream: the explode Generate feeds the broadcast join
+    # DIRECTLY (no Exchange between them)
+    assert re.search(
+        r"BroadcastHashJoin Inner BuildRight \(\d+\)\s*\n\s*:- Generate",
+        plan,
+    ), plan
+    # the only nested-loop is the 1-row scalar-total fold on the vocab
+    # (build) side, never on the fact side
+    assert "BroadcastNestedLoopJoin Cross" in plan
+    # vocab-count exchange (appears twice pre-AQE; runtime
+    # ReuseExchange dedups it — asserted loosely here), scalar-total
+    # SinglePartition, final doc_id aggregate: nothing else.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
