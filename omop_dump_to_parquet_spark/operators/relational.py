@@ -1149,3 +1149,54 @@ def q38_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(s, c["seg"].eqNullSafe(s["seg"])).select(
         c["c_custkey"], c["seg"], s["seg_size"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Q39 — recursive CTE (WITH RECURSIVE, Spark ≥4.0): hierarchy
+# traversal over a synthetic forest derived from customer keys
+# (roots are keys < 4; parent(k) = k div 4 for k ≥ 4, so every node's
+# children are 4k..4k+3, depth grows log₄(n), and the recursion
+# terminates in ~9 rounds even at 100 TB key ranges — the k ≥ 4 guard
+# matters because key 0 would otherwise be its own parent and loop
+# forever). Each iteration is one hash join of the frontier
+# against the (pruned) customer scan — Spark executes the loop as
+# UnionLoop with the frontier re-broadcast when small, which is the
+# same shape as the d06 connected-components driver loop but declared
+# in SQL. Path aggregation (root→node balance sum) is evaluated in
+# identical order by both engines (parent row is complete before the
+# child extends it), so the doubles are bit-stable pre-round.
+# ---------------------------------------------------------------------------
+
+Q39_ORACLE = """
+WITH RECURSIVE tree AS (
+  SELECT c_custkey AS node, 0 AS depth,
+         c_acctbal AS path_bal
+  FROM customer WHERE c_custkey < 4
+  UNION ALL
+  SELECT c.c_custkey, t.depth + 1, t.path_bal + c.c_acctbal
+  FROM customer c JOIN tree t
+    ON c.c_custkey // 4 = t.node AND c.c_custkey >= 4
+)
+SELECT node, depth, round(path_bal, 2) AS path_bal
+FROM tree
+"""
+
+
+@query("q39_recursive_hierarchy", oracle=Q39_ORACLE)
+def q39_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("q39_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT c_custkey AS node, 0 AS depth,
+                 c_acctbal AS path_bal
+          FROM q39_customer WHERE c_custkey < 4
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1, t.path_bal + c.c_acctbal
+          FROM q39_customer c JOIN tree t
+            ON c.c_custkey div 4 = t.node AND c.c_custkey >= 4
+        )
+        SELECT node, depth, round(path_bal, 2) AS path_bal
+        FROM tree
+        """
+    )

@@ -587,3 +587,73 @@ def w13_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("island_len").alias("max_island_len"),
         F.sum("island_len").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W14 — OHLC downsampling (time-series bar rollup): per (user, hour)
+# open/high/low/close/volume, the canonical hypertable/candlestick
+# resample. Open/close are row_number keep-first under (ts, event_id)
+# asc/desc — deterministic under timestamp ties, unlike naive
+# first()/last() which are order-undefined after a shuffle, and
+# unlike min_by/max_by which can't take a composite tie-broken key in
+# every engine. One Exchange total: both Window specs and the final
+# groupBy cluster on (user_id, bucket) — the desc pass adds only a
+# re-sort, never a second shuffle.
+# ---------------------------------------------------------------------------
+
+W14_ORACLE = """
+WITH seq AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, bucket,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS volume
+FROM seq
+GROUP BY user_id, bucket
+"""
+
+
+@query("w14_ohlc_downsample", oracle=W14_ORACLE)
+def w14_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # materialize `bucket` as an ATTRIBUTE before the windows: if the
+    # window spec partitioned on the raw date_trunc expression, the
+    # final groupBy (on the aliased column) wouldn't be recognized as
+    # the same clustering and Spark would shuffle a second time
+    binned = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    seq = binned.select(
+        "user_id",
+        "bucket",
+        "value",
+        F.row_number()
+        .over(W.partitionBy("user_id", "bucket").orderBy("ts", "event_id"))
+        .alias("rn_a"),
+        F.row_number()
+        .over(
+            W.partitionBy("user_id", "bucket").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        .alias("rn_d"),
+    )
+    return seq.groupBy("user_id", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+    )

@@ -264,3 +264,14 @@ def test_t13_fact_side_never_shuffles(spark, sf_small):
     # ReuseExchange dedups it — asserted loosely here), scalar-total
     # SinglePartition, final doc_id aggregate: nothing else.
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
+
+
+def test_w14_ohlc_single_shuffle(spark, sf_small):
+    """Both row_number passes and the final OHLC aggregate cluster on
+    (user_id, bucket): one Exchange, two Sorts (asc + desc re-sort,
+    no re-shuffle). Requires `bucket` to be projected as an attribute
+    BEFORE the window specs — partitioning on the raw date_trunc
+    expression forfeits the reuse."""
+    plan = formatted_plan(spark, "w14_ohlc_downsample", sf_small)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 2, plan
