@@ -238,3 +238,102 @@ def m04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, src_w int, src_h int, out_w int, out_h int, resized binary",
     )
+
+
+# ---------------------------------------------------------------------------
+# M05 — image near-dup via perceptual hash (aHash) + Hamming banding.
+# The training-data image-dedup pipeline end to end: decode →
+# 8×8-downsample → 64-bit average-hash in ONE Arrow mapInPandas pass
+# (NumPy-vectorized per batch), then everything after the hash is
+# JVM-side: the 64-bit fingerprint splits into 4×16-bit bands
+# (pigeonhole ⇒ complete for Hamming ≤ 3, same guarantee as d05's
+# SimHash chunks), band-bucket self-join proposes candidates, and
+# `bit_count(xor)` verifies. Decode is the deterministic fake all
+# m0* share (payload bytes reshaped row-major); a real
+# `PIL.Image.open(...).convert("L").resize((8,8))` drops into the
+# kernel unchanged.
+#
+# Scale: the only Python stage is linear and batch-local; candidates
+# are bounded per band bucket (never corpus-quadratic); the verify is
+# a 2-long-column comparison. Only (doc_id, 8 bytes) shuffle.
+# Rows-only check: no SQL engine runs the Arrow kernel.
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_MAX_HAMMING = 3
+
+
+def ahash_64(df: DataFrame) -> DataFrame:
+    """``(doc_id, payload binary)`` → ``(doc_id, phash long)``: fake-
+    decode to an 8×8 grayscale and emit the 64-bit average-hash
+    (bit i = pixel i > mean), stored as a SIGNED long (uint64 view)
+    so ANSI mode never sees an overflow."""
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out_ids, out_hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                if b.size < 64:  # too small to form an 8×8 "image"
+                    b = _np.pad(b, (0, 64 - b.size))
+                # fake decode: truncate to a multiple of 64 and average
+                # each of the 64 equal strides — deterministic, and the
+                # same downsample-to-8×8 shape a real decoder produces
+                n = (b.size // 64) * 64
+                px = b[:n].reshape(64, -1).mean(axis=1)
+                bits = (px > px.mean()).astype(_np.uint64)
+                h = _np.uint64(0)
+                for i in range(64):
+                    h |= bits[i] << _np.uint64(i)
+                out_ids.append(int(doc_id))
+                out_hashes.append(int(h.astype(_np.int64)))  # signed view
+            yield _pd.DataFrame({"doc_id": out_ids, "phash": out_hashes})
+
+    return df.mapInPandas(run, schema="doc_id long, phash long")
+
+
+@query("m05_image_phash_neardup")
+def m05_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    hashed = ahash_64(docs)
+    mask = (1 << PHASH_BAND_BITS) - 1
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("phash"), i * PHASH_BAND_BITS)
+            .bitwiseAND(mask)
+            .alias("bkey"),
+        )
+        for i in range(PHASH_BANDS)
+    ]
+    banded = hashed.select(
+        "doc_id", "phash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        "phash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )

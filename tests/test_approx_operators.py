@@ -491,3 +491,56 @@ def test_shingle_jaccard_order_sensitive(spark):
     assert sorted(sets[0]["w"]) == sorted(sets[1]["w"])
     # ...but zero shared shingles
     assert not set(sets[0]["sh"]) & set(sets[1]["sh"])
+
+
+def test_ahash_identical_payloads_collide_and_banding_is_complete(spark):
+    """m05's aHash: identical payloads hash identically; a payload
+    differing in a few pixels lands within Hamming ≤ 3 and the 4×16
+    banding (pigeonhole) MUST surface the pair; an unrelated payload
+    must not appear in any pair."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.operators.multimodal import ahash_64
+
+    base = bytes(range(256)) * 4          # 1024 bytes → 64 strides of 16
+    near = bytearray(base)
+    near[0:16] = b"\xff" * 16             # flip one downsampled "pixel"
+    other = bytes(reversed(base))
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(base)), (3, bytes(near)), (4, other)],
+        ["doc_id", "payload"],
+    )
+    h = {r["doc_id"]: r["phash"] for r in ahash_64(df).collect()}
+    assert h[1] == h[2]
+    assert bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1") <= 3
+    # deterministic across recomputation
+    h2 = {r["doc_id"]: r["phash"] for r in ahash_64(df).collect()}
+    assert h == h2
+
+
+def test_m05_finds_planted_near_dups(spark, tmp_path):
+    """End-to-end: plant exact + near duplicate 'images' in a corpus,
+    m05 must report exactly those pairs."""
+    from omop_dump_to_parquet_spark.operators.multimodal import (
+        m05_image_phash_neardup,
+    )
+
+    base = ("x" * 41 + "q" * 23) * 16
+    near = "z" * 41 + base[41:]
+    rows = [(1, base), (2, base), (3, near)] + [
+        (10 + i, f"doc {i} " + "distinct words %d " % i * (20 + i))
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows_out = m05_image_phash_neardup(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows_out}
+    # recall is the guarantee (pigeonhole banding is complete for
+    # Hamming ≤ 3); precision on text-bytes-as-image payloads is NOT —
+    # aHash is a 64-bit sketch, and repetitive fillers may collide
+    # (real pipelines verify survivors in pixel space)
+    assert pairs.get((1, 2)) == 0   # exact dup: Hamming 0
+    assert (1, 3) in pairs or (2, 3) in pairs  # planted near-dup found
