@@ -657,3 +657,118 @@ def w14_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W15 — funnel analysis (ordered-sequence matching, CEP-lite): per
+# user, the earliest strictly-ordered signup → view → click → purchase
+# chain. Implemented as ONE shuffle: groupBy(user) collects the sorted
+# event sequence and a pure-SQL `aggregate` (fold) runs the 4-state
+# machine per key inside whole-stage codegen — the general shape for
+# any sequence/CEP pattern Spark lacks natively. The naive relational
+# form is 4 chained join+min passes over the fact table (the ORACLE
+# uses exactly that formulation, which makes the differential check a
+# cross-IMPLEMENTATION test, not just cross-engine). State is
+# O(events/user) during the fold — the same bound any per-user sort
+# carries.
+# ---------------------------------------------------------------------------
+
+W15_STAGES = ("signup", "view", "click", "purchase")
+
+W15_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, min(e.ts) AS t4 FROM events e
+  JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+)
+SELECT u.user_id,
+       s1.t1 AS t_signup, s2.t2 AS t_view,
+       s3.t3 AS t_click, s4.t4 AS t_purchase,
+       ((s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
+        + (s3.t3 IS NOT NULL)::INT + (s4.t4 IS NOT NULL)::INT) AS n_stages
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+LEFT JOIN s4 ON u.user_id = s4.user_id
+"""
+
+
+@query("w15_funnel", oracle=W15_ORACLE)
+def w15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+
+    null_ts = F.lit(None).cast("timestamp")
+
+    def step(acc, x):
+        # one event fires at most one transition; all comparisons use
+        # the PRE-update acc, which is correct because an event has a
+        # single type. Strict > matches the oracle's e.ts > prev.
+        t1 = F.when(
+            acc.t1.isNull() & (x.event_type == W15_STAGES[0]), x.ts
+        ).otherwise(acc.t1)
+        t2 = F.when(
+            acc.t2.isNull()
+            & acc.t1.isNotNull()
+            & (x.event_type == W15_STAGES[1])
+            & (x.ts > acc.t1),
+            x.ts,
+        ).otherwise(acc.t2)
+        t3 = F.when(
+            acc.t3.isNull()
+            & acc.t2.isNotNull()
+            & (x.event_type == W15_STAGES[2])
+            & (x.ts > acc.t2),
+            x.ts,
+        ).otherwise(acc.t3)
+        t4 = F.when(
+            acc.t4.isNull()
+            & acc.t3.isNotNull()
+            & (x.event_type == W15_STAGES[3])
+            & (x.ts > acc.t3),
+            x.ts,
+        ).otherwise(acc.t4)
+        return F.struct(
+            t1.alias("t1"), t2.alias("t2"), t3.alias("t3"), t4.alias("t4")
+        )
+
+    state = F.aggregate(
+        "seq",
+        F.struct(
+            null_ts.alias("t1"),
+            null_ts.alias("t2"),
+            null_ts.alias("t3"),
+            null_ts.alias("t4"),
+        ),
+        step,
+    )
+    out = seq.select("user_id", state.alias("s"))
+    return out.select(
+        "user_id",
+        F.col("s.t1").alias("t_signup"),
+        F.col("s.t2").alias("t_view"),
+        F.col("s.t3").alias("t_click"),
+        F.col("s.t4").alias("t_purchase"),
+        (
+            F.col("s.t1").isNotNull().cast("int")
+            + F.col("s.t2").isNotNull().cast("int")
+            + F.col("s.t3").isNotNull().cast("int")
+            + F.col("s.t4").isNotNull().cast("int")
+        ).alias("n_stages"),
+    )

@@ -532,3 +532,115 @@ def st06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract through the stable applyInPandasWithState API instead;
 # porting it to a StatefulProcessor is mechanical where protobuf is
 # available.
+
+
+# ---------------------------------------------------------------------------
+# ST07 — streaming → lake: foreachBatch keyed upsert (the ingestion
+# sink pattern). A multi-batch replay (fixture split into 4 files,
+# maxFilesPerTrigger=1) drives an update-mode per-user aggregate whose
+# changed keys are MERGED into a plain-parquet lake each micro-batch
+# via plans/upsert.py — the composition a production pipeline runs as
+# "stream in, continuously-correct table out".
+#
+# Exactly-once: the aggregate state lives in the checkpoint, and the
+# upsert is idempotent by key (re-applying a replayed batch writes the
+# same rows), so crash/replay converges to the same lake — the
+# standard foreachBatch idempotence argument. The differential oracle
+# is the BATCH per-user aggregate: after the last micro-batch the lake
+# must equal it exactly (decimal state → exact sums, no ordering
+# sensitivity).
+#
+# Scale: update mode emits only keys touched per batch; the merge
+# anti-join rewrite is the cost — at 100 TB use a partitioned lake
+# (rewrite touched partitions only, upsert.py docstring) or a manifest
+# table format. State is O(distinct users), not O(events).
+# ---------------------------------------------------------------------------
+
+ST07_SPLITS = 4
+
+ST07_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+def _stage_events_split(sf_dir: str, n: int = ST07_SPLITS) -> str:
+    """Events fixture rewritten as ``n`` parquet files so
+    ``maxFilesPerTrigger=1`` yields ``n`` micro-batches."""
+    key = f"{sf_dir}::split{n}"
+    stage = _STAGED.get(key)
+    if stage is None or not os.path.exists(stage):
+        import pyarrow.parquet as pq
+
+        stage = tempfile.mkdtemp(prefix="events_stream_split_")
+        t = pq.read_table(os.path.abspath(f"{sf_dir}/events.parquet"))
+        step = (t.num_rows + n - 1) // n
+        for i in range(n):
+            part = t.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(part, os.path.join(stage, f"part{i}.parquet"))
+        _STAGED[key] = stage
+    return stage
+
+
+@query("st07_stream_foreachbatch_upsert", oracle=ST07_ORACLE)
+def st07_stream_foreachbatch_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.upsert import upsert_parquet
+    from ..session import apply_runtime_confs
+    from ..sources.parquet import table as load_table
+
+    lake = tempfile.mkdtemp(prefix="st07_lake_") + "/user_totals"
+    _STAGED[f"st07::{uuid.uuid4().hex}"] = os.path.dirname(lake)
+
+    clone = spark.newSession()
+    apply_runtime_confs(clone)
+    clone.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    # bootstrap an empty lake with the final schema (upsert merges
+    # into an existing table; the first batch merges into emptiness)
+    clone.createDataFrame(
+        [], "user_id long, n_events long, sum_value double"
+    ).write.parquet(lake)
+
+    raw = clone.read.parquet(f"{sf_dir}/events.parquet")
+    stream = clone.readStream.schema(raw.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(_stage_events_split(sf_dir))
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_dec"),
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        updates = batch_df.select(
+            "user_id",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+        upsert_parquet(clone, lake, updates, ["user_id"])
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = sum(
+            1
+            for p in q.recentProgress
+            if __import__("json").loads(p.json).get("numInputRows", 0) > 0
+        )
+        if n_batches < 2:
+            raise RuntimeError(
+                f"st07: expected a multi-batch replay, got {n_batches} "
+                "data micro-batches — the cross-batch upsert path was "
+                "not exercised"
+            )
+    finally:
+        q.stop()
+    return clone.read.parquet(lake)

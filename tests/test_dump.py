@@ -194,3 +194,23 @@ def test_binary_file_ingestion_to_multimodal_lake(spark, tmp_path):
     assert set(rows) == {"a.img", "b.img"}
     assert rows["a.img"]["length"] == 17
     assert bytes(rows["a.img"]["content"]).startswith(b"\x89PNG")
+
+
+def test_upsert_is_idempotent_for_replayed_batch(spark, sf_small, tmp_path):
+    """The st07 exactly-once argument: re-applying the same update
+    batch (a foreachBatch replay after crash) must leave the lake
+    byte-identical — upsert-by-key is a set merge, not an append."""
+    from omop_dump_to_parquet_spark.plans import upsert_parquet
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    lake = str(tmp_path / "lake")
+    table(spark, sf_small, "region").write.parquet(lake)
+    updates = spark.createDataFrame(
+        [(1, "REPLAYED")], "r_regionkey int, r_name string"
+    )
+    n1 = upsert_parquet(spark, lake, updates, ["r_regionkey"])
+    first = sorted(map(tuple, spark.read.parquet(lake).collect()))
+    n2 = upsert_parquet(spark, lake, updates, ["r_regionkey"])
+    second = sorted(map(tuple, spark.read.parquet(lake).collect()))
+    assert n1 == n2
+    assert first == second

@@ -139,9 +139,11 @@ STREAMING_QUERIES = {
     "st03_stateful_running_agg",
     "st04_stream_dedup",
     "st05_stream_stream_join",
-    # st06 runs a real readStream replay; its "plan" would be the
-    # memory-sink scan, not the join — nothing to smell-check.
+    # st06/st07 run a real readStream replay; their "plan" would be the
+    # memory-sink/lake scan, not the streaming job — nothing to
+    # smell-check.
     "st06_stream_static_enrich",
+    "st07_stream_foreachbatch_upsert",
 }
 
 
