@@ -1200,3 +1200,53 @@ def q39_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tree
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q40 — UNPIVOT (wide → long): melt a per-returnflag aggregate of
+# three measure columns into (flag, measure, value) rows. The inverse
+# of q20's pivot; Spark's native `DataFrame.unpivot` plans an Expand
+# node (each input row emits one row per measure, map-side, no
+# shuffle beyond the feeding aggregate). The oracle uses the
+# portable UNION ALL spelling of the same relation.
+#
+# Scale shape: the expand runs over the already-aggregated (tiny)
+# relation; on a raw 100 TB fact table an Expand multiplies scan
+# output by n_measures, which is still map-side and pipeline-able —
+# the correct melt plan at any scale.
+#
+# Determinism: sums of 2-decimal monetary values rounded at 2 (the
+# registry's exact-safe convention); counts are exact longs cast to
+# double so all three measures share one value column type.
+# ---------------------------------------------------------------------------
+
+Q40_ORACLE = """
+WITH agg AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         CAST(count(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'n_rows' AS measure, n_rows AS value FROM agg
+"""
+
+
+@query("q40_unpivot", oracle=Q40_ORACLE)
+def q40_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return agg.unpivot(
+        ids="l_returnflag",
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -102,9 +102,11 @@ def _hyperplanes(n: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
 
 
-def bucket_id(emb_col) -> F.Column:
-    """Sign-pattern bucket id from N_PLANES fixed hyperplanes."""
-    planes = _hyperplanes()
+def bucket_id(emb_col, n_planes: int = N_PLANES) -> F.Column:
+    """Sign-pattern bucket id from ``n_planes`` fixed hyperplanes
+    (a prefix of the seed-42 set, so fewer planes = coarser buckets
+    of the same family)."""
+    planes = _hyperplanes(n_planes)
     acc = F.lit(0)
     for i, plane in enumerate(planes):
         proj = dot_d(emb_col, F.array(*[F.lit(x) for x in plane]))
@@ -493,4 +495,65 @@ def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .withColumn("centroid_norm", norm_col)
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S08 — radius (range) search: ALL neighbors of each probe vector
+# within a cosine-similarity radius, not a fixed top-k. The retrieval
+# mode dedup-adjacent pipelines actually run ("give me everything
+# within tau of this document"), complementing S01's top-k.
+#
+# Scale shape: identical to S01 — the probe set is tiny and
+# broadcast, the corpus side streams through one codegen'd
+# BroadcastNestedLoopJoin stage with the radius predicate applied
+# before anything shuffles; output size is data-dependent but each
+# corpus partition emits independently (no global ordering, no
+# window, no shuffle at all). At 100 TB the corpus scan dominates and
+# parallelizes perfectly; for repeated probe batches the LSH/IVF
+# variants (S02/S05) bound the scanned fraction instead.
+#
+# Determinism: the radius predicate compares ROUND(cos, 6) so both
+# engines make identical in/out decisions at the boundary.
+# ---------------------------------------------------------------------------
+
+# Calibrated against the fixture's cosine distribution (probe-corpus
+# max ≈ 0.40, p99 ≈ 0.29 at sf0.01) so the result set is non-trivial
+# — a radius in S04's near-dup regime (0.5) returns ~0 rows here.
+RANGE_RADIUS = 0.25
+
+S08_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < {N_QUERIES})
+SELECT q.query_id, v.vec_id AS neighbor_id,
+       round(list_dot_product(q.qemb, v.emb)
+             / (sqrt(list_dot_product(q.qemb, q.qemb))
+                * sqrt(list_dot_product(v.emb, v.emb))), 6) AS cos_sim
+FROM q, v
+WHERE v.vec_id <> q.query_id
+  AND round(list_dot_product(q.qemb, v.emb)
+            / (sqrt(list_dot_product(q.qemb, q.qemb))
+               * sqrt(list_dot_product(v.emb, v.emb))), 6) >= {RANGE_RADIUS}
+"""
+
+
+@query("s08_range_search", oracle=S08_ORACLE)
+def s08_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    return (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_d(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_RADIUS)
     )

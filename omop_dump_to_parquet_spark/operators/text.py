@@ -714,3 +714,151 @@ def t13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ll"), 6).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T14 — TF-IDF keyword extraction: top-3 most characteristic tokens
+# per document, score = tf(doc, w) * ln(N_docs / df(w)). The standard
+# corpus-relative salience measure (Sparck Jones 1972) used in
+# training-data pipelines for topic tagging / domain labeling.
+#
+# Scale shape: tf is ONE shuffle on near-unique (doc_id, token) keys
+# (uniform, skew-free); df is a vocabulary-sized aggregate whose
+# result is BROADCAST back to the fact side (Heaps' law keeps
+# vocabularies executor-RAM-sized at 100 TB — same argument as T13,
+# which shares the broadcast-vocab pattern); the scalar N_docs is
+# folded into the broadcast side before the join, so the exploded
+# corpus crosses exactly one BroadcastHashJoin and never re-shuffles.
+# Final per-doc top-3 is a window on doc_id — the same partitioning
+# the tf shuffle already established.
+#
+# Determinism: ranking orders by ROUND(score, 6) with a token
+# tie-break, so both engines pick identical top-k sets (fixture texts
+# are word soup with many tied scores — the tie-break carries most of
+# the ordering).
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+T14_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+@query("t14_tfidf_keywords", oracle=T14_ORACLE)
+def t14_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # Fold the scalar corpus size into the SMALL (vocabulary) side
+    # before broadcasting — the tf side crosses one broadcast join.
+    idf = df_.crossJoin(n_docs).select(
+        "token",
+        F.log(F.col("n_docs").cast("double") / F.col("df")).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T15 — domain mixture weights: per-(source, lang) token share of the
+# corpus plus the temperature-flattened sampling weight (alpha=0.7)
+# every multi-domain pre-training run derives before sampling (the
+# mixture-reweighting step in GPT-3/PaLM-style pipelines; cf. the
+# alpha-smoothed multinomial in XLM-R, Conneau et al. 2020).
+#
+# Scale shape: one map-side token count per row (no explode — token
+# count is size(split(...)), pure codegen), one small groupBy on
+# (source, lang) whose output is domain-cardinality-sized (tens), and
+# the normalization constants fold in via a 1-row cross join on the
+# already-tiny aggregate. At 100 TB this is a single scan + one
+# near-free shuffle of partial sums.
+#
+# Determinism: weights are ratios of exact integer token counts,
+# rounded at 6 dp; pow() on identical doubles is bit-stable across
+# libm implementations at this precision.
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7
+
+T15_ORACLE = f"""
+WITH per_domain AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT sum(n_tokens) AS corpus_tokens,
+         sum(pow(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per_domain),
+                 {MIX_ALPHA})) AS z
+  FROM per_domain
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tot.corpus_tokens, 6) AS token_share,
+       round(pow(CAST(n_tokens AS DOUBLE) / tot.corpus_tokens, {MIX_ALPHA}) / tot.z,
+             6) AS sample_weight
+FROM per_domain CROSS JOIN tot
+"""
+
+
+@query("t15_domain_mixture", oracle=T15_ORACLE)
+def t15_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    per_domain = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    # Normalization constants (corpus total, temperature partition
+    # function z) as GLOBAL WINDOW sums over the domain-cardinality
+    # aggregate — not scalar-aggregate cross joins, which would plan
+    # per_domain (and therefore the full corpus scan) once per
+    # constant. This way the 100 TB corpus is scanned exactly once;
+    # the unpartitioned windows run over a tens-of-rows relation
+    # where single-partition execution is free.
+    everything = W.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(everything)
+    scored = per_domain.withColumn("token_share_raw", share).withColumn(
+        "raw_w", F.pow(F.col("token_share_raw"), F.lit(MIX_ALPHA))
+    )
+    return scored.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round("token_share_raw", 6).alias("token_share"),
+        F.round(F.col("raw_w") / F.sum("raw_w").over(everything), 6).alias(
+            "sample_weight"
+        ),
+    )

@@ -772,3 +772,61 @@ def w15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("s.t4").isNotNull().cast("int")
         ).alias("n_stages"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W16 — cohort retention: bucket users by the DAY of their first
+# event (the cohort), then count distinct users from each cohort
+# active on each subsequent day. (Day, not month: the fixture's event
+# stream spans ~30 days, so month-level cohorts collapse to one cell;
+# at production scale the truncation unit is a parameter.)
+# The standard product-analytics
+# retention matrix, and a window/agg composition the reference's lake
+# consumers would run over any event table.
+#
+# Scale shape: first_ts is a window MIN over the user partition — ONE
+# shuffle on user_id, no groupBy+join round trip (the naive form
+# shuffles the same key twice). The retention rollup then aggregates
+# on (cohort_month, month_offset) — tens-of-rows output with map-side
+# partials. count(DISTINCT user_id) inside each cell shuffles
+# (cohort, offset, user) expanded keys once; exact distinct is the
+# point here (approx_count_distinct is the 100 TB relaxation, q27's
+# territory).
+#
+# Determinism: everything is exact integer/timestamp arithmetic on
+# month-truncated values — no floats anywhere.
+# ---------------------------------------------------------------------------
+
+W16_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts,
+         min(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+)
+SELECT date_trunc('day', first_ts) AS cohort_day,
+       CAST(datediff('day', date_trunc('day', first_ts),
+                     date_trunc('day', ts)) AS INT) AS day_offset,
+       count(DISTINCT user_id) AS active_users
+FROM e
+GROUP BY 1, 2
+"""
+
+
+@query("w16_cohort_retention", oracle=W16_ORACLE)
+def w16_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    with_first = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("ev_day"),
+        F.date_trunc("day", F.min("ts").over(w)).alias("cohort_day"),
+    )
+    return (
+        with_first.groupBy(
+            "cohort_day",
+            F.datediff("ev_day", F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

@@ -277,3 +277,49 @@ def test_w14_ohlc_single_shuffle(spark, sf_small):
     plan = formatted_plan(spark, "w14_ohlc_downsample", sf_small)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 2, plan
+
+
+def test_tfidf_broadcasts_vocab_and_limits_topk(spark, sf_small):
+    """t14: the exploded corpus must cross ONE BroadcastHashJoin (the
+    vocabulary/idf side), and the per-doc top-k must plan a partial
+    WindowGroupLimit below the doc_id exchange."""
+    plan = formatted_plan(spark, "t14_tfidf_keywords", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_mixture_scans_corpus_once(spark, sf_small):
+    """t15: normalization constants must NOT re-plan the corpus scan
+    (one FileScan; windows over the tiny aggregate instead)."""
+    plan = formatted_plan(spark, "t15_domain_mixture", sf_small)
+    # formatted mode prints each node once in the tree and once in the
+    # detail list — count distinct numbered scan nodes.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_range_search_broadcasts_probes(spark, sf_small):
+    plan = formatted_plan(spark, "s08_range_search", sf_small)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_joins_on_bucket(spark, sf_small):
+    """d10: the self-join must be keyed on the bucket column (hash
+    partitioning on bucket), never a cartesian."""
+    plan = formatted_plan(spark, "d10_semdedup", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+
+
+def test_cohort_retention_single_window_shuffle(spark, sf_small):
+    """w16: first-event derivation is a window over user_id — no
+    groupBy+join round trip (no join operator at all)."""
+    plan = formatted_plan(spark, "w16_cohort_retention", sf_small)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_unpivot_plans_expand(spark, sf_small):
+    plan = formatted_plan(spark, "q40_unpivot", sf_small)
+    assert "Expand" in plan
