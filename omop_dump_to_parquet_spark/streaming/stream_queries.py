@@ -173,6 +173,7 @@ def _run_to_memory(
     output_mode: str,
     expect_single_batch: bool = False,
     await_watermark_flush: bool = False,
+    await_watermark_past: str | None = None,
 ) -> DataFrame:
     """Run a streaming plan to completion into a memory sink; returns
     the sink contents as a (batch) DataFrame. ``build`` is a
@@ -231,6 +232,34 @@ def _run_to_memory(
                 raise RuntimeError(
                     f"{prefix}: sink never stabilized after watermark "
                     "flush (no-data micro-batch did not emit)"
+                )
+        if await_watermark_past is not None:
+            # Outer-join unmatched-row emission happens in a follow-up
+            # micro-batch once the GLOBAL watermark (min across both
+            # inputs) passes the join-state expiry. Sink row counts
+            # can look momentarily stable between the data batch and
+            # that follow-up, so poll the QUERY PROGRESS for a
+            # committed batch whose watermark has advanced past the
+            # given instant — the deterministic "flush happened"
+            # signal — then read the sink.
+            import json as _json
+            import time as _time
+
+            deadline = _time.monotonic() + 30.0
+            while _time.monotonic() < deadline:
+                marks = [
+                    _json.loads(p.json)
+                    .get("eventTime", {})
+                    .get("watermark", "1970-01-01T00:00:00.000Z")
+                    for p in q.recentProgress
+                ]
+                if any(m >= await_watermark_past for m in marks):
+                    break
+                _time.sleep(0.15)
+            else:
+                raise RuntimeError(
+                    f"{prefix}: watermark never passed "
+                    f"{await_watermark_past}; outer-join state not flushed"
                 )
         if expect_single_batch:
             import json as _json
@@ -644,3 +673,113 @@ def st07_stream_foreachbatch_upsert(
     finally:
         q.stop()
     return clone.read.parquet(lake)
+
+
+# ---------------------------------------------------------------------------
+# ST08 — stream-stream LEFT OUTER interval join: every purchase joined
+# to error events of the same user in the preceding 10 minutes, BOTH
+# sides unbounded streams — and purchases with NO such error are still
+# emitted (with nulls) once the global watermark passes their join
+# horizon. The outer variant is the semantically hard half of
+# stream-stream joins: matched rows emit on match (same as ST05), but
+# unmatched-left emission must wait until the engine can PROVE no
+# future right row can match — i.e. min(left, right watermark) has
+# passed the row's state expiry — at which point the row is evicted
+# and emitted exactly once with a null right side. State stays
+# O(arrival rate × horizon) on both sides, identical to the inner
+# join.
+#
+# Replay mechanics: the finite fixture needs the '__flush__' sentinel
+# to drag BOTH watermarks past every real purchase (an unbounded
+# deployment needs none of this). Like ST01, the sentinel must flow
+# THROUGH the EventTimeWatermark nodes — Catalyst pushes the
+# event_type filters below them — so both side filters admit
+# '__flush__' and the spurious sentinel rows are dropped batch-side
+# after the sink. processAllAvailable() alone cannot prove the
+# unmatched rows landed (they emit in a follow-up micro-batch), so
+# the runner polls query progress until a committed batch reports a
+# watermark past the last real event (await_watermark_past).
+# ---------------------------------------------------------------------------
+
+ST08_ORACLE = """
+SELECT p.event_id AS purchase_event, e.event_id AS error_event, p.user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND epoch_us(e.ts) >= epoch_us(p.ts) - 600000000
+ AND epoch_us(e.ts) <= epoch_us(p.ts)
+"""
+
+
+def _events_max_ts_iso(sf_dir: str) -> str:
+    """Max real event time from the parquet FOOTER statistics (no data
+    scan), as the ISO-millis string Spark's progress JSON uses."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.abspath(f"{sf_dir}/events.parquet"))
+    md = pf.metadata
+    names = [md.schema.column(i).name for i in range(len(md.schema))]
+    ts_idx = names.index("ts")
+    max_ts = max(
+        md.row_group(i).column(ts_idx).statistics.max
+        for i in range(md.num_row_groups)
+    )
+    if not isinstance(max_ts, _dt.datetime):  # TIMESTAMP(NANOS) as int
+        max_ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=int(max_ts) // 1000
+        )
+    return max_ts.strftime("%Y-%m-%dT%H:%M:%S.") + (
+        f"{max_ts.microsecond // 1000:03d}Z"
+    )
+
+
+@query("st08_stream_stream_left_outer", oracle=ST08_ORACLE)
+def st08_stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    def build(s: SparkSession) -> DataFrame:
+        purchases = (
+            _events_stream(s, sf_dir, with_flush=True)
+            .filter(F.col("event_type").isin("purchase", "__flush__"))
+            .select(
+                F.col("event_id").alias("purchase_event"),
+                "user_id",
+                F.col("ts").alias("p_ts"),
+                F.col("event_type").alias("p_type"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        errors = (
+            _events_stream(s, sf_dir, with_flush=True)
+            .filter(F.col("event_type").isin("error", "__flush__"))
+            .select(
+                F.col("event_id").alias("error_event"),
+                F.col("user_id").alias("e_user"),
+                F.col("ts").alias("e_ts"),
+                F.col("event_type").alias("e_type"),
+            )
+            .withWatermark("e_ts", "1 hour")
+        )
+        return purchases.join(
+            errors,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("e_ts") <= F.col("p_ts")),
+            "leftOuter",
+        ).select("purchase_event", "error_event", "user_id", "p_type", "e_type")
+
+    out = _run_to_memory(
+        build,
+        spark,
+        "st08_out",
+        "append",
+        await_watermark_past=_events_max_ts_iso(sf_dir),
+    )
+    # Drop the sentinel rows (left sentinel emits — possibly paired
+    # with the right sentinel); real rows never pair with a sentinel
+    # because its timestamp is 2h past every real event.
+    return out.filter(F.col("p_type") == "purchase").select(
+        "purchase_event", "error_event", "user_id"
+    )
