@@ -166,7 +166,13 @@ def main() -> None:
         from omop_dump_to_parquet_spark.operators.graph import LAST_CC_STATS
         from omop_dump_to_parquet_spark.sources.parquet import table as _table
 
-        for sec_name in ("d06_dedup_clusters", "d07_dedup_shingle_jaccard"):
+        for sec_name in (
+            "d06_dedup_clusters",
+            "d07_dedup_shingle_jaccard",
+            "d10_semdedup",
+            "t14_tfidf_keywords",
+            "s08_range_search",
+        ):
             runs = [run_once(sec_name) for _ in range(reps)]
             secondary_raw[sec_name] = [round(t, 3) for t, _ in runs]
             secondary[sec_name] = min(secondary_raw[sec_name])
