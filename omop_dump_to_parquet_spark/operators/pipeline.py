@@ -114,3 +114,65 @@ def p01_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(shard_w).alias("pos"),
         F.round("quality", 6).alias("quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P02 — incremental ingest dedup: admit only documents from an
+# incoming batch whose content does not already exist in the lake
+# (and keep one copy of content duplicated WITHIN the batch). This is
+# the steady-state form of corpus building — d01/d02 dedup a corpus
+# once; real pipelines dedup every new crawl INCREMENTALLY against
+# everything already ingested. Fixture split: even doc_ids play the
+# existing lake, odd doc_ids the incoming batch.
+#
+# Scale shape: the lake side reduces to DISTINCT digests (one
+# uniform-key shuffle, and at 100 TB the digest set is stored as its
+# own compacted column table — this operator only ever reads
+# digests, never lake text). The anti join shuffles both sides on
+# digest — uniform by construction; no broadcast hint because the
+# lake digest set GROWS with the lake (broadcasting it is the
+# mistake; AQE may still choose broadcast while the batch is small).
+# Spark's runtime bloom-filter injection (session.py thresholds)
+# gives the shuffle-side pre-prune a real pipeline would add
+# explicitly. Within-batch keep-first is the d02 window on the same
+# digest partitioning the anti join just established.
+# ---------------------------------------------------------------------------
+
+P02_ORACLE = """
+WITH lake AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0
+),
+incoming AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 2 = 1
+),
+novel AS (
+  SELECT i.doc_id, i.digest
+  FROM incoming i LEFT JOIN lake l USING (digest)
+  WHERE l.digest IS NULL
+)
+SELECT doc_id, digest FROM (
+  SELECT doc_id, digest,
+         row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+  FROM novel
+) WHERE rn = 1
+"""
+
+
+@query("p02_incremental_ingest_dedup", oracle=P02_ORACLE)
+def p02_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    lake = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    novel = incoming.join(lake, "digest", "left_anti")
+    keep_first = W.partitionBy("digest").orderBy("doc_id")
+    return (
+        novel.withColumn("rn", F.row_number().over(keep_first))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "digest")
+    )
