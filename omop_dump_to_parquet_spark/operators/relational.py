@@ -1250,3 +1250,41 @@ def q40_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q41 — re-aggregatable sketch rollup: per-day Apache DataSketches HLL
+# sketches of distinct users, MERGED upward into per-week estimates
+# via hll_union_agg. The two-level shape is the point — at 100 TB you
+# pre-aggregate fine-grained sketch BYTES once (map-side partials,
+# one uniform shuffle on day), persist them, and answer every
+# coarser-grained distinct question by merging sketches, never
+# rescanning raw data. An exact count(DISTINCT) re-shuffles the raw
+# key universe per query grain; the sketch rollup moves a few KB per
+# bucket. Theta sketches (set intersection/difference) extend the
+# same pattern to audience-overlap questions.
+#
+# Rows-only correctness check (DuckDB's HLL is a different
+# implementation with different estimates); the unit test
+# (tests/test_approx_operators.py) bounds the estimate against the
+# exact distinct count computed at test scale.
+# ---------------------------------------------------------------------------
+
+
+@query("q41_sketch_rollup_merge")
+def q41_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("day_sketch"))
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("day_sketch")
+            ).alias("approx_weekly_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("week")
+    )

@@ -544,3 +544,44 @@ def test_m05_finds_planted_near_dups(spark, tmp_path):
     # (real pipelines verify survivors in pixel space)
     assert pairs.get((1, 2)) == 0   # exact dup: Hamming 0
     assert (1, 3) in pairs or (2, 3) in pairs  # planted near-dup found
+
+
+def test_sketch_rollup_tracks_exact_distinct(spark, sf_small):
+    """q41's merged weekly HLL estimates must land within 5% of the
+    exact per-week distinct user counts (64-dim HLL at default lgK is
+    far tighter than that at fixture cardinalities), and merging daily
+    sketches must equal sketching the week directly."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark import load_catalog
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    queries, _ = load_catalog()
+    approx = {
+        r["week"]: r["approx_weekly_users"]
+        for r in queries["q41_sketch_rollup_merge"](spark, sf_small).collect()
+    }
+    exact = {
+        r["week"]: r["n"]
+        for r in table(spark, sf_small, "events")
+        .groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for week, est in approx.items():
+        assert abs(est - exact[week]) <= max(1, 0.05 * exact[week]), (
+            week, est, exact[week]
+        )
+
+    # merge-of-parts == sketch-of-whole (the re-aggregation contract)
+    direct = {
+        r["week"]: r["est"]
+        for r in table(spark, sf_small, "events")
+        .groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+        )
+        .collect()
+    }
+    assert approx == direct
