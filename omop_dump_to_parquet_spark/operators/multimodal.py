@@ -337,3 +337,118 @@ def m05_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# M06 — cross-modal contrastive pair construction: each document
+# paired with its own embedding (positive) plus K deterministic
+# hash-sampled negatives — the training-example builder for
+# CLIP-style contrastive objectives, where negative sampling must be
+# REPRODUCIBLE across engines/runs/partitionings (same argument as
+# t06's hash sampler: a random() sampler cannot be re-audited).
+#
+# Negative ids come from a Knuth-multiplicative hash of
+# (doc_id, k) folded into the corpus id space, bumped by one on
+# self-collision. The fixture's vec_id space is dense (0..n-1,
+# FIXTURES.md), so the computed id always exists; a sparse id space
+# would add a repair join against the id directory.
+#
+# Scale shape: one explode (K+1 rows per doc, map-side) and ONE
+# shuffle join against the embeddings table on the computed pair id
+# — uniform keys by construction (multiplicative hashing), so no
+# skew; the per-pair cosine against the anchor embedding is JVM
+# column math. At 100 TB this is exactly the shape of large-batch
+# pair generation: linear fan-out, hash-partitioned joins, zero
+# driver involvement.
+#
+# Determinism: integer hash arithmetic (exact in both engines — kept
+# in BIGINT range: max factor 2^31 × id < 2^63) and round-6 cosine.
+# ---------------------------------------------------------------------------
+
+M06_NEGATIVES = 3
+_KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, the classic mix
+
+
+M06_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), n AS (
+  SELECT count(*) AS n_vecs FROM v
+), anchors AS (
+  SELECT d.doc_id, v.emb AS anchor_emb
+  FROM documents d JOIN v ON d.doc_id = v.vec_id
+), pairs AS (
+  SELECT a.doc_id, 0 AS k, a.doc_id AS pair_id, TRUE AS is_positive,
+         a.anchor_emb
+  FROM anchors a
+  UNION ALL
+  SELECT a.doc_id, ks.k,
+         CASE WHEN (a.doc_id * {_KNUTH} + ks.k * 40503) % n.n_vecs = a.doc_id
+              THEN ((a.doc_id * {_KNUTH} + ks.k * 40503) % n.n_vecs + 1)
+                   % n.n_vecs
+              ELSE (a.doc_id * {_KNUTH} + ks.k * 40503) % n.n_vecs
+         END AS pair_id,
+         FALSE AS is_positive,
+         a.anchor_emb
+  FROM anchors a
+  CROSS JOIN n
+  CROSS JOIN (SELECT unnest(range(1, {M06_NEGATIVES + 1})) AS k) ks
+)
+SELECT p.doc_id, p.k, p.pair_id, p.is_positive,
+       round(list_dot_product(p.anchor_emb, v.emb)
+             / (sqrt(list_dot_product(p.anchor_emb, p.anchor_emb))
+                * sqrt(list_dot_product(v.emb, v.emb))), 6) AS cos_sim
+FROM pairs p JOIN v ON p.pair_id = v.vec_id
+"""
+
+
+@query("m06_contrastive_pairs", oracle=M06_ORACLE)
+def m06_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W  # noqa: F401
+
+    from ..functions.vectors import cosine_d, to_double_array
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    anchors = docs.join(
+        v.select(
+            F.col("vec_id").alias("doc_id"), F.col("emb").alias("anchor_emb")
+        ),
+        "doc_id",
+    )
+    n_vecs = v.agg(F.count(F.lit(1)).alias("n_vecs"))
+    ks = F.sequence(F.lit(1), F.lit(M06_NEGATIVES))
+    raw_neg = (F.col("doc_id") * F.lit(_KNUTH) + F.col("k") * F.lit(40503)) % F.col(
+        "n_vecs"
+    )
+    neg_id = F.when(
+        raw_neg == F.col("doc_id"), (raw_neg + 1) % F.col("n_vecs")
+    ).otherwise(raw_neg)
+    negatives = (
+        anchors.crossJoin(F.broadcast(n_vecs))
+        .select("doc_id", "anchor_emb", F.explode(ks).alias("k"), "n_vecs")
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("k"),
+            neg_id.alias("pair_id"),
+            F.lit(False).alias("is_positive"),
+            "anchor_emb",
+        )
+    )
+    positives = anchors.select(
+        "doc_id",
+        F.lit(0).cast("long").alias("k"),
+        F.col("doc_id").alias("pair_id"),
+        F.lit(True).alias("is_positive"),
+        "anchor_emb",
+    )
+    pairs = positives.unionByName(negatives)
+    return pairs.join(v, pairs.pair_id == v.vec_id).select(
+        "doc_id",
+        "k",
+        "pair_id",
+        "is_positive",
+        F.round(cosine_d(F.col("anchor_emb"), F.col("emb")), 6).alias("cos_sim"),
+    )
