@@ -144,6 +144,7 @@ STREAMING_QUERIES = {
     # smell-check.
     "st06_stream_static_enrich",
     "st07_stream_foreachbatch_upsert",
+    "st08_stream_stream_left_outer",
 }
 
 
@@ -323,3 +324,27 @@ def test_cohort_retention_single_window_shuffle(spark, sf_small):
 def test_unpivot_plans_expand(spark, sf_small):
     plan = formatted_plan(spark, "q40_unpivot", sf_small)
     assert "Expand" in plan
+
+
+def test_incremental_dedup_stays_anti(spark, sf_small):
+    """p02: the lake-digest check must plan as a LeftAnti join (never
+    a full join + filter), on the digest key."""
+    plan = formatted_plan(spark, "p02_incremental_ingest_dedup", sf_small)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sketch_rollup_two_level_aggregate(spark, sf_small):
+    """q41: daily sketches then weekly merge — two aggregate levels,
+    each with map-side partials around its exchange."""
+    plan = formatted_plan(spark, "q41_sketch_rollup_merge", sf_small)
+    assert plan.count("HashAggregate") >= 4 or plan.count("ObjectHashAggregate") >= 4
+    assert "Exchange" in plan
+
+
+def test_contrastive_pairs_single_fact_join(spark, sf_small):
+    """m06: the scalar corpus-size folds in via broadcast; pair
+    resolution is hash joins on ids — no cartesian anywhere."""
+    plan = formatted_plan(spark, "m06_contrastive_pairs", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
