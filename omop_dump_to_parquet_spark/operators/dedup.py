@@ -901,3 +901,121 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("keeper_id").alias("keeper_id"),
         F.max("cos_sim").alias("max_cos_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D11 — verbatim cross-document overlap (the detection core of Lee et
+# al. 2021, "Deduplicating Training Data Makes Language Models
+# Better"): report document pairs sharing at least MIN_SHARED
+# distinct token n-grams — the near-verbatim-copy signal that Jaccard
+# (d03/d07, whole-document set overlap) dilutes away for a long doc
+# embedding a short copied span. Lee et al. find spans via a suffix
+# array; the distributed equivalent indexes distinct n-grams and
+# counts gram co-occurrence per pair.
+#
+# Scale shape: the gram inverted index (doc, gram) is linear in
+# corpus tokens and shuffles once on the gram key. The only pair
+# expansion is WITHIN a gram's posting list, and stop-grams (posting
+# list > HOT_GRAM_CAP docs) are dropped first — the standard guard
+# that bounds per-gram work at C(cap,2) regardless of corpus size;
+# dropping them loses no true near-verbatim pairs in practice because
+# a copied span of any length contributes many grams, most of them
+# rare. Pair counting then shuffles on the uniform (a,b) key.
+#
+# Determinism: integer counts, exact everywhere; the cap rule is part
+# of the operator definition and the oracle applies it identically.
+# ---------------------------------------------------------------------------
+
+OVERLAP_NGRAM = 4
+HOT_GRAM_CAP = 20
+MIN_SHARED_GRAMS = 5
+
+D11_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) >= {OVERLAP_NGRAM}
+                THEN list_transform(range(1, len(toks) - {OVERLAP_NGRAM - 2}),
+                                    i -> array_to_string(
+                                           list_slice(toks, i, i + {OVERLAP_NGRAM - 1}), ' '))
+                ELSE [] END)) AS gram
+  FROM t
+),
+rare AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) <= {HOT_GRAM_CAP}
+),
+gr AS (
+  SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS n_shared_grams
+FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {MIN_SHARED_GRAMS}
+"""
+
+
+@query("d11_verbatim_overlap", oracle=D11_ORACLE)
+def d11_verbatim_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    from .text import tokens
+
+    toks = tokens("text")
+    n = F.size(toks)
+    w = OVERLAP_NGRAM
+    # Index on a 64-bit gram hash, not gram text — and hash each
+    # token WINDOW directly (xxhash64 over the sliced array) rather
+    # than building gram strings first: the posting list that gets
+    # shuffled/materialized/self-joined is two longs per row (~10×
+    # less traffic than doc_id + multi-word string) and the dominant
+    # map stage skips len(gram) bytes of string assembly per window
+    # (~20% measured). A 64-bit collision would merge two grams'
+    # posting lists (P ≈ |grams|²/2⁶⁵ — ~10⁻⁶ at 10⁷ grams; at a
+    # 100 TB corpus, concatenate two independent hashes for 128
+    # bits). The ORACLE joins on gram text — row-for-row agreement
+    # doubles as the collision check.
+    gram_hashes = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.xxhash64(F.slice(toks, i, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # Materialize the hashed gram index ONCE, before anything
+    # consumes it: the gram build + per-doc distinct is the
+    # expensive stage (everything downstream is sub-second at
+    # sf0.1) and it feeds three consumers (stop-gram census,
+    # posting list, both self-join sides) — without truncation
+    # Catalyst re-plans it per consumer: 4 corpus scans. Same
+    # lesson as d07's shingle table; reliable checkpoint on a real
+    # cluster.
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(gram_hashes)).alias("gh")
+    ).localCheckpoint(eager=True)
+    rare = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= HOT_GRAM_CAP)
+        .select("gh")
+    )
+    gr = g.join(rare, "gh")
+    pairs = (
+        gr.alias("a")
+        .join(
+            gr.alias("b"),
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= MIN_SHARED_GRAMS)
+    )
