@@ -404,8 +404,6 @@ FROM pairs p JOIN v ON p.pair_id = v.vec_id
 
 @query("m06_contrastive_pairs", oracle=M06_ORACLE)
 def m06_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W  # noqa: F401
-
     from ..functions.vectors import cosine_d, to_double_array
 
     v = table(spark, sf_dir, "embeddings").select(
