@@ -76,11 +76,13 @@ _WINDOW = 50
 # of the checked window until the driver re-validates them. s06/d05
 # were pinned in r3 and came back clean (CORRECTNESS_r03) — cleared.
 # r4 rewrote verify_jaccard_pairs (single-broadcast alias join) which
-# d03/d04/d06 share — pinned until the driver re-checks them.
+# d03/d04/d06 share, and q03 (pre-join partial-aggregation pushdown)
+# — pinned until the driver re-checks them.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d03_dedup_ngram_jaccard",
     "d04_dedup_minhash_lsh",
     "d06_dedup_clusters",
+    "q03_join_inner",
 )
 
 

