@@ -792,8 +792,8 @@ def d09_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # components) twin; this is the linear-scale approximation actually
 # run at web scale.
 #
-# Scale shape: bucket assignment is one map-side codegen pass (6
-# literal dot products); the self-join shuffles both sides on
+# Scale shape: bucket assignment is one map-side codegen pass
+# (SEMDEDUP_PLANES literal dot products); the self-join shuffles both sides on
 # bucket_id (uniformly distributed by construction — sign patterns of
 # gaussian projections); pairwise work is confined to within-bucket
 # candidates, n²/2^planes in expectation, and `planes` grows with the
@@ -857,9 +857,11 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas groups each bucket into one Arrow batch; the
     planes-scale-with-corpus rule that bounds pairwise work also
     bounds batch size, and a pathologically hot bucket would take
-    s04's block-pair decomposition WITHIN the bucket. NumPy's
-    round-half-even at 6 dp matches both Spark's ROUND and DuckDB's
-    (s04 hash-parity establishes this).
+    s04's block-pair decomposition WITHIN the bucket. NumPy
+    (half-even), Spark ROUND (half-up) and DuckDB agree at 6 dp
+    because exact .xxxxxx5 ties are unrepresentable in the binary
+    doubles this data produces — the same argument s04's hash-parity
+    rests on, not a claim the rounding MODES match.
     """
     from .similarity import bucket_id
 

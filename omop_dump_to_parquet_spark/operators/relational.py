@@ -1231,16 +1231,17 @@ def q39_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # output by n_measures, which is still map-side and pipeline-able —
 # the correct melt plan at any scale.
 #
-# Determinism: sums of 2-decimal monetary values rounded at 2 (the
-# registry's exact-safe convention); counts are exact longs cast to
-# double so all three measures share one value column type.
+# Determinism: monetary sums accumulate in exact DECIMAL (dsum — a
+# raw double SUM is partial-merge-order-dependent); counts are exact
+# longs cast to double so all three measures share one value column
+# type.
 # ---------------------------------------------------------------------------
 
 Q40_ORACLE = """
 WITH agg AS (
   SELECT l_returnflag,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
          CAST(count(*) AS DOUBLE) AS n_rows
   FROM lineitem GROUP BY l_returnflag
 )
@@ -1255,9 +1256,11 @@ SELECT l_returnflag, 'n_rows' AS measure, n_rows AS value FROM agg
 @query("q40_unpivot", oracle=Q40_ORACLE)
 def q40_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    from ..functions.deterministic import dsum
+
     agg = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
         F.count(F.lit(1)).cast("double").alias("n_rows"),
     )
     return agg.unpivot(

@@ -769,7 +769,16 @@ def t14_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # Document frequency DERIVED FROM tf — its rows are exactly the
+    # distinct (doc, token) pairs, so df(token) is a plain row count
+    # per token (vs count_distinct over the raw token stream: no
+    # Expand, and the df aggregate reads |tf| rows, not |tokens|).
+    # tf still plans twice statically (Catalyst shares no subtrees
+    # across consumers); at 100 TB materialize tf explicitly (d11's
+    # checkpoint pattern) — measured at bench scale the checkpoint
+    # costs more than the duplicate tokenize (1.35s vs 1.02s), so
+    # the cutover belongs at the scale where tokenize dominates.
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     # Fold the scalar corpus size into the SMALL (vocabulary) side
     # before broadcasting — the tf side crosses one broadcast join.

@@ -787,14 +787,14 @@ def w15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: first_ts is a window MIN over the user partition — ONE
 # shuffle on user_id, no groupBy+join round trip (the naive form
 # shuffles the same key twice). The retention rollup then aggregates
-# on (cohort_month, month_offset) — tens-of-rows output with map-side
-# partials. count(DISTINCT user_id) inside each cell shuffles
-# (cohort, offset, user) expanded keys once; exact distinct is the
-# point here (approx_count_distinct is the 100 TB relaxation, q27's
+# on (cohort_day, day_offset) — small output with map-side partials.
+# count(DISTINCT user_id) inside each cell shuffles (cohort, offset,
+# user) expanded keys once; exact distinct is the point here
+# (approx_count_distinct is the 100 TB relaxation, q27/q41's
 # territory).
 #
 # Determinism: everything is exact integer/timestamp arithmetic on
-# month-truncated values — no floats anywhere.
+# day-truncated values — no floats anywhere.
 # ---------------------------------------------------------------------------
 
 W16_ORACLE = """

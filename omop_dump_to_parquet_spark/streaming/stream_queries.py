@@ -65,6 +65,25 @@ def _stage_events(sf_dir: str) -> str:
     return stage
 
 
+def _events_footer_max_ts(sf_dir: str):
+    """Max event time from the parquet FOOTER statistics (no data
+    scan). Returns whatever the footer surfaces: a ``datetime`` for
+    TIMESTAMP columns, an ``int`` (nanoseconds) for TIMESTAMP(NANOS)
+    stored as int64 — the single definition both the flush-sentinel
+    staging and st08's watermark threshold derive from, so a fixture
+    ts-layout change is handled in exactly one place."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.abspath(f"{sf_dir}/events.parquet"))
+    md = pf.metadata
+    names = [md.schema.column(i).name for i in range(len(md.schema))]
+    ts_idx = names.index("ts")
+    return max(
+        md.row_group(i).column(ts_idx).statistics.max
+        for i in range(md.num_row_groups)
+    )
+
+
 def _stage_events_flush(sf_dir: str) -> str:
     """Staging dir holding the events fixture PLUS a one-row sentinel
     2 hours past the fixture's max event time (``event_type
@@ -93,13 +112,7 @@ def _stage_events_flush(sf_dir: str) -> str:
         os.symlink(src, os.path.join(stage, "events.parquet"))
 
         pf = pq.ParquetFile(src)
-        md = pf.metadata
-        names = [md.schema.column(i).name for i in range(len(md.schema))]
-        ts_idx = names.index("ts")
-        max_ts = max(
-            md.row_group(i).column(ts_idx).statistics.max
-            for i in range(md.num_row_groups)
-        )
+        max_ts = _events_footer_max_ts(sf_dir)
         one = pa.Table.from_batches([next(pf.iter_batches(batch_size=1))])
         # Footer statistics surface TIMESTAMP columns as datetime.datetime
         # and TIMESTAMP(NANOS)/int64 physical columns as plain ints.
@@ -712,20 +725,11 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
 
 
 def _events_max_ts_iso(sf_dir: str) -> str:
-    """Max real event time from the parquet FOOTER statistics (no data
-    scan), as the ISO-millis string Spark's progress JSON uses."""
+    """Max real event time (shared footer walk, _events_footer_max_ts)
+    as the ISO-millis string Spark's progress JSON uses."""
     import datetime as _dt
 
-    import pyarrow.parquet as pq
-
-    pf = pq.ParquetFile(os.path.abspath(f"{sf_dir}/events.parquet"))
-    md = pf.metadata
-    names = [md.schema.column(i).name for i in range(len(md.schema))]
-    ts_idx = names.index("ts")
-    max_ts = max(
-        md.row_group(i).column(ts_idx).statistics.max
-        for i in range(md.num_row_groups)
-    )
+    max_ts = _events_footer_max_ts(sf_dir)
     if not isinstance(max_ts, _dt.datetime):  # TIMESTAMP(NANOS) as int
         max_ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(
             microseconds=int(max_ts) // 1000

@@ -361,5 +361,9 @@ def test_q03_preaggregates_before_join(spark, sf_small):
         (plan.find(t) for t in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") if plan.find(t) != -1),
         default=-1,
     )
-    agg_pos = plan.find("HashAggregate")
-    assert join_pos != -1 and agg_pos != -1
+    assert join_pos != -1
+    # the formatted tree prints parents first, so a HashAggregate at a
+    # LARGER offset than the join is a child of it — the pre-join
+    # per-orderkey aggregation. (The post-join priority agg sits above
+    # the join and does not satisfy this search.)
+    assert plan.find("HashAggregate", join_pos) != -1
