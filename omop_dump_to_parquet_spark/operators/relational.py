@@ -1307,3 +1307,60 @@ def q41_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q42 — rolling 7-day distinct users per day (the WAU-by-day curve).
+# DISTINCT is not composable across window frames (no engine supports
+# COUNT(DISTINCT) OVER a sliding frame natively), so the operator
+# materializes the (day, user) DISTINCT pairs ONCE — collapsing the
+# event stream to day-level granularity — and expands each pair into
+# the ≤7 trailing day-buckets it contributes to via a generated
+# offset array, then counts distinct users per bucket. The expansion
+# is 7× the DAY-LEVEL pair count (bounded by days × active users),
+# never 7× the raw event count — the pre-distinct is what makes this
+# shape viable at 100 TB event volume. q41 is the sketch relaxation
+# of the same question (merge 7 daily HLLs); this is the exact form.
+#
+# Determinism: integer/timestamp arithmetic only; day buckets with no
+# events contribute no row (matching the SQL, which only emits days
+# that exist in the data).
+# ---------------------------------------------------------------------------
+
+Q42_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day, count(DISTINCT du.user_id) AS trailing_7d_users
+FROM days d
+JOIN du ON du.day <= d.day AND du.day >= d.day - INTERVAL 6 DAY
+GROUP BY d.day
+"""
+
+
+@query("q42_rolling_distinct", oracle=Q42_ORACLE)
+def q42_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    # Each (day, user) pair feeds the buckets day .. day+6; emit the
+    # target bucket directly and drop buckets that aren't real days
+    # (semi join against the observed day set) so the output matches
+    # the SQL's days-with-events domain.
+    contrib = du.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.timestamp_add("DAY", i, F.col("day")),
+            )
+        ).alias("bucket"),
+        "user_id",
+    )
+    days = du.select("day").distinct()
+    return (
+        contrib.join(days, contrib.bucket == days.day, "left_semi")
+        .groupBy(F.col("bucket").alias("day"))
+        .agg(F.count_distinct("user_id").alias("trailing_7d_users"))
+    )

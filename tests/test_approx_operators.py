@@ -592,3 +592,39 @@ def test_sketch_rollup_tracks_exact_distinct(spark, sf_small):
         assert abs(est - direct[week]) <= max(1, 0.05 * direct[week]), (
             week, est, direct[week]
         )
+
+
+def test_pq_adc_beats_chance_and_is_deterministic(spark, sf_small):
+    """s09 PQ/ADC: exactly N_QUERIES×TOP_K rows, deterministic across
+    runs, and recall vs exact s01 far above chance. (The fixture's
+    embeddings are near-random — top-5 cosine ≈ 0.35 vs p99 ≈ 0.29 —
+    so absolute recall is inherently modest for 8-byte codes; chance
+    recall@5 is 5/|corpus| ≈ 0.01, and the bound asserts ≥ 15×
+    that.)"""
+    import collections
+
+    from omop_dump_to_parquet_spark import load_catalog
+    from omop_dump_to_parquet_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    queries, _ = load_catalog()
+    a = queries["s09_ann_pq"](spark, sf_small).toPandas()
+    b = queries["s09_ann_pq"](spark, sf_small).toPandas()
+    assert len(a) == N_QUERIES * TOP_K
+    key = ["query_id", "rank"]
+    assert (
+        a.sort_values(key).reset_index(drop=True)["neighbor_id"].tolist()
+        == b.sort_values(key).reset_index(drop=True)["neighbor_id"].tolist()
+    )
+
+    s01 = queries["s01_knn_bruteforce"](spark, sf_small).toPandas()
+    exact = collections.defaultdict(set)
+    approx = collections.defaultdict(set)
+    for _, r in s01.iterrows():
+        exact[r["query_id"]].add(r["neighbor_id"])
+    for _, r in a.iterrows():
+        approx[r["query_id"]].add(r["neighbor_id"])
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
