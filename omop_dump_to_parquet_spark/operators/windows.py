@@ -830,3 +830,61 @@ def w16_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# W17 — exponentially-weighted moving average per key: the recursive
+# smoother (ewma_i = α·ewma_{i-1} + (1−α)·x_i) that window FRAMES
+# cannot express — each row depends on the previous ROW'S RESULT, not
+# on a frame aggregate — so it runs as an ordered per-key array fold
+# (collect → sort → F.aggregate), the same single-shuffle shape as
+# w15's funnel state machine. Spark Structured Streaming's
+# applyInPandasWithState (st03) is this operator's unbounded-stream
+# twin.
+#
+# Scale shape: ONE shuffle on user_id; per-key state is the event
+# array (bounded by per-key history; a 100 TB variant folds
+# incrementally per time-bucket and carries only the scalar EWMA
+# across buckets — two-level fold, same kernel). Fold arithmetic is
+# sequential IEEE over an engine-identically-sorted array (unique
+# (ts, event_id) tie-break), rounded at 6 dp.
+#
+# Seeding convention: acc starts at the FIRST value (DuckDB's
+# list_reduce semantics); the Spark fold seeds with element 1 and
+# folds elements 2..n so both engines compute byte-identical chains.
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.9  # weight on history
+
+W17_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       round(list_reduce(vals, (acc, x) -> {EWMA_ALPHA}*acc
+                                           + {1 - EWMA_ALPHA}*x), 6) AS ewma,
+       len(vals) AS n_events
+FROM ordered
+"""
+
+
+@query("w17_ewma", oracle=W17_ORACLE)
+def w17_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ordered = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * acc + F.lit(1 - EWMA_ALPHA) * x,
+    )
+    return ordered.select(
+        "user_id",
+        F.round(fold, 6).alias("ewma"),
+        F.size("vals").cast("long").alias("n_events"),
+    )
