@@ -173,6 +173,10 @@ def main() -> None:
             "d11_verbatim_overlap",
             "t14_tfidf_keywords",
             "s08_range_search",
+            "s09_ann_pq",
+            "q42_rolling_distinct",
+            "w17_ewma",
+            "m06_contrastive_pairs",
         ):
             runs = [run_once(sec_name) for _ in range(reps)]
             secondary_raw[sec_name] = [round(t, 3) for t, _ in runs]
