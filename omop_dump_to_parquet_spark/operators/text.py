@@ -871,3 +871,49 @@ def t15_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_weight"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# T16 — one-pass corpus profile (the "dataset card" numbers): corpus
+# size, token volume, mean quality, exact-dup rate, language and
+# source cardinalities — the summary block every dataset release
+# ships, computed as ONE scalar aggregate over ONE scan. The point is
+# the shape: profiling a 100 TB corpus must not run one job per
+# statistic (the reference-style script-per-metric pattern); Spark
+# folds all of these into a single pass with map-side partials, and
+# the distinct counts ride the same pass as approx_count_distinct
+# twins would at production scale (exact here, at fixture scale, so
+# the oracle can match).
+#
+# Determinism: counts are exact; the quality mean is davg (exact
+# DECIMAL sum / count). n_distinct_texts uses the md5 digest — same
+# convention as d02/p02.
+# ---------------------------------------------------------------------------
+
+T16_ORACLE = f"""
+SELECT count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST({QUALITY_SQL} AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_quality,
+       count(DISTINCT md5(text)) AS n_distinct_texts,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources
+FROM documents
+"""
+
+
+@query("t16_corpus_profile", oracle=T16_ORACLE)
+def t16_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+        F.round(
+            F.sum(quality_expr().cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+    )
