@@ -1364,3 +1364,45 @@ def q42_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("bucket").alias("day"))
         .agg(F.count_distinct("user_id").alias("trailing_7d_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q43 — VARIANT-typed semi-structured access (Spark 4's native
+# open-schema type): parse the JSON props column ONCE into VARIANT,
+# then extract typed paths with variant_get. Versus q17's
+# get_json_object (re-parses the string per extraction) and q33's
+# from_json (requires a declared schema up front), VARIANT is the
+# lakehouse answer for schema-drifting event payloads: parse once
+# into a compact binary encoding, bind types at extraction, store the
+# column as VARIANT in Parquet so repeated queries skip the text
+# parse entirely. The aggregation shape after extraction is a plain
+# two-level groupBy — the VARIANT path is map-side codegen.
+#
+# Determinism: integer extraction and exact counts; the DuckDB twin
+# extracts the same path from the same JSON text.
+# ---------------------------------------------------------------------------
+
+Q43_ORACLE = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type, k_bucket
+"""
+
+
+@query("q43_variant_json", oracle=Q43_ORACLE)
+def q43_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
