@@ -367,3 +367,43 @@ def test_q03_preaggregates_before_join(spark, sf_small):
     # per-orderkey aggregation. (The post-join priority agg sits above
     # the join and does not satisfy this search.)
     assert plan.find("HashAggregate", join_pos) != -1
+
+
+def test_rolling_distinct_preaggregates_days(spark, sf_small):
+    """q42: the event stream must collapse to (day, user) DISTINCT
+    pairs before the 7-bucket fan-out (one Generate above the
+    day-level aggregate, never above the raw scan), and the bucket
+    restriction must stay a semi join."""
+    plan = formatted_plan(spark, "q42_rolling_distinct", sf_small)
+    assert "LeftSemi" in plan
+    assert "Generate" in plan
+    gen = plan.find("Generate")
+    # at least one aggregate BELOW the generate (tree prints parents
+    # first, so deeper nodes appear later)
+    assert plan.find("HashAggregate", gen) != -1
+
+
+def test_corpus_profile_is_one_scan(spark, sf_small):
+    plan = formatted_plan(spark, "t16_corpus_profile", sf_small)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_variant_extraction_stays_jvm_side(spark, sf_small):
+    plan = formatted_plan(spark, "q43_variant_json", sf_small)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ewma_single_shuffle(spark, sf_small):
+    """w17: one exchange (the user_id groupBy) — the fold itself is a
+    map-side expression over the collected array."""
+    plan = formatted_plan(spark, "w17_ewma", sf_small)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_verbatim_overlap_index_is_compact(spark, sf_small):
+    """d11: the self-join keys on the 64-bit gram hash (gh), not gram
+    text — the posting list that shuffles is two longs per row."""
+    plan = formatted_plan(spark, "d11_verbatim_overlap", sf_small)
+    assert "gh" in plan
+    assert "CartesianProduct" not in plan
