@@ -1396,7 +1396,11 @@ GROUP BY event_type, k_bucket
 @query("q43_variant_json", oracle=Q43_ORACLE)
 def q43_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    # try_parse_json: null on malformed input, matching the oracle's
+    # json_extract semantics (strict parse_json would crash the whole
+    # query on one bad row — the wrong failure mode for drifting
+    # event payloads, which is VARIANT's use case).
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "bigint")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))

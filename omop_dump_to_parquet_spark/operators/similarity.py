@@ -659,10 +659,9 @@ def s09_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"query_id": [], "neighbor_id": [], "approx_dist": []}
             if len(pdf):
-                B = _np.stack(pdf["emb"].to_numpy()).astype(_np.float64)
-                bn = _np.sqrt((B * B).sum(-1, keepdims=True))
-                bn[bn == 0] = 1.0
-                B = B / bn  # unit vectors — see normalization note above
+                B = _unit(
+                    _np.stack(pdf["emb"].to_numpy()).astype(_np.float64)
+                )  # unit vectors — see normalization note above
                 # encode: nearest codeword per subspace
                 d = ((B.reshape(len(B), m, 1, s) - cbk[None]) ** 2).sum(-1)
                 codes = d.argmin(-1)  # (n, M) ints in [0, K)

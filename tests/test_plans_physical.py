@@ -376,11 +376,15 @@ def test_rolling_distinct_preaggregates_days(spark, sf_small):
     restriction must stay a semi join."""
     plan = formatted_plan(spark, "q42_rolling_distinct", sf_small)
     assert "LeftSemi" in plan
-    assert "Generate" in plan
-    gen = plan.find("Generate")
+    # search the TREE section only — the numbered detail blocks that
+    # follow repeat every node name and would make a position-based
+    # assert vacuous
+    tree = plan[: plan.find("(1)")]
+    gen = tree.find("Generate")
+    assert gen != -1
     # at least one aggregate BELOW the generate (tree prints parents
     # first, so deeper nodes appear later)
-    assert plan.find("HashAggregate", gen) != -1
+    assert tree.find("HashAggregate", gen) != -1
 
 
 def test_corpus_profile_is_one_scan(spark, sf_small):
@@ -405,5 +409,7 @@ def test_verbatim_overlap_index_is_compact(spark, sf_small):
     """d11: the self-join keys on the 64-bit gram hash (gh), not gram
     text — the posting list that shuffles is two longs per row."""
     plan = formatted_plan(spark, "d11_verbatim_overlap", sf_small)
-    assert "gh" in plan
+    # a real column reference to the hashed key (gh#<id>L), not the
+    # accidental "gh" substring inside BuildRight/Right keys
+    assert re.search(r"\bgh#\d+L", plan), plan
     assert "CartesianProduct" not in plan
