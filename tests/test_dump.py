@@ -214,3 +214,73 @@ def test_upsert_is_idempotent_for_replayed_batch(spark, sf_small, tmp_path):
     second = sorted(map(tuple, spark.read.parquet(lake).collect()))
     assert n1 == n2
     assert first == second
+
+
+class TestResumableDump:
+    def test_resume_skips_committed_chunks_and_redumps_torn_ones(
+        self, spark, sf_small, tmp_path
+    ):
+        """Crash mid-dump (test hook), then resume: committed chunks
+        are skipped, the torn chunk is replaced, totals conserve."""
+        import pytest
+
+        from omop_dump_to_parquet_spark.plans.resume import (
+            dump_table_resumable,
+        )
+        from omop_dump_to_parquet_spark.sources.parquet import table
+
+        li = table(spark, sf_small, "lineitem")
+        out = str(tmp_path / "lake")
+        n_total = li.filter(
+            (li.l_orderkey >= 1) & (li.l_orderkey <= 6000)
+        ).count()
+
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            dump_table_resumable(
+                spark,
+                li,
+                out,
+                "l_orderkey",
+                1,
+                6000,
+                n_chunks=4,
+                fail_after_chunk=2,
+            )
+
+        # simulate a torn write in the next (uncommitted) chunk
+        torn = f"{out}/chunk=00002"
+        import os
+
+        os.makedirs(torn, exist_ok=True)
+        with open(f"{torn}/part-garbage.parquet", "w") as fh:
+            fh.write("not parquet")
+
+        res = dump_table_resumable(
+            spark, li, out, "l_orderkey", 1, 6000, n_chunks=4
+        )
+        assert res.chunks_skipped == 2  # first attempt's work reused
+        assert res.chunks_dumped == 2
+        assert res.ok
+        assert res.rows_written == n_total
+        # the lake reads back whole and the torn file is gone
+        assert (
+            spark.read.parquet(f"{out}/chunk=*").count() == n_total
+        )
+
+    def test_rerun_after_success_is_all_skips(self, spark, sf_small, tmp_path):
+        from omop_dump_to_parquet_spark.plans.resume import (
+            dump_table_resumable,
+        )
+        from omop_dump_to_parquet_spark.sources.parquet import table
+
+        li = table(spark, sf_small, "lineitem")
+        out = str(tmp_path / "lake")
+        first = dump_table_resumable(
+            spark, li, out, "l_orderkey", 1, 6000, n_chunks=3
+        )
+        again = dump_table_resumable(
+            spark, li, out, "l_orderkey", 1, 6000, n_chunks=3
+        )
+        assert first.ok and again.ok
+        assert again.chunks_skipped == 3 and again.chunks_dumped == 0
+        assert again.rows_written == first.rows_written
