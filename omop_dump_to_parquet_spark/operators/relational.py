@@ -1410,3 +1410,50 @@ def q43_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q44 — theta-sketch set algebra (audience overlap): distinct users
+# who did BOTH a purchase and an error, estimated by intersecting two
+# independently-built theta sketches. The question COUNT(DISTINCT)
+# cannot answer compositionally: exact distinct sets don't merge
+# without re-scanning raw data, but theta sketches support
+# union/intersection/difference over their compact form — so at
+# 100 TB each event family keeps one small sketch and every overlap /
+# exclusion question is answered from sketches alone. q41 is the
+# same argument for rollup-union; this is the intersection half.
+#
+# Rows-only check (sketch estimates are implementation-specific);
+# the unit test bounds the estimate against the exact intersection.
+# ---------------------------------------------------------------------------
+
+
+@query("q44_theta_overlap")
+def q44_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sketches = ev.groupBy().agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("purchasers"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "error", F.col("user_id"))
+        ).alias("erroring"),
+    )
+    return sketches.select(
+        F.theta_sketch_estimate(F.col("purchasers"))
+        .cast("long")
+        .alias("n_purchasers"),
+        F.theta_sketch_estimate(F.col("erroring"))
+        .cast("long")
+        .alias("n_erroring"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("purchasers"), F.col("erroring"))
+        )
+        .cast("long")
+        .alias("n_overlap"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("purchasers"), F.col("erroring"))
+        )
+        .cast("long")
+        .alias("n_purchase_only"),
+    )

@@ -628,3 +628,43 @@ def test_pq_adc_beats_chance_and_is_deterministic(spark, sf_small):
         approx[r["query_id"]].add(r["neighbor_id"])
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+def test_theta_overlap_tracks_exact_set_algebra(spark, sf_small):
+    """q44's sketch-algebra estimates must land within 5% of the
+    exact intersection / difference cardinalities (theta sketches are
+    exact below their nominal-entries threshold — fixture
+    cardinalities are tens of users)."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark import load_catalog
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    queries, _ = load_catalog()
+    row = queries["q44_theta_overlap"](spark, sf_small).collect()[0]
+
+    ev = table(spark, sf_small, "events")
+    purchasers = {
+        r["user_id"]
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    erroring = {
+        r["user_id"]
+        for r in ev.filter(F.col("event_type") == "error")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    checks = {
+        "n_purchasers": len(purchasers),
+        "n_erroring": len(erroring),
+        "n_overlap": len(purchasers & erroring),
+        "n_purchase_only": len(purchasers - erroring),
+    }
+    for col, exact in checks.items():
+        assert abs(row[col] - exact) <= max(1, 0.05 * exact), (
+            col, row[col], exact,
+        )
