@@ -1457,3 +1457,68 @@ def q44_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_purchase_only"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q45 — custom aggregate via an Arrow-batched pandas UDAF
+# (GROUPED_AGG pandas_udf): weighted median of extended price,
+# weighted by quantity, per return flag — an aggregate with NO
+# built-in equivalent (percentile_approx is unweighted), pinning the
+# UDAF surface the way test_udtf.py pins UDTFs. SURVEY §2.2 lists
+# UDF/UDAF/UDTF as absent from the reference; this is the UDAF
+# member, on the sanctioned slow path: Arrow-batched per group,
+# NumPy inside, never row-at-a-time Python.
+#
+# Scale shape: one shuffle on the grouping key; each group's
+# (value, weight) pair arrives as Arrow series. The 100 TB caveat is
+# group size — a pandas UDAF materializes one group per call, so
+# billion-row groups want the two-pass weighted-quantile (bucketed
+# CDF) instead; at that point this operator IS the reference
+# implementation the approximation is validated against.
+#
+# Determinism: the result is a SELECTED input value (lowest value
+# whose cumulative weight reaches half the total), not arithmetic —
+# identical in both engines because both walk the same value-sorted
+# order.
+# ---------------------------------------------------------------------------
+
+Q45_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total
+  FROM lineitem
+)
+SELECT l_returnflag, min(v) AS weighted_median_price
+FROM w
+WHERE cum >= total / 2
+GROUP BY l_returnflag
+"""
+
+
+@query("q45_pandas_udaf", oracle=Q45_ORACLE)
+def q45_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG marker: this module runs under
+    # `from __future__ import annotations`, which stringifies type
+    # hints and defeats the hint-based UDAF detection
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_median(v, wt):
+        import numpy as _np
+
+        order = _np.argsort(v.to_numpy(), kind="stable")
+        vals = v.to_numpy()[order]
+        cum = wt.to_numpy()[order].cumsum()
+        half = cum[-1] / 2
+        return float(vals[int(_np.searchsorted(cum, half))])
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_median("l_extendedprice", "l_quantity").alias(
+            "weighted_median_price"
+        )
+    )
