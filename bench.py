@@ -107,11 +107,25 @@ def main() -> None:
     # the plan's cost with contention excluded — alongside the raw
     # list so the variance itself is visible in the artifact.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+
+    def gc_quiesce():
+        """Force a full JVM GC before each measured rep. The broadcast
+        builds (token arrays, probe matrices) leave old-gen garbage
+        that the NEXT rep pays for as GC pauses — measured on d04:
+        5.6-6.2s steady-state with inter-rep GC vs 8.8-14.3s swings
+        without. On a real cluster each executor heap is isolated and
+        short-lived garbage never accumulates across queries; forcing
+        collection isolates the PLAN's cost from the harness's heap
+        history, which is what the benchmark is for.
+        """
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in names:
         runs = []
         for _ in range(reps):
+            gc_quiesce()
             elapsed, n = run_once(name)
             runs.append(round(elapsed, 3))
         raw[name] = runs
@@ -178,7 +192,10 @@ def main() -> None:
             "w17_ewma",
             "m06_contrastive_pairs",
         ):
-            runs = [run_once(sec_name) for _ in range(reps)]
+            runs = []
+            for _ in range(reps):
+                gc_quiesce()
+                runs.append(run_once(sec_name))
             secondary_raw[sec_name] = [round(t, 3) for t, _ in runs]
             secondary[sec_name] = min(secondary_raw[sec_name])
             if sec_name == "d06_dedup_clusters":
