@@ -77,3 +77,26 @@ def list_entries(spark: SparkSession, path: str) -> list[Entry]:
         for st in fs.listStatus(jpath)
     ]
     return sorted(out, key=lambda e: e.name)
+
+
+def write_text(spark: SparkSession, path: str, payload: str) -> None:
+    """Write a small text file with rename-commit semantics: create
+    under a temp name, then Hadoop-rename into place (atomic on
+    HDFS/file:; create-if-absent on object stores). The manifest /
+    marker primitive."""
+    tmp = f"{path}.inprogress"
+    fs, jtmp = _fs_path(spark, tmp)
+    out = fs.create(jtmp, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    rename(spark, tmp, path)
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file written by :func:`write_text` — via the
+    engine's own text source (one tiny task; no per-byte py4j round
+    trips)."""
+    rows = spark.read.text(path).collect()
+    return "\n".join(r["value"] for r in rows)

@@ -9,12 +9,22 @@ key-range chunks, writes each chunk to its own subdirectory, and
 marks completion with a commit marker written ONLY after the chunk's
 data is fully on disk. A re-run:
 
-- skips every chunk whose marker exists (the work is durable),
-- deletes and re-dumps any chunk directory WITHOUT a marker (a
-  partial write from the crashed attempt — removing it makes the
-  retry idempotent),
-- verifies the reassembled lake (count conservation per chunk and
-  total, schema stability) exactly like the one-shot dump.
+- validates every existing marker against ITS OWN recorded range and
+  parameters (markers are self-describing JSON) and fails fast if the
+  resume was invoked with different chunking — silently mixing two
+  chunk layouts would duplicate and drop rows;
+- skips every chunk whose marker matches (the work is durable);
+- re-dumps any chunk without a marker — ``write_parquet``'s overwrite
+  mode replaces the chunk directory wholesale, so a torn write from
+  the crashed attempt is cleared by the rewrite itself;
+- verifies the reassembled lake by READ-BACK: the union of chunk
+  directories must count exactly the rows the markers claim
+  (the one-shot dump's count-conservation check, plans/dump.py).
+
+Coverage: the FIRST chunk is unbounded below (and owns NULL keys) and
+the LAST is unbounded above — the same convention as Spark's JDBC
+partitioning — so no source row can fall outside every chunk even
+when ``lower``/``upper`` came from a stale min/max estimate.
 
 Exactly-once lands as "at-least-once attempts + idempotent chunk
 replacement + atomic-marker commit" — the same recipe the streaming
@@ -24,12 +34,13 @@ upsert uses per batch (st07), applied to batch backfill.
 The chunk loop runs on the driver, bounded by ``n_chunks`` — the
 legitimate shape for restartable orchestration (each iteration is a
 full parallel Spark job; the loop is control flow, not data flow).
-All path operations go through the Hadoop FileSystem API (fs.py), so
-the identical code serves file:, HDFS and object stores.
+All path/manifest operations go through fs.py's Hadoop FileSystem
+wrappers, so the identical code serves file:, HDFS and object stores.
 """
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,42 +56,10 @@ def _marker_path(output_path: str, chunk: int) -> str:
     return f"{output_path}/{MANIFEST_DIR}/chunk-{chunk:05d}"
 
 
-def _touch(spark: SparkSession, path: str, payload: str) -> None:
-    """Create a small marker file atomically enough for a manifest:
-    write to a temp name, then Hadoop-rename into place (rename is
-    atomic on HDFS/file:, and create-if-absent on object stores)."""
-    tmp = f"{path}.inprogress"
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(tmp)
-    hfs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    out = hfs.create(jpath, True)
-    try:
-        out.write(bytearray(payload.encode("utf-8")))
-    finally:
-        out.close()
-    fs.rename(spark, tmp, path)
-
-
-def _read_marker(spark: SparkSession, path: str) -> int:
-    """Row count recorded in a commit marker."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    hfs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    stream = hfs.open(jpath)
-    try:
-        data = []
-        b = stream.read()
-        while b >= 0:
-            data.append(b)
-            b = stream.read()
-        return int(bytes(data).decode("utf-8"))
-    finally:
-        stream.close()
-
-
 @dataclass
 class ResumableDumpResult:
     rows_written: int
+    read_back_rows: int
     chunks_total: int
     chunks_skipped: int  # already committed by a previous attempt
     chunks_dumped: int
@@ -88,7 +67,10 @@ class ResumableDumpResult:
 
     @property
     def ok(self) -> bool:
-        return self.rows_written == sum(self.chunk_rows.values())
+        """Count conservation, proven by read-back (not bookkeeping):
+        the reassembled lake must contain exactly the rows the chunk
+        markers claim."""
+        return self.read_back_rows == self.rows_written
 
 
 def dump_table_resumable(
@@ -105,11 +87,12 @@ def dump_table_resumable(
     """Dump ``source`` into ``n_chunks`` key-range chunks with
     restartable progress.
 
-    ``[lower, upper]`` is the inclusive key range of
-    ``partition_col`` (≙ the JDBC reader's lowerBound/upperBound —
-    at a real 100 TB dump each chunk filter is pushed into the
-    source as a WHERE range on an indexed key, so a chunk re-run
-    re-reads only that range, never the table).
+    ``[lower, upper]`` seeds the chunk boundaries the way the JDBC
+    reader's lowerBound/upperBound seed its partitions — and with the
+    same semantics: boundaries SPLIT the key space, they do not
+    FILTER it. The first chunk takes everything ≤ its high bound
+    (including NULL keys) and the last everything ≥ its low bound, so
+    stale bounds skew chunk sizes but can never lose rows.
 
     ``fail_after_chunk`` is a TEST hook: raise after committing that
     many chunks, simulating a mid-dump crash so tests can assert the
@@ -126,31 +109,65 @@ def dump_table_resumable(
         chunk_dir = f"{output_path}/chunk={i:05d}"
         marker = _marker_path(output_path, i)
 
+        first, last = i == 0, i == n_chunks - 1
+        expect = {
+            "chunk": i,
+            "partition_col": partition_col,
+            "lo": None if first else lo,
+            "hi": None if last else hi,
+            "n_chunks": n_chunks,
+        }
+
         if fs.exists(spark, marker):
-            chunk_rows[i] = _read_marker(spark, marker)
+            recorded = json.loads(fs.read_text(spark, marker))
+            mismatch = {
+                k: (recorded.get(k), v)
+                for k, v in expect.items()
+                if recorded.get(k) != v
+            }
+            if mismatch:
+                raise ValueError(
+                    f"resume parameter mismatch on {marker}: a previous "
+                    f"attempt used different chunking {mismatch}; resuming "
+                    "with a new layout over old markers would duplicate "
+                    "and drop rows — use a fresh output_path or the "
+                    "original parameters"
+                )
+            chunk_rows[i] = int(recorded["rows"])
             total_rows += chunk_rows[i]
             skipped += 1
             continue
 
-        # no marker: anything in the chunk dir is a torn write from a
-        # previous attempt — drop it so the retry is idempotent
-        fs.delete(spark, chunk_dir)
+        # Split-not-filter bounds: edge chunks are unbounded so the
+        # union of chunks covers every source row; NULL keys ride the
+        # first chunk (the JDBC-partitioning convention).
+        key = F.col(partition_col)
+        if first and last:
+            cond = F.lit(True)
+        elif first:
+            cond = (key <= hi) | key.isNull()
+        elif last:
+            cond = key >= lo
+        else:
+            cond = (key >= lo) & (key <= hi)
+        part = source.filter(cond)
 
-        part = source.filter(
-            (F.col(partition_col) >= lo) & (F.col(partition_col) <= hi)
-        )
         from pyspark.sql import Observation
 
         obs = Observation(f"chunk_{i}")
         observed = part.observe(obs, F.count(F.lit(1)).alias("n"))
+        # mode="overwrite" replaces the chunk directory wholesale —
+        # this is the torn-write cleanup: an unmarked dir from a
+        # crashed attempt is simply rewritten.
         write_parquet(
-            observed, chunk_dir, max_records_per_file=max_records_per_file
+            observed,
+            chunk_dir,
+            mode="overwrite",
+            max_records_per_file=max_records_per_file,
         )
         n = int(obs.get["n"])
-        # data is durable; NOW commit the marker (crash between write
-        # and marker → chunk is re-dumped, which is safe because the
-        # retry deletes the unmarked dir first)
-        _touch(spark, marker, str(n))
+        # data is durable; NOW commit the self-describing marker
+        fs.write_text(spark, marker, json.dumps({**expect, "rows": n}))
         chunk_rows[i] = n
         total_rows += n
         dumped += 1
@@ -160,8 +177,10 @@ def dump_table_resumable(
                 f"simulated crash after {dumped} chunks (test hook)"
             )
 
+    read_back = spark.read.parquet(f"{output_path}/chunk=*").count()
     return ResumableDumpResult(
         rows_written=total_rows,
+        read_back_rows=read_back,
         chunks_total=n_chunks,
         chunks_skipped=skipped,
         chunks_dumped=dumped,

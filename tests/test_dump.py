@@ -231,9 +231,9 @@ class TestResumableDump:
 
         li = table(spark, sf_small, "lineitem")
         out = str(tmp_path / "lake")
-        n_total = li.filter(
-            (li.l_orderkey >= 1) & (li.l_orderkey <= 6000)
-        ).count()
+        # split-not-filter semantics: the chunked union covers EVERY
+        # source row, including keys outside the seed bounds
+        n_total = li.count()
 
         with pytest.raises(RuntimeError, match="simulated crash"):
             dump_table_resumable(
@@ -284,3 +284,45 @@ class TestResumableDump:
         assert first.ok and again.ok
         assert again.chunks_skipped == 3 and again.chunks_dumped == 0
         assert again.rows_written == first.rows_written
+
+    def test_resume_with_different_chunking_fails_fast(
+        self, spark, sf_small, tmp_path
+    ):
+        """Markers are self-describing; resuming over them with a
+        different chunk layout must raise, not silently mix layouts."""
+        import pytest
+
+        from omop_dump_to_parquet_spark.plans.resume import (
+            dump_table_resumable,
+        )
+        from omop_dump_to_parquet_spark.sources.parquet import table
+
+        li = table(spark, sf_small, "lineitem")
+        out = str(tmp_path / "lake")
+        dump_table_resumable(spark, li, out, "l_orderkey", 1, 6000, n_chunks=4)
+        with pytest.raises(ValueError, match="parameter mismatch"):
+            dump_table_resumable(
+                spark, li, out, "l_orderkey", 1, 6000, n_chunks=2
+            )
+        with pytest.raises(ValueError, match="parameter mismatch"):
+            dump_table_resumable(
+                spark, li, out, "l_orderkey", 1000, 6000, n_chunks=4
+            )
+
+    def test_stale_bounds_lose_no_rows(self, spark, sf_small, tmp_path):
+        """Edge chunks are unbounded (split-not-filter semantics), so
+        bounds from a stale min/max estimate still cover every row —
+        including keys outside [lower, upper]."""
+        from omop_dump_to_parquet_spark.plans.resume import (
+            dump_table_resumable,
+        )
+        from omop_dump_to_parquet_spark.sources.parquet import table
+
+        li = table(spark, sf_small, "lineitem")
+        out = str(tmp_path / "lake")
+        # bounds cover only the middle of the real key range [1, 6000]
+        res = dump_table_resumable(
+            spark, li, out, "l_orderkey", 2000, 4000, n_chunks=3
+        )
+        assert res.ok
+        assert res.rows_written == li.count()
