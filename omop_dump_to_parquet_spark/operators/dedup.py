@@ -66,6 +66,8 @@ GROUP BY content_key
 
 @query("d01_dedup_exact", oracle=D01_ORACLE)
 def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group by text digest, keep count + min id
+    per group (uniform digest keys — one skew-free shuffle)."""
     docs = table(spark, sf_dir, "documents")
     return (
         docs.groupBy(F.md5(F.col("text")).alias("content_key"))
@@ -93,6 +95,8 @@ SELECT doc_id, content_hash FROM (
 
 @query("d02_dedup_hash_keep_first", oracle=D02_ORACLE)
 def d02_dedup_hash_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHA-256 keep-first dedup: window rank over the digest partition
+    emits the surviving doc per duplicate group."""
     docs = table(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
@@ -478,6 +482,9 @@ def d04_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 @query("d04_dedup_minhash_lsh", oracle=D04_ORACLE)
 def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (Broder) 21x6-band LSH candidates + exact-Jaccard
+    verification — the production near-dup recipe; quadratic work is
+    confined to band buckets."""
     docs = table(spark, sf_dir, "documents")
     return verify_jaccard_pairs(
         docs, d04_candidate_pairs(docs), MINHASH_THRESHOLD
@@ -760,6 +767,8 @@ GROUP BY canon_key
 
 @query("d09_dedup_normalized", oracle=D09_ORACLE)
 def d09_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style canonicalize-then-exact-dedup: lowercase / strip
+    punctuation / collapse whitespace before digesting."""
     docs = table(spark, sf_dir, "documents")
     canon = F.trim(
         F.regexp_replace(
@@ -962,6 +971,8 @@ HAVING count(*) >= {MIN_SHARED_GRAMS}
 
 @query("d11_verbatim_overlap", oracle=D11_ORACLE)
 def d11_verbatim_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style copied-span detection: hashed n-gram inverted
+    index, stop-gram cap, per-pair shared-gram counts."""
     docs = table(spark, sf_dir, "documents")
     from .text import tokens
 
