@@ -91,6 +91,11 @@ def write_text(spark: SparkSession, path: str, payload: str) -> None:
         out.write(bytearray(payload.encode("utf-8")))
     finally:
         out.close()
+    # Hadoop rename refuses an existing destination — clear it first.
+    # Readers therefore see old-value-or-new-value (never partial),
+    # with a small absence window on rewrite; the manifest use case
+    # (markers written once, existence-checked) never rewrites.
+    delete(spark, path)
     rename(spark, tmp, path)
 
 

@@ -75,3 +75,19 @@ def test_upsert_over_file_scheme_uri(spark, sf_small, tmp_path):
     local = f"{tmp_path}/lake"
     assert not os.path.exists(f"{local}.__upsert_tmp")
     assert not os.path.exists(f"{local}.__upsert_old")
+
+
+def test_write_read_text_roundtrip_and_rename_commit(spark, tmp_path):
+    """fs.write_text commits via temp-name + rename (no partially
+    written marker is ever visible under the final name) and
+    read_text returns the exact payload."""
+    from omop_dump_to_parquet_spark import fs
+
+    path = f"{tmp_path}/manifest/marker-001"
+    fs.write_text(spark, path, '{"rows": 42, "lo": null}')
+    assert fs.exists(spark, path)
+    assert not fs.exists(spark, f"{path}.inprogress")
+    assert fs.read_text(spark, path) == '{"rows": 42, "lo": null}'
+    # overwrite path: second write replaces atomically
+    fs.write_text(spark, path, "v2")
+    assert fs.read_text(spark, path) == "v2"
