@@ -1522,3 +1522,47 @@ def q45_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median_price"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q46 — GROUPING_ID disambiguation: a rollup whose output tells the
+# consumer WHICH nulls are subtotal placeholders and which are data.
+# q10-q12 produce the multi-level aggregates; this closes their
+# consumption gap — `grouping(col)` is the only correct way to
+# distinguish a subtotal row from a row whose grouping value is
+# genuinely NULL (filtering `col IS NULL` conflates the two and is
+# the classic rollup-reading bug). Same Expand-based plan as q10;
+# grouping flags ride the expand for free.
+# ---------------------------------------------------------------------------
+
+Q46_ORACLE = """
+SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       coalesce(l_linestatus, '(all)') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS is_flag_subtotal,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS is_status_subtotal,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("q46_grouping_id", oracle=Q46_ORACLE)
+def q46_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("is_flag_subtotal"),
+            F.grouping("l_linestatus").cast("bigint").alias(
+                "is_status_subtotal"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "is_flag_subtotal",
+            "is_status_subtotal",
+            "n",
+        )
+    )
