@@ -81,9 +81,12 @@ def list_entries(spark: SparkSession, path: str) -> list[Entry]:
 
 def write_text(spark: SparkSession, path: str, payload: str) -> None:
     """Write a small text file with rename-commit semantics: create
-    under a temp name, then Hadoop-rename into place (atomic on
-    HDFS/file:; create-if-absent on object stores). The manifest /
-    marker primitive."""
+    under a temp name, then Hadoop-rename into place. First write of a
+    path is atomic (on HDFS/file:); a REWRITE is delete-then-rename,
+    so readers see old-value-or-new-value, never partial bytes, but
+    with a small absence window between the delete and the rename.
+    The manifest/marker primitive — markers are written once and
+    existence-checked, which never hits the rewrite window."""
     tmp = f"{path}.inprogress"
     fs, jtmp = _fs_path(spark, tmp)
     out = fs.create(jtmp, True)

@@ -560,7 +560,7 @@ WITH seq AS (
 SELECT user_id, event_type,
        count(*) AS n_islands,
        max(island_len) AS max_island_len,
-       sum(island_len) AS n_events
+       CAST(SUM(island_len) AS BIGINT) AS n_events
 FROM runs GROUP BY user_id, event_type
 """
 

@@ -177,7 +177,16 @@ def dump_table_resumable(
                 f"simulated crash after {dumped} chunks (test hook)"
             )
 
-    read_back = spark.read.parquet(f"{output_path}/chunk=*").count()
+    # Read back with the SOURCE schema supplied: a zero-row chunk
+    # writes a directory with no data files, and if every chunk is
+    # empty (empty source / degenerate bounds) schema inference over
+    # the glob would error instead of reporting a trivially-conserved
+    # zero-row dump.
+    read_back = (
+        spark.read.schema(source.schema)
+        .parquet(f"{output_path}/chunk=*")
+        .count()
+    )
     return ResumableDumpResult(
         rows_written=total_rows,
         read_back_rows=read_back,

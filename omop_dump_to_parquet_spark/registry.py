@@ -75,14 +75,13 @@ _WINDOW = 50
 # Queries rewritten since their last driver check, pinned to the front
 # of the checked window until the driver re-validates them. s06/d05
 # were pinned in r3 and came back clean (CORRECTNESS_r03) — cleared.
-# r4 rewrote verify_jaccard_pairs (single-broadcast alias join) which
-# d03/d04/d06 share, and q03 (pre-join partial-aggregation pushdown)
-# — pinned until the driver re-checks them.
+# r4 pins (d03/d04/d06/q03, post verify_jaccard_pairs + q03 rewrites)
+# all came back green in CORRECTNESS_r04 — cleared.  r5 pins w13: its
+# r4 hash-fail was adjudicated as an ORACLE typing bug (DuckDB
+# SUM(BIGINT) → HUGEINT; driver hash is type-sensitive) and the oracle
+# now casts to BIGINT — pinned until CORRECTNESS_r05 shows green.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
-    "d03_dedup_ngram_jaccard",
-    "d04_dedup_minhash_lsh",
-    "d06_dedup_clusters",
-    "q03_join_inner",
+    "w13_gaps_and_islands",
 )
 
 

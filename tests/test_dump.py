@@ -326,3 +326,24 @@ class TestResumableDump:
         )
         assert res.ok
         assert res.rows_written == li.count()
+
+    def test_empty_source_reports_zero_conserved(
+        self, spark, sf_small, tmp_path
+    ):
+        """All-empty chunks write directories with no data files; the
+        read-back supplies the source schema so the verify reports a
+        trivially-conserved 0-row dump instead of erroring on schema
+        inference over an empty glob."""
+        from omop_dump_to_parquet_spark.plans.resume import (
+            dump_table_resumable,
+        )
+        from omop_dump_to_parquet_spark.sources.parquet import table
+
+        li = table(spark, sf_small, "lineitem").filter("l_orderkey < 0")
+        out = str(tmp_path / "lake")
+        res = dump_table_resumable(
+            spark, li, out, "l_orderkey", 1, 6000, n_chunks=3
+        )
+        assert res.ok
+        assert res.rows_written == 0
+        assert res.read_back_rows == 0

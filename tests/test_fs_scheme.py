@@ -88,6 +88,8 @@ def test_write_read_text_roundtrip_and_rename_commit(spark, tmp_path):
     assert fs.exists(spark, path)
     assert not fs.exists(spark, f"{path}.inprogress")
     assert fs.read_text(spark, path) == '{"rows": 42, "lo": null}'
-    # overwrite path: second write replaces atomically
+    # rewrite path: delete-then-rename — readers see old-or-new (never
+    # partial), with an absence window between delete and rename; the
+    # marker use case (write-once) never exercises it
     fs.write_text(spark, path, "v2")
     assert fs.read_text(spark, path) == "v2"

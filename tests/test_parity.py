@@ -68,3 +68,36 @@ def test_rows_only_queries_run(name, spark, sf_small):
     n = df.count()
     assert n >= 0
     assert df.schema.fields  # stable, non-empty schema
+
+
+# Types DuckDB can produce but Spark cannot: the driver's value hash is
+# TYPE-SENSITIVE, so an oracle whose result surface contains any of
+# these will hash-mismatch even when every value is identical (the
+# exact w13 failure in CORRECTNESS_r04: SUM(BIGINT) → HUGEINT).  The
+# determinism contract (registry.py docstring) says to CAST such
+# aggregates back to a Spark-expressible type; this test enforces it
+# mechanically over the whole catalog by BINDING (not executing) each
+# oracle against the fixture views.
+_SPARK_INEXPRESSIBLE = {
+    "HUGEINT",
+    "UHUGEINT",
+    "UTINYINT",
+    "USMALLINT",
+    "UINTEGER",
+    "UBIGINT",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_type_surface_spark_expressible(name, duck):
+    described = duck.sql(f"DESCRIBE {ORACLES[name]}").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in described
+        if typ.upper() in _SPARK_INEXPRESSIBLE
+    ]
+    assert not bad, (
+        f"{name}: oracle result columns {bad} have DuckDB-only types; "
+        f"CAST them (e.g. CAST(SUM(x) AS BIGINT)) so the driver's "
+        f"type-sensitive hash can match Spark's output"
+    )
