@@ -232,6 +232,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf_dir
+    # Full detail (raw per-rep lists, secondary paths) goes to a file:
+    # the driver captures only a stdout TAIL, and rounds 1-4 proved a
+    # single giant line gets truncated mid-JSON ("parsed": null in
+    # every BENCH_r*.json). The LAST stdout line is the compact
+    # driver-contract summary and nothing else.
+    detail = {
+        "metric": "catalog_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "raw_timings": raw,
+        "reps": reps,
+        "secondary": secondary,
+        "secondary_raw": secondary_raw,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"# full detail -> {detail_path}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -239,11 +262,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "raw_timings": raw,
-                "reps": reps,
-                "secondary": secondary,
-                "secondary_raw": secondary_raw,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+                "sf": sf_val,
             }
         )
     )

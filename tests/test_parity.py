@@ -101,3 +101,34 @@ def test_oracle_type_surface_spark_expressible(name, duck):
         f"CAST them (e.g. CAST(SUM(x) AS BIGINT)) so the driver's "
         f"type-sensitive hash can match Spark's output"
     )
+
+
+def test_jaccard_verify_no_broadcast_matches_broadcast(spark, sf_small):
+    """The beyond-broadcast verify path (shuffle joins on doc id —
+    what a 100 TB corpus actually executes when the token-array table
+    exceeds broadcast limits) must return the exact pair set and
+    jaccard values of the broadcast path."""
+    from omop_dump_to_parquet_spark.operators.dedup import (
+        MINHASH_THRESHOLD,
+        d04_candidate_pairs,
+        verify_jaccard_pairs,
+    )
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    docs = table(spark, sf_small, "documents")
+    cands = d04_candidate_pairs(docs).localCheckpoint(eager=True)
+
+    def as_set(df):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in df.collect()
+        }
+
+    bc = as_set(
+        verify_jaccard_pairs(docs, cands, MINHASH_THRESHOLD, use_broadcast=True)
+    )
+    nb = as_set(
+        verify_jaccard_pairs(docs, cands, MINHASH_THRESHOLD, use_broadcast=False)
+    )
+    assert bc, "fixture produced no verified pairs — test would be vacuous"
+    assert nb == bc
