@@ -1566,3 +1566,131 @@ def q46_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q47/Q48/Q49 — ε-bound checks for the approximate family (q41 HLL,
+# q44 theta, q27 KLL quantile). The sketches themselves are rows-only
+# (engine-specific binary forms with no DuckDB twin), which left them
+# without differential evidence; these companions restore it. Shape:
+# the Spark query computes BOTH the exact answer and the sketch
+# estimate, emits the exact value plus a boolean
+# `estimate BETWEEN exact*(1-ε) AND exact*(1+ε)`; the oracle computes
+# the same exact value in DuckDB and emits `TRUE`. The driver's
+# type-sensitive value hash then matches iff (a) the exact
+# computation agrees across engines and (b) every sketch estimate is
+# inside its ε-band — a real differential gate on accuracy, not just
+# row counts. The ε values are ≥3σ for each sketch's default config
+# (HLL lgConfigK=12 → RSE≈1.6%; theta lgNomEntries=12 is exact below
+# 4096 entries; KLL accuracy=10000 → rank error 1e-4 ≪ the ±0.05
+# rank band), so a hash-fail means a broken sketch, not noise.
+#
+# Scale note: the exact side (count_distinct / exact percentile) is
+# the VERIFICATION harness, intentionally run at test SF; production
+# at 100 TB runs only the sketch side (q41/q44/q27).
+# ---------------------------------------------------------------------------
+
+Q47_ORACLE = """
+SELECT date_trunc('week', ts) AS week,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_weekly_users,
+       TRUE AS within_eps
+FROM events
+GROUP BY week
+"""
+
+
+@query("q47_hll_error_bound", oracle=Q47_ORACLE)
+def q47_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts").alias("week")
+    daily = ev.groupBy(
+        week, F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("day_sketch"))
+    est = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("day_sketch")).alias("est")
+    )
+    exact = ev.groupBy(week).agg(
+        F.count_distinct("user_id").alias("exact_weekly_users")
+    )
+    eps = 0.05
+    lo = F.col("exact_weekly_users") * (1 - eps)
+    hi = F.col("exact_weekly_users") * (1 + eps)
+    return exact.join(est, "week").select(
+        "week",
+        "exact_weekly_users",
+        (F.col("est").between(lo, hi)).alias("within_eps"),
+    )
+
+
+Q48_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_exact,
+       TRUE AS within_eps
+FROM (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING bool_or(event_type = 'purchase') AND bool_or(event_type = 'error')
+) t
+"""
+
+
+@query("q48_theta_error_bound", oracle=Q48_ORACLE)
+def q48_theta_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sketches = ev.groupBy().agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("purchasers"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "error", F.col("user_id"))
+        ).alias("erroring"),
+    )
+    est = sketches.select(
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("purchasers"), F.col("erroring"))
+        ).alias("est")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("p"),
+            F.max((F.col("event_type") == "error").cast("int")).alias("e"),
+        )
+        .filter("p = 1 AND e = 1")
+        .agg(F.count(F.lit(1)).alias("n_overlap_exact"))
+    )
+    eps = 0.1
+    lo = F.col("n_overlap_exact") * (1 - eps)
+    hi = F.col("n_overlap_exact") * (1 + eps)
+    # singleton × singleton: a scalar join, not a cartesian scan
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_overlap_exact",
+        (F.col("est").between(lo, hi)).alias("within_eps"),
+    )
+
+
+Q49_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS within_rank_eps
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q49_approx_quantile_bound", oracle=Q49_ORACLE)
+def q49_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("amed"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        (F.col("amed").between(F.col("lo"), F.col("hi"))).alias(
+            "within_rank_eps"
+        ),
+    )

@@ -578,21 +578,30 @@ def s08_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # determinism, and recall vs exact s01 asserted in unit tests.
 # ---------------------------------------------------------------------------
 
-PQ_M = 8  # subspaces (EMB_DIM/PQ_M dims each)
-PQ_K = 16  # codewords per subspace → 4 bits; stored as 1 byte each
-PQ_TRAIN_N = 256  # driver-side training sample (bounded, deterministic)
-PQ_TRAIN_ITERS = 10  # Lloyd iterations per subspace
+PQ_M = 16  # subspaces (EMB_DIM/PQ_M dims each)
+PQ_K = 32  # codewords per subspace → 5 bits; stored as 1 byte each
+PQ_TRAIN_N = 512  # driver-side training sample (bounded, deterministic)
+PQ_TRAIN_ITERS = 15  # Lloyd iterations per subspace
+PQ_REFINE = 50  # ADC shortlist size per query, exact-re-ranked
 
 
 @query("s09_ann_pq")
 def s09_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC top-k: codebooks + probes are driver-bounded collects
+    """PQ/ADC shortlist + exact re-rank (the FAISS IndexRefine
+    pattern): codebooks + probes are driver-bounded collects
     (PQ_K + N_QUERIES rows, same class as s05/s06); the corpus never
     leaves the executors. Each Arrow batch encodes its slice (argmin
     over the codebook per subspace — one (batch × K) GEMM-shaped
-    distance per subspace) and emits a per-batch local top-k under
-    the SAME total order (rounded approx distance asc, id asc) the
-    global window ranks by, so the local prune is lossless.
+    distance per subspace) and emits a per-batch local top-PQ_REFINE
+    under the SAME total order (rounded approx distance asc, id asc)
+    the shortlist window ranks by, so the local prune is lossless.
+    The Q×PQ_REFINE shortlist (a broadcast-sized constant, never
+    corpus-scaled) is then re-ranked by EXACT cosine via a broadcast
+    join back to the true vectors — ADC quantization error decides
+    only which candidates enter the shortlist, not their final order.
+    On the synthetic fixture (500 random 64-d vectors, near-tied
+    neighbors) ADC-only recall@5 was ~0.5; with refine it is the
+    shortlist's hit rate (~0.9+), pinned in tests.
     """
     import numpy as np
 
@@ -649,6 +658,7 @@ def s09_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).sum(-1)  # (Q, M, K)
     bc = spark.sparkContext.broadcast((p_ids, tables, cb))
     top_k = TOP_K
+    refine = PQ_REFINE
 
     def kernel(batches):
         import numpy as _np
@@ -672,7 +682,7 @@ def s09_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     keep = b_ids != ids_p[i]
                     cand = _np.nonzero(keep)[0]
                     a = approx[cand]
-                    order = _np.lexsort((b_ids[cand], a))[:top_k]
+                    order = _np.lexsort((b_ids[cand], a))[:refine]
                     for j in order:
                         out["query_id"].append(int(ids_p[i]))
                         out["neighbor_id"].append(int(b_ids[cand[j]]))
@@ -682,11 +692,40 @@ def s09_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.mapInPandas(
         kernel, schema="query_id long, neighbor_id long, approx_dist double"
     )
-    w = W.partitionBy("query_id").orderBy(
+    w_adc = W.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")
     )
+    shortlist = (
+        cand.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= refine)
+        .drop("adc_rank")
+    )
+    # Exact re-rank of the bounded shortlist: broadcast the Q×R rows
+    # against the corpus to fetch true vectors (one map-side join),
+    # then score with exact cosine under s01's total order.
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    rescored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb")
+        )
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(probes), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_dist",
+            F.round(cosine_d(F.col("qemb"), F.col("nemb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
-        .select("query_id", "neighbor_id", "approx_dist", "rank")
+        .select("query_id", "neighbor_id", "approx_dist", "cos_sim", "rank")
     )

@@ -668,3 +668,32 @@ def test_theta_overlap_tracks_exact_set_algebra(spark, sf_small):
         assert abs(row[col] - exact) <= max(1, 0.05 * exact), (
             col, row[col], exact,
         )
+
+
+def test_pq_adc_recall_floor_vs_exact(spark, sf_small):
+    """PQ/ADC + exact refine (s09) against exact brute force (s01):
+    ranks contiguous per query and a pinned recall@5 floor. ADC-only
+    recall on the fixture was ~0.3-0.5 (random near-tied vectors);
+    the refine stage re-ranks the shortlist by exact cosine, so
+    recall is the shortlist hit rate — measured 0.96 at sf0.001.
+    The floor pins both the refine stage's presence and ADC shortlist
+    quality (e.g. dropping the unit-normalization that makes
+    squared-L2 rank-equivalent to cosine fails loudly)."""
+    from omop_dump_to_parquet_spark.operators import similarity as S
+
+    exact = {}
+    for r in S.s01_knn_bruteforce(spark, sf_small).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rows = S.s09_ann_pq(spark, sf_small).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q.keys() == exact.keys()
+    for q, rs in by_q.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1)), q
+    recalls = [
+        len(exact[q] & {x["neighbor_id"] for x in by_q[q]}) / len(exact[q])
+        for q in exact
+    ]
+    assert min(recalls) >= 0.6, recalls
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
