@@ -145,7 +145,13 @@ def load_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
         def staleness(name: str) -> tuple[int, int, int, int]:
             checked, last = history.get(name, (0, 0))
             forced = 0 if name in _FORCE_IN_WINDOW else 1
-            return (forced, checked, last, reg_pos[name])
+            # LAST-round-checked is the primary key (never-checked ids
+            # have last=0 and still sort first): the goal is bounded
+            # evidence AGE.  Ordering by times-checked first (the r1-r4
+            # key) let an id checked once in a recent round cut ahead
+            # of one checked twice but not since r2 — which is how 12
+            # r1/r2-stale ids sat outside the r5 window.
+            return (forced, last, checked, reg_pos[name])
 
         ordered = sorted(QUERIES, key=staleness)
         reordered = {n: QUERIES[n] for n in ordered}

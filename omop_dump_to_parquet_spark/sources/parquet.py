@@ -50,6 +50,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       reads as TIMESTAMP_NTZ — cast to TIMESTAMP. The session pins UTC
       (session.py), so NTZ→LTZ is value-preserving and ``unix_micros``
       et al. see the same instants DuckDB does.
+    * ``timestamp[us]`` already adjusted to UTC (plain TIMESTAMP) —
+      passes through untouched.
+
+    If the driver ships a FOURTH layout, add its branch HERE (and in
+    the streaming twin ``streaming/stream_queries._events_stream``),
+    never at call sites — every operator assumes this contract.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
@@ -73,6 +79,16 @@ def ts_us(col="ts"):
     misses, the failure surfaces at one definition instead of N call
     sites. ``unix_micros`` requires TIMESTAMP (not NTZ) — ``table()``
     guarantees that; the analysis error otherwise names this function.
+
+    Known failure signatures of a NEW unhandled layout (fix
+    ``table()``, not the call site):
+
+    * ``CANNOT_RESOLVE ... unix_micros(ts) ... TIMESTAMP_NTZ`` — a new
+      not-UTC-adjusted physical type slipped past the ntz branch;
+    * ``DATATYPE_MISMATCH ... "ts" is of bigint type`` from a window /
+      range frame — an integer-encoded layout at a different unit
+      (seconds/millis); extend the bigint branch with the right
+      divisor, and keep the truncate-divide (DuckDB truncates too).
     """
     from pyspark.sql import functions as F
 

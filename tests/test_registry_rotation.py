@@ -27,19 +27,22 @@ def test_forced_rewritten_ops_lead_the_window():
 
 
 def test_window_prefers_stalest_evidence():
-    """No query outside the window may have FEWER past checks than a
-    non-forced query inside it — the window always holds the stalest."""
+    """No query outside the window may carry OLDER evidence (earlier
+    last-checked round; never-checked = round 0) than a non-forced
+    query inside it — the window bounds evidence AGE.  (The r1-r4
+    policy keyed on times-checked instead, which let an id checked
+    once recently displace one unchecked since r2.)"""
     queries, _ = load_catalog()
     names = list(queries)
     history = _driver_check_history()
-    in_counts = [
-        history.get(n, (0, 0))[0]
+    in_last = [
+        history.get(n, (0, 0))[1]
         for n in names[:_WINDOW]
         if n not in _FORCE_IN_WINDOW
     ]
-    out_counts = [history.get(n, (0, 0))[0] for n in names[_WINDOW:]]
-    if in_counts and out_counts:
-        assert max(in_counts) <= min(out_counts)
+    out_last = [history.get(n, (0, 0))[1] for n in names[_WINDOW:]]
+    if in_last and out_last:
+        assert max(in_last) <= min(out_last)
 
 
 def test_ordering_is_deterministic():
