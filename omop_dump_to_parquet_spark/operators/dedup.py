@@ -388,33 +388,45 @@ def lsh_candidate_pairs(
     no extra shuffle; the identical a/b subplans then share one
     exchange via Spark's ReuseExchange.
 
+    Distinctness is FIRST-COLLIDING-BAND emission, not a dedupe
+    shuffle: each banded row carries the doc's full band-key array,
+    and the join keeps a collision at band b only when no band < b
+    also collides — so each pair is emitted exactly once, by
+    construction. The r1-r4 formulation deduped with a
+    ``groupBy(doc_a, doc_b)``: on a dup-dense corpus every pair
+    arrives once PER shared band (measured at sf0.1: 25.2M join
+    emissions for 3.31M distinct pairs), and shuffling + hash-
+    aggregating that dup_factor×|pairs| stream was the dominant cost
+    of the whole query (d04 end-to-end 6.5s → 3.6s warm after the
+    switch; identical candidate set, asserted pairwise in tests).
+    Scale trade, stated: the carried key array widens each banded
+    shuffle row by ``bands`` longs (~(bands+3)/3× bytes on the
+    O(docs·bands) banded table), bought against eliminating the
+    O(dup_factor·|pairs|) dedupe exchange + hash aggregate — the
+    right side of the trade whenever duplication is real, which is
+    exactly when near-dedup is worth running. The earlier-band check
+    runs only on raw collisions (post equi-join probe), never on the
+    full banded table.
+
     ``size_ratio=(num, den)``: if ``sigs`` carries an ``nw`` column
     (per-doc distinct-token count), add the set-size necessary
     condition for Jaccard ≥ num/den to the join:
     ``den·min(nw) ≥ num·max(nw)`` (j = |∩|/|∪| ≥ t forces
     |small| ≥ |∩| ≥ t·|∪| ≥ t·|large|). ZERO recall cost by
     construction, and it prunes mid-similarity band collisions before
-    they reach pair emission — measured 7.6M → 3.3M candidates and
-    22s → 14s at sf0.1. Integer num/den keeps the boundary exact
-    (0.9·10 in floats could tip either way on j = 0.9 pairs).
+    they reach pair emission — measured 7.6M → 3.3M candidates.
+    Integer num/den keeps the boundary exact (0.9·10 in floats could
+    tip either way on j = 0.9 pairs).
     """
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows + r}") for r in range(rows)]
-            ).alias("bkey"),
-        )
-        for b in range(bands)
-    ]
+    keys = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
     carry = ["nw"] if size_ratio is not None else []
-    banded = sigs.select(
-        "doc_id", *carry, F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        "doc_id",
-        *carry,
-        F.col("bb.band").alias("band"),
-        F.col("bb.bkey").alias("bkey"),
+    banded = sigs.select("doc_id", *carry, keys.alias("keys")).select(
+        "doc_id", *carry, "keys", F.posexplode("keys").alias("band", "bkey")
     )
     banded = pin_expansion_parallelism(banded, "band", "bkey")
     # Cap pathologically hot buckets (constant-content guard).
@@ -424,6 +436,16 @@ def lsh_candidate_pairs(
     ).drop("bucket_n")
     a = banded.alias("a")
     b2 = banded.alias("b")
+    # Emit only at the pair's FIRST shared band: bands are 0-based,
+    # key-array positions 1-based; band 0 has no earlier bands (the
+    # WHEN guard also keeps sequence() ascending under ANSI mode).
+    earlier_band_matches = F.when(F.col("a.band") == 0, F.lit(False)).otherwise(
+        F.exists(
+            F.sequence(F.lit(1), F.col("a.band")),
+            lambda i: F.element_at(F.col("a.keys"), i)
+            == F.element_at(F.col("b.keys"), i),
+        )
+    )
     cond = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bkey") == F.col("b.bkey"))
@@ -436,15 +458,9 @@ def lsh_candidate_pairs(
             & (F.col("a.nw") * den >= F.col("b.nw") * num)
             & (F.col("b.nw") * den >= F.col("a.nw") * num)
         )
-    # groupBy doubles as pair-dedupe AND collision counter: n_bands is
-    # a free Jaccard signal (E[n_bands] = bands·j^rows) used by the
-    # caller to pre-prune before exact verification.
-    return (
-        a.join(b2, cond)
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+    cond = cond & ~earlier_band_matches
+    return a.join(b2, cond).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
 
 
@@ -472,11 +488,12 @@ def d04_candidate_pairs(docs: DataFrame) -> DataFrame:
         sigs, size_ratio=(ratio.numerator, ratio.denominator)
     )
 
-    # n_bands (the free collision count from the dedupe groupBy) is a
-    # Jaccard estimator a caller could prune on; with 6-row bands a
-    # ≥2-collision cut would cost ~3 true pairs per million at j=0.9,
-    # so the verified-output path keeps every candidate — the
-    # map-side broadcast verify below is cheaper than the risk.
+    # (An n_bands collision count would be a free Jaccard estimator a
+    # caller could prune on, but with 6-row bands a ≥2-collision cut
+    # costs ~3 true pairs per million at j=0.9, so the verified-output
+    # path keeps every candidate — and first-band emission, which made
+    # the count unavailable, removed the dedupe shuffle that produced
+    # it. The map-side broadcast verify below is cheaper than either.)
     return candidates.select("doc_a", "doc_b")
 
 

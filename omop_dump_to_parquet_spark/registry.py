@@ -80,11 +80,13 @@ _WINDOW = 50
 # r4 hash-fail was adjudicated as an ORACLE typing bug (DuckDB
 # SUM(BIGINT) → HUGEINT; driver hash is type-sensitive) and the oracle
 # now casts to BIGINT — pinned until CORRECTNESS_r05 shows green.
-# s09 rewritten in r5 (ADC shortlist + exact refine) — pinned until
-# the driver re-runs its rows-only check.
+# s09 rewritten in r5 (ADC shortlist + exact refine) and d04 rewritten
+# in r5 (first-band LSH emission replaces the pair-dedupe groupBy) —
+# pinned until the driver re-checks them.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "w13_gaps_and_islands",
     "s09_ann_pq",
+    "d04_dedup_minhash_lsh",
 )
 
 
