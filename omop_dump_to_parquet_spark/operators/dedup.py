@@ -766,12 +766,32 @@ def d07_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
 # ---------------------------------------------------------------------------
 
-D09_ORACLE = """
-WITH canon AS (
-  SELECT doc_id,
-         md5(trim(regexp_replace(
+#: The canonicalization as a DuckDB scalar expression over `text` —
+#: shared by d09/d12/t17's oracles so the three can never drift.
+CANON_KEY_SQL = """md5(trim(regexp_replace(
                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-               '  +', ' ', 'g'))) AS canon_key
+               '  +', ' ', 'g')))"""
+
+
+def canon_key_expr() -> Column:
+    """C4-style canonical-form digest as a Spark column — the single
+    definition d09 (dedup), d12 (keep-best) and t17 (leakage-safe
+    splits) all evaluate; identical tree ⇒ identical keys across call
+    sites and engines."""
+    return F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                "  +",
+                " ",
+            )
+        )
+    )
+
+
+D09_ORACLE = f"""
+WITH canon AS (
+  SELECT doc_id, {CANON_KEY_SQL} AS canon_key
   FROM documents
 )
 SELECT canon_key,
@@ -787,15 +807,8 @@ def d09_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style canonicalize-then-exact-dedup: lowercase / strip
     punctuation / collapse whitespace before digesting."""
     docs = table(spark, sf_dir, "documents")
-    canon = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            "  +",
-            " ",
-        )
-    )
     return (
-        docs.select("doc_id", F.md5(canon).alias("canon_key"))
+        docs.select("doc_id", canon_key_expr().alias("canon_key"))
         .groupBy("canon_key")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
@@ -1048,4 +1061,79 @@ def d11_verbatim_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= MIN_SHARED_GRAMS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D12 — quality-ranked canonical selection (keep-BEST, not keep-first):
+# within each duplicate group, keep the highest-quality variant — the
+# production step after any dedup stage (C4/RefinedWeb keep the best
+# page of a duplicate cluster, not the lowest id; min-id keep-first
+# like d09's is an arbitrary tiebreak that systematically discards
+# better-formatted variants). Group carrier here is d09's canonical-
+# form digest (shared canon_key_expr, SQL-expressible end to end);
+# at 100 TB the identical code runs with d06's near-dup component_id
+# as the key column instead — the shape (score map-side, ONE window
+# shuffle on the group key) is unchanged.
+#
+# Determinism contract: ranking over a double orders by the ROUNDED
+# quality (registry.py), doc_id ascending tie-break; the quality
+# expression tree is the shared t02 definition, bit-stable across
+# engines. One shuffle total: rank and group-size come from the same
+# window partition.
+# ---------------------------------------------------------------------------
+
+D12_ORACLE: str  # assigned below (needs text.py's QUALITY_SQL)
+
+
+def _d12_oracle() -> str:
+    from .text import QUALITY_SQL
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         {CANON_KEY_SQL} AS canon_key,
+         ROUND({QUALITY_SQL}, 6) AS best_quality
+  FROM documents
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY canon_key
+                            ORDER BY best_quality DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY canon_key) AS nv
+  FROM scored
+)
+SELECT canon_key,
+       doc_id AS best_doc_id,
+       best_quality,
+       CAST(nv AS BIGINT) AS n_variants
+FROM ranked WHERE rn = 1
+"""
+
+
+D12_ORACLE = _d12_oracle()
+
+
+@query("d12_keep_best_quality", oracle=D12_ORACLE)
+def d12_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import quality_expr
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        canon_key_expr().alias("canon_key"),
+        F.round(quality_expr(), 6).alias("best_quality"),
+    )
+    w = W.partitionBy("canon_key").orderBy(
+        F.col("best_quality").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("nv", F.count(F.lit(1)).over(W.partitionBy("canon_key")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "canon_key",
+            F.col("doc_id").alias("best_doc_id"),
+            "best_quality",
+            F.col("nv").alias("n_variants"),
+        )
     )

@@ -917,3 +917,58 @@ def t16_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("lang").alias("n_langs"),
         F.count_distinct("source").alias("n_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T17 — leakage-safe train/valid/test split assignment: the split is a
+# pure function of the DUPLICATE-GROUP key, not the doc id, so every
+# variant of a duplicate lands in the same split — assigning by doc id
+# leaks near-copies of training documents into eval sets (the standard
+# contamination failure; cf. t09's n-gram decontamination, which
+# guards against EXTERNAL benchmarks while this guards the corpus's
+# own split). Group carrier is d09's canonical-form digest (shared
+# canon_key_expr); at 100 TB the identical code runs keyed on d06's
+# near-dup component_id — shape unchanged (one map-side digest, no
+# shuffle at all: the split is a scalar function of the key).
+#
+# The 16-way bucket comes from the digest's first hex character —
+# pure string comparison, so Spark and DuckDB agree byte-for-byte
+# with no cross-engine integer-parsing concerns: 0-c → train (13/16),
+# d → valid, e-f → test (2/16). Deterministic forever: re-running on
+# a grown corpus never reassigns an existing document.
+# ---------------------------------------------------------------------------
+
+
+def _t17_oracle() -> str:
+    from .dedup import CANON_KEY_SQL
+
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {CANON_KEY_SQL} AS group_key FROM documents
+)
+SELECT doc_id, group_key,
+       CASE WHEN substr(group_key, 1, 1) <= 'c' THEN 'train'
+            WHEN substr(group_key, 1, 1) = 'd' THEN 'valid'
+            ELSE 'test' END AS split
+FROM keyed
+"""
+
+
+T17_ORACLE = _t17_oracle()
+
+
+@query("t17_leakage_safe_split", oracle=T17_ORACLE)
+def t17_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import canon_key_expr
+
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", canon_key_expr().alias("group_key"))
+    first = F.substring("group_key", 1, 1)
+    return keyed.select(
+        "doc_id",
+        "group_key",
+        F.when(first <= "c", F.lit("train"))
+        .when(first == "d", F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -888,3 +888,81 @@ def w17_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold, 6).alias("ewma"),
         F.size("vals").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W18 — SCD2 / temporal-table interval construction: collapse each
+# user's event stream into validity intervals [valid_from, valid_to)
+# per attribute run — the lakehouse "slowly changing dimension type 2"
+# build, turning an append-only change log into a point-in-time
+# queryable history (join on valid_from <= t < valid_to). Run
+# detection is w13's change-point form (lag + running sum over ONE
+# user_id window — a single shuffle and sort); valid_to is the NEXT
+# run's valid_from via lead() over the run table (tiny: |runs| ≤
+# |events|, same user_id clustering so no extra exchange of the fact
+# table), NULL marking the open/current interval. version numbers the
+# runs per user from 1 — ties under identical ts broken by event_id,
+# so both engines build one deterministic sequence.
+# ---------------------------------------------------------------------------
+
+W18_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+), isl AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM seq
+), runs AS (
+  SELECT user_id, event_type, island_id,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM isl GROUP BY user_id, event_type, island_id
+)
+SELECT user_id, event_type,
+       CAST(island_id + 1 AS BIGINT) AS version,
+       valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY island_id) AS valid_to,
+       n_events,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY island_id) IS NULL AS is_current
+FROM runs
+"""
+
+
+@query("w18_scd2_intervals", oracle=W18_ORACLE)
+def w18_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    isl = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(chg)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("island_id"),
+    )
+    runs = isl.groupBy("user_id", "event_type", "island_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = W.partitionBy("user_id").orderBy("island_id")
+    nxt = F.lead("valid_from").over(wv)
+    return runs.select(
+        "user_id",
+        "event_type",
+        (F.col("island_id") + 1).cast("bigint").alias("version"),
+        "valid_from",
+        nxt.alias("valid_to"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
