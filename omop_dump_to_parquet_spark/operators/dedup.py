@@ -578,22 +578,33 @@ def verify_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-# D05 — SimHash: 64-bit fingerprint as 4×16-bit chunks; candidate pairs
+# D05 — SimHash: 60-bit fingerprint as 4×15-bit chunks; candidate pairs
 # share ≥1 identical chunk (pigeonhole ⇒ complete for Hamming ≤ 3);
 # verified by total Hamming distance ≤ 3.
-# xxhash64 has no DuckDB equivalent → rows-only correctness check
-# (pair count + schema), with unit tests asserting the fingerprint
-# algebra on known inputs.
+#
+# The token hash is 60 bits of md5 (15 hex chars parsed as an int64) —
+# chosen over xxhash64 PRECISELY because DuckDB can compute the
+# identical value (('0x' || substr(md5(w), 1, 15))::BIGINT), which
+# upgrades d05 from a rows-only check (r1-r4) to a full differential
+# oracle. The oracle skips the banding: Hamming ≤ 3 over 4 chunks
+# IMPLIES ≥1 equal chunk (pigeonhole), so the banded Spark plan and
+# the all-pairs SQL define the same output set — banding is only the
+# SCALE strategy, never the semantics.
 # ---------------------------------------------------------------------------
 
 SIMHASH_CHUNKS = 4
-SIMHASH_CHUNK_BITS = 16
+SIMHASH_CHUNK_BITS = 15
 SIMHASH_MAX_HAMMING = 3
 
 
+def simhash_token_hash() -> Column:
+    """60-bit md5-derived token hash (cross-engine reproducible)."""
+    return F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+
+
 def simhash_chunks(docs: DataFrame) -> DataFrame:
-    """Per-doc SimHash as 4 columns c0..c3 (16 bits each)."""
-    tok = _distinct_tokens(docs).withColumn("h", F.xxhash64("w"))
+    """Per-doc SimHash as 4 columns c0..c3 (15 bits each)."""
+    tok = _distinct_tokens(docs).withColumn("h", simhash_token_hash())
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -618,7 +629,54 @@ def simhash_chunks(docs: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", *chunk_cols)
 
 
-@query("d05_dedup_simhash")
+def _d05_oracle() -> str:
+    nbits = SIMHASH_CHUNKS * SIMHASH_CHUNK_BITS
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(nbits)
+    )
+    chunks = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN b{c * SIMHASH_CHUNK_BITS + j} > 0"
+            f" THEN {1 << j} ELSE 0 END"
+            for j in range(SIMHASH_CHUNK_BITS)
+        )
+        + f") AS c{c}"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok
+),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         {chunks}
+  FROM bits
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({hamming} AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE {hamming} <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+D05_ORACLE = _d05_oracle()
+
+
+@query("d05_dedup_simhash", oracle=D05_ORACLE)
 def d05_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     fp = simhash_chunks(docs)
@@ -656,7 +714,7 @@ def d05_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            hamming.cast("long").alias("hamming"),
         )
         .distinct()
     )

@@ -83,10 +83,13 @@ _WINDOW = 50
 # s09 rewritten in r5 (ADC shortlist + exact refine) and d04 rewritten
 # in r5 (first-band LSH emission replaces the pair-dedupe groupBy) —
 # pinned until the driver re-checks them.
+# d05 rewritten in r5 (md5-derived 60-bit token hash; upgraded from
+# rows-only to a full differential oracle) — pinned likewise.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "w13_gaps_and_islands",
     "s09_ann_pq",
     "d04_dedup_minhash_lsh",
+    "d05_dedup_simhash",
 )
 
 
