@@ -908,17 +908,11 @@ SEMDEDUP_TAU = 0.35
 
 def _bucket_sql(col: str = "emb") -> str:
     """DuckDB expression computing the same sign-pattern bucket id as
-    ``similarity.bucket_id`` from the same literal hyperplanes."""
-    from .similarity import _hyperplanes
+    ``similarity.bucket_id`` from the same literal hyperplanes
+    (shared generator — see ``similarity.bucket_sql``)."""
+    from .similarity import bucket_sql
 
-    terms = []
-    for i, plane in enumerate(_hyperplanes(SEMDEDUP_PLANES)):
-        lits = ", ".join(repr(x) for x in plane)
-        terms.append(
-            f"(CASE WHEN list_dot_product({col}, [{lits}]) >= 0"
-            f" THEN {1 << i} ELSE 0 END)"
-        )
-    return " + ".join(terms)
+    return bucket_sql(SEMDEDUP_PLANES, col)
 
 
 def _d10_oracle() -> str:

@@ -89,9 +89,15 @@ def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # S02 — LSH-bucketed ANN (random hyperplanes, sign-pattern buckets).
 # Planes are generated from a fixed seed at plan-build time and shipped
-# as literals — deterministic across runs. Approximate by design →
-# rows-only correctness check; recall vs S01 is asserted in unit tests.
+# as literals — deterministic across runs, which makes the op fully
+# differential-testable despite being "approximate": the oracle
+# recomputes the IDENTICAL buckets from the same literal hyperplanes
+# in SQL (the d10 recipe) and ranks by the same rounded cosine with
+# the same id tie-break. "Approximate" here means approximate W.R.T.
+# the exact top-k (s01), not nondeterministic — recall vs s01 remains
+# a unit-test property, exact bucket/rank agreement is the oracle's.
 # ---------------------------------------------------------------------------
+
 
 N_PLANES = 6
 EMB_DIM = 64
@@ -114,7 +120,48 @@ def bucket_id(emb_col, n_planes: int = N_PLANES) -> F.Column:
     return acc
 
 
-@query("s02_ann_lsh")
+def bucket_sql(n_planes: int, col: str = "emb") -> str:
+    """DuckDB expression computing the same sign-pattern bucket id as
+    ``bucket_id`` from the same literal hyperplanes — shared by the
+    s02 and d10 oracles so Spark and SQL can never see different
+    bucket families."""
+    terms = []
+    for i, plane in enumerate(_hyperplanes(n_planes)):
+        lits = ", ".join(repr(x) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}, [{lits}]) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+S02_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+b AS (
+  SELECT vec_id, emb, {bucket_sql(N_PLANES)} AS bucket FROM v
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket
+  FROM b WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(q.qemb, b.emb)
+               / (sqrt(list_dot_product(q.qemb, q.qemb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+  FROM q JOIN b ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query("s02_ann_lsh", oracle=S02_ORACLE)
 def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("emb")

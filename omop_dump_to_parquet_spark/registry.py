@@ -85,11 +85,14 @@ _WINDOW = 50
 # pinned until the driver re-checks them.
 # d05 rewritten in r5 (md5-derived 60-bit token hash; upgraded from
 # rows-only to a full differential oracle) — pinned likewise.
+# s02 gained a full differential oracle in r5 (literal-hyperplane
+# buckets recomputed in SQL, the d10 recipe) — pinned likewise.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "w13_gaps_and_islands",
     "s09_ann_pq",
     "d04_dedup_minhash_lsh",
     "d05_dedup_simhash",
+    "s02_ann_lsh",
 )
 
 
