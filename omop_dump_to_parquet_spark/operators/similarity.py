@@ -355,9 +355,10 @@ def s04_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF_NPROBE nearest cells (multi-probe recovers the recall lost at
 # cell borders — the standard IVF accuracy knob). Cells here are
 # cosine-nearest of NLIST seed centroids (the first NLIST vectors —
-# deterministic; a production build k-means-trains them). Approximate
-# by design → rows-only check; cell-assignment totality, rank
-# contiguity, and recall vs brute force asserted in unit tests.
+# deterministic; a production build k-means-trains them). Fully
+# differential since r5 (S05_ORACLE below rebuilds the identical
+# index in SQL); cell-assignment totality, rank contiguity, and
+# recall vs brute force additionally asserted in unit tests.
 # Scale: assignment is map-side; the per-cell search is the same
 # bounded-block pattern as S02 — candidates shrink ~NLIST/NPROBE× per
 # probe.
@@ -366,8 +367,53 @@ def s04_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_NLIST = 16
 IVF_NPROBE = 2
 
+_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
 
-@query("s05_ann_ivf")
+# Full differential oracle (r5): the seed centroids are ROWS OF THE
+# TABLE (vec_id < NLIST), so SQL reproduces the whole index build —
+# cell assignment is argmax unrounded cosine with cell-id tie-break
+# (the identical (−cos, cell) sort order as the Spark plan; both
+# engines fold the dot product left-to-right, the s01/d10 precedent),
+# multi-probe is crn ≤ NPROBE over the same ranking, and the final
+# top-k uses the rounded-cosine/id contract.
+S05_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS cemb FROM v WHERE vec_id < {IVF_NLIST}),
+ranked_cells AS (
+  SELECT v.vec_id, c.cell,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_COS.format(a="v.emb", b="c.cemb")} DESC, c.cell
+         ) AS crn
+  FROM v CROSS JOIN c
+),
+assigned AS (SELECT vec_id, cell FROM ranked_cells WHERE crn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell AS qcell
+  FROM ranked_cells WHERE vec_id < {N_QUERIES} AND crn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_COS.format(a="q.emb", b="n.emb")}, 6) AS cos_sim
+  FROM probes p
+  JOIN assigned a ON a.cell = p.qcell AND a.vec_id <> p.query_id
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN v n ON n.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query("s05_ann_ivf", oracle=S05_ORACLE)
 def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("emb")

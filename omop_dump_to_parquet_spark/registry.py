@@ -93,6 +93,7 @@ _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d04_dedup_minhash_lsh",
     "d05_dedup_simhash",
     "s02_ann_lsh",
+    "s05_ann_ivf",
 )
 
 
