@@ -472,12 +472,55 @@ def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approximate full-precision cosine to ~1/127 per component.
 # THE 100 TB lever: the broadcast corpus and every scan shrink 8×
 # (float64 → int8), and int8 GEMM is memory-bandwidth-bound — this is
-# the standard serving layout (FAISS SQ8). Approximate by design →
-# rows-only check; top-k agreement vs exact S01 asserted in tests.
+# the standard serving layout (FAISS SQ8).
+#
+# Full differential oracle (r5): every step of the quantized scoring
+# is reproducible in SQL — np.rint is banker's rounding, which DuckDB
+# spells round_even(x, 0); the int8 dot is exact integer arithmetic
+# (≤ 64·127², exact in doubles); norms and the final round-6 ranking
+# follow the s01 contract. Top-k agreement vs exact s01 additionally
+# asserted in tests.
 # ---------------------------------------------------------------------------
 
+S06_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+sc AS (
+  SELECT vec_id, emb,
+         CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(emb, x -> abs(x))) END AS s
+  FROM v
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(emb, x -> round_even(x / s * 127, 0)) AS qv
+  FROM sc
+),
+nrm AS (
+  SELECT vec_id, qv,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) = 0 THEN 1.0
+              ELSE sqrt(list_dot_product(qv, qv)) END AS n
+  FROM q8
+),
+p AS (
+  SELECT vec_id AS query_id, qv AS pv, n AS pn
+  FROM nrm WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(p.pv, c.qv) / (p.pn * c.n), 6) AS cos_sim_q
+  FROM p JOIN nrm c ON c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim_q, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim_q DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
 
-@query("s06_ann_int8")
+
+@query("s06_ann_int8", oracle=S06_ORACLE)
 def s06_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 top-k ANN: the N_QUERIES probe vectors are quantized on the
     driver (bounded collect — N_QUERIES rows, same class as S05's

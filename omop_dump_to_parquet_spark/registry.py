@@ -94,6 +94,7 @@ _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d05_dedup_simhash",
     "s02_ann_lsh",
     "s05_ann_ivf",
+    "s06_ann_int8",
 )
 
 
