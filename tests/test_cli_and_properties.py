@@ -144,3 +144,54 @@ def test_vector_math_matches_numpy(spark):
         expect = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert math.isclose(r["cos"], expect, rel_tol=1e-9, abs_tol=1e-9)
         assert -1.0000001 <= r["cos"] <= 1.0000001
+
+
+@given(
+    st.lists(  # per-doc band-key rows: doc i -> keys[i][band]
+        st.lists(st.integers(min_value=0, max_value=5), min_size=4, max_size=4),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_first_band_emission_equals_distinct_any_band(keys):
+    """The r5 LSH dedupe-by-construction invariant
+    (dedup.lsh_candidate_pairs): emitting a colliding pair only at its
+    FIRST shared band yields each any-band-colliding pair EXACTLY
+    once — the same set the groupBy-dedupe formulation produced, with
+    no dedupe pass. Tiny key range (0-5) forces heavy collisions so
+    multi-band duplication actually occurs."""
+    n, bands = len(keys), 4
+    any_band = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if any(keys[a][c] == keys[b][c] for c in range(bands))
+    }
+    emitted = []
+    for c in range(bands):
+        for a in range(n):
+            for b in range(a + 1, n):
+                if keys[a][c] == keys[b][c] and not any(
+                    keys[a][e] == keys[b][e] for e in range(c)
+                ):
+                    emitted.append((a, b))
+    assert set(emitted) == any_band
+    assert len(emitted) == len(set(emitted))  # exactly-once, no dedupe needed
+
+
+@given(st.integers(min_value=0, max_value=2**60 - 1),
+       st.integers(min_value=0, max_value=2**60 - 1))
+@settings(max_examples=300, deadline=None)
+def test_simhash_pigeonhole_hamming_implies_shared_chunk(fa, fb):
+    """d05's oracle relies on: Hamming(fa, fb) ≤ 3 over 4×15-bit
+    chunks ⇒ at least one chunk identical (pigeonhole) — so the
+    banded Spark plan and the unbanded all-pairs SQL define the same
+    output set."""
+    hamming = bin(fa ^ fb).count("1")
+    chunks_equal = any(
+        ((fa >> (15 * c)) & 0x7FFF) == ((fb >> (15 * c)) & 0x7FFF)
+        for c in range(4)
+    )
+    if hamming <= 3:
+        assert chunks_equal
