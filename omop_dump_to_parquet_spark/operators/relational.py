@@ -1694,3 +1694,78 @@ def q49_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_rank_eps"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q50 — TPC-H Q21 SHAPE (the hardest classic join composite): EXISTS
+# and NOT EXISTS correlated against the SAME fact table, stacked on an
+# inner join — "suppliers solely responsible for a problem on
+# finalized multi-supplier orders". (The fixture lacks receipt/commit
+# dates, so l_returnflag = 'R' stands in for Q21's late-delivery
+# predicate; the operator SHAPE — inner join + correlated semi +
+# correlated anti with mixed equi/non-equi conditions — is the
+# point.) Spark plans the EXISTS as LeftSemi and the NOT EXISTS as
+# LeftAnti on the l_orderkey equi key, carrying the suppkey
+# inequality as the join residual — three passes over lineitem, all
+# clustered on orderkey, so AQE can reuse one exchange layout; no
+# per-row subquery execution anywhere.
+#
+# Determinism: exact counts only.
+# ---------------------------------------------------------------------------
+
+Q50_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+@query("q50_exists_notexists_chain", oracle=Q50_ORACLE)
+def q50_exists_notexists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supplier = table(spark, sf_dir, "supplier")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    only_problem = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        only_problem.join(
+            supplier, F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
