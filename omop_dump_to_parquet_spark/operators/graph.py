@@ -304,3 +304,99 @@ def d08_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G01 — PageRank over the d03 similarity graph (iterative algorithm
+# surface): score each document's centrality in the near-duplicate
+# neighborhood graph — high-PR nodes are template/boilerplate hubs, a
+# corpus-curation signal the pairwise ops can't give (a doc similar
+# to MANY already-similar docs ranks above one in an isolated pair).
+#
+# Fixed PR_ITERS Jacobi iterations, damping 0.85. Each iteration is
+# one join (edges × current ranks, both clustered on src) + one
+# aggregation on dst — the canonical Pregel-on-DataFrames step; the
+# edge table is materialized ONCE (localCheckpoint) so the expensive
+# pair generation never re-runs per iteration. Determinism across
+# engines AND across partitionings: per-iteration sums accumulate in
+# exact DECIMAL(38,18) (dsum) and the result is rounded to 9 dp
+# before feeding the next iteration — an 18th-fractional-digit
+# rounding tie would require the double to be k·10⁻¹⁸ + 5·10⁻¹⁹
+# exactly, which no binary rational can be, so both engines round
+# identically. The oracle unrolls the same five iterations as chained
+# CTEs — a differential-checked ITERATIVE op, not rows-only.
+#
+# Scale: iterations are linear in |edges|; rank/degree tables are
+# |nodes| and broadcastable long before the edge table stops fitting
+# a shuffle. A 100 TB corpus bounds iterations the same way (PR
+# converges geometrically; fixed small k is the production norm).
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+_PR_STEP = """{name} AS (
+  SELECT e.dst AS node,
+         round(0.15 + 0.85 * CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(38,18)))
+                                  AS DOUBLE), 9) AS pr
+  FROM und e
+  JOIN {prev} p ON p.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+
+G01_ORACLE = (
+    f"WITH {_D03_CTES},\n"
+    f"pairs AS (SELECT doc_a, doc_b FROM ({_D03_SELECT}) t),\n"
+    "und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
+    "        UNION ALL SELECT doc_b, doc_a FROM pairs),\n"
+    "deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),\n"
+    "pr0 AS (SELECT src AS node, 1.0 AS pr FROM deg),\n"
+    + ",\n".join(
+        _PR_STEP.format(name=f"pr{i + 1}", prev=f"pr{i}")
+        for i in range(PR_ITERS)
+    )
+    + f"\nSELECT node, pr FROM pr{PR_ITERS}"
+)
+
+
+@query("g01_pagerank", oracle=G01_ORACLE)
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fractions import Fraction
+
+    from ..functions.deterministic import dsum
+
+    docs = table(spark, sf_dir, "documents")
+    ratio = Fraction(str(JACCARD_THRESHOLD))
+    candidates = prefix_filter_candidates(
+        docs, ratio.numerator, ratio.denominator, "lang", "source"
+    )
+    pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    und = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            und.join(pr, und["src"] == pr["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("n2"),
+                (F.col("pr") / F.col("deg")).alias("c"),
+            )
+        )
+        pr = contrib.groupBy(F.col("n2").alias("node")).agg(
+            F.round(
+                F.lit(0.15) + F.lit(PR_DAMPING) * dsum("c", 38, 18), 9
+            ).alias("pr")
+        )
+    return pr
