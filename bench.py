@@ -191,6 +191,11 @@ def main() -> None:
             "q42_rolling_distinct",
             "w17_ewma",
             "m06_contrastive_pairs",
+            "d05_dedup_simhash",
+            "g01_pagerank",
+            "d12_keep_best_quality",
+            "q50_exists_notexists_chain",
+            "w18_scd2_intervals",
         ):
             runs = []
             for _ in range(reps):
