@@ -374,6 +374,14 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD).select(
         "doc_a", "doc_b"
     )
+    # Repartition the symmetrized edges BY src at session width before
+    # checkpointing: the union would otherwise double the partition
+    # count (2×32) and every iteration would pay 64-task stages plus a
+    # per-iteration edge shuffle for the src join; pre-clustering on
+    # the join key makes all five iterations read co-located edges.
+    # Measured at sf0.1: 1.81s → 0.92s for the PR loop, identical
+    # values.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     und = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -381,7 +389,8 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        .localCheckpoint(eager=False)
+        .repartition(n_shuffle, "src")
+        .localCheckpoint(eager=True)
     )
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
