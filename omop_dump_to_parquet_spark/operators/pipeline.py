@@ -176,3 +176,82 @@ def p02_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "digest")
     )
+
+
+# ---------------------------------------------------------------------------
+# P03 — corpus snapshot diff (dataset versioning): classify every
+# document across two corpus versions as added / removed / changed /
+# unchanged by digest comparison under a FULL OUTER join on doc_id —
+# the audit step a production lake runs between ingest snapshots
+# (what changed since the release we trained on?). The fixture has
+# one snapshot, so v2 is derived from v1 by deterministic relational
+# transforms both engines express identically: drop doc_id % 7 = 0
+# (removals), rewrite text for doc_id % 5 = 0 (changes), and add
+# re-keyed copies of doc_id % 11 = 0 under doc_id + 1,000,000
+# (additions) — the mechanics under test are the digest compare and
+# the outer-join classification, not the simulation.
+#
+# Scale: one shuffle on doc_id for the full outer join; digests are
+# computed map-side so only (id, 16-byte md5) rows move. At 100 TB
+# this runs digest-only over both snapshots' parquet — never the
+# text.
+# ---------------------------------------------------------------------------
+
+P03_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+),
+v2_base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+),
+v2 AS (
+  SELECT doc_id, md5(text) AS h FROM v2_base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+  FROM documents WHERE doc_id % 11 = 0
+),
+j AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, v1.h AS h1, v2.h AS h2
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT doc_id,
+       CASE WHEN h1 IS NULL THEN 'added'
+            WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 = h2 THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM j
+"""
+
+
+@query("p03_snapshot_diff", oracle=P03_ORACLE)
+def p03_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h1"))
+    v2_base = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    v2 = (
+        v2_base.select("doc_id", F.md5("text").alias("h2"))
+        .union(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5("text").alias("h2"),
+            )
+        )
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") == F.col("h2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
