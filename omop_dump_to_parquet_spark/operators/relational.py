@@ -1672,7 +1672,9 @@ def q48_theta_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q49_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       TRUE AS within_rank_eps
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_rank_eps,
+       TRUE AS acd_within_eps
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -1680,19 +1682,33 @@ GROUP BY l_returnflag
 
 @query("q49_approx_quantile_bound", oracle=Q49_ORACLE)
 def q49_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Covers BOTH of q27's sketch members: the KLL median inside a
+    # ±0.05 rank band (accuracy 10000 → rank error 1e-4, enormous
+    # slack) and HLL++ approx_count_distinct within ±15% of the exact
+    # count (default rsd 0.05 → 3σ = 15%).
     li = table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5).alias("amed"),
         F.expr("percentile(l_extendedprice, 0.45)").alias("lo"),
         F.expr("percentile(l_extendedprice, 0.55)").alias("hi"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("l_partkey").alias("acd"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
     )
+    acd_eps = 0.15
     return agg.select(
         "l_returnflag",
         "n_rows",
+        "exact_parts",
         (F.col("amed").between(F.col("lo"), F.col("hi"))).alias(
             "within_rank_eps"
         ),
+        (
+            F.col("acd").between(
+                F.col("exact_parts") * (1 - acd_eps),
+                F.col("exact_parts") * (1 + acd_eps),
+            )
+        ).alias("acd_within_eps"),
     )
 
 
