@@ -865,3 +865,54 @@ def s09_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "approx_dist", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# S10 — PQ recall gate (driver-visible accuracy evidence for s09,
+# the q47-q49 recipe applied to ANN): per probe, compute the EXACT
+# top-k (s01's plan — DuckDB-verifiable) and s09's PQ answer, emit
+# the exact neighbor count plus a boolean `recall ≥ floor`. The
+# oracle recomputes the exact side and emits TRUE — so the driver's
+# hash gates BOTH that the exact side matches across engines AND
+# that the PQ index clears its pinned recall floor, upgrading s09's
+# accuracy evidence from unit-test-only to every-round differential.
+# Floor = 0.6/query (the unit-test minimum; measured 0.96-1.0 mean
+# with the refine stage).
+# ---------------------------------------------------------------------------
+
+S10_RECALL_FLOOR = 0.6
+
+S10_ORACLE = f"""
+SELECT query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok
+FROM ({S01_ORACLE}) t
+GROUP BY query_id
+"""
+
+
+@query("s10_pq_recall_gate", oracle=S10_ORACLE)
+def s10_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = s01_knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    pq = s09_ann_pq(spark, sf_dir).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hit = (
+        exact.join(pq, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                >= F.lit(S10_RECALL_FLOOR) * F.col("n_exact")
+            ).alias("recall_ok"),
+        )
+    )
