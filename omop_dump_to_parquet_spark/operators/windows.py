@@ -966,3 +966,89 @@ def w18_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W19 — time-in-state: total/average duration each user spends in
+# each event_type state, from w18's SCD2 intervals — the standard
+# temporal-analytics consumer of a validity-interval table (uptime
+# accounting, funnel dwell time, state-machine profiling). Open
+# (current) intervals have no end and are EXCLUDED from duration sums
+# but counted, so the aggregate is well-defined without a query-time
+# "now" (which would be nondeterministic across engines/runs).
+# Duration arithmetic in integer microseconds (epoch_us both
+# engines); one extra groupBy over w18's plan — still a single
+# user_id-clustered shuffle family.
+# ---------------------------------------------------------------------------
+
+W19_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+), isl AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM seq
+), runs AS (
+  SELECT user_id, event_type, island_id, MIN(ts) AS valid_from
+  FROM isl GROUP BY user_id, event_type, island_id
+), iv AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY island_id) AS valid_to
+  FROM runs
+)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(COUNT(valid_to) AS BIGINT) AS n_closed,
+       CAST(COALESCE(SUM(epoch_us(valid_to) - epoch_us(valid_from)), 0)
+            AS BIGINT) AS total_us,
+       CAST(floor(COALESCE(SUM(epoch_us(valid_to) - epoch_us(valid_from)), 0)
+                  / greatest(COUNT(valid_to), 1)) AS BIGINT) AS avg_us
+FROM iv
+GROUP BY user_id, event_type
+"""
+
+
+@query("w19_time_in_state", oracle=W19_ORACLE)
+def w19_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    isl = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(chg)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("island_id"),
+    )
+    runs = isl.groupBy("user_id", "event_type", "island_id").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wv = W.partitionBy("user_id").orderBy("island_id")
+    iv = runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+    dur = ts_us("valid_to") - ts_us("valid_from")
+    return iv.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.count("valid_to").alias("n_closed"),
+        F.coalesce(F.sum(dur), F.lit(0)).alias("total_us"),
+        # floor in BOTH engines: a bare long cast truncates in Spark
+        # but ROUNDS in DuckDB — off-by-one on .5+ fractions
+        F.floor(
+            F.coalesce(F.sum(dur), F.lit(0))
+            / F.greatest(F.count("valid_to"), F.lit(1))
+        ).cast("long").alias("avg_us"),
+    )
