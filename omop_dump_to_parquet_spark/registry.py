@@ -14,7 +14,11 @@ Determinism contract (cross-engine value hashing):
   monetary columns are 2-decimal: ``ROUND(sum, 2)`` is exact-safe),
   or routed through DECIMAL for products (exact arithmetic);
 - rankings over doubles order by the ROUNDED value with an id
-  tie-break, so both engines pick identical top-k sets.
+  tie-break, so both engines pick identical top-k sets;
+- integer results derived from division go through an EXPLICIT
+  floor()/round() before the integer cast on BOTH sides — a bare
+  fractional→BIGINT cast truncates in Spark but rounds in DuckDB
+  (off-by-one at .5+, found by w19's avg_us).
 """
 
 from __future__ import annotations
