@@ -1785,3 +1785,65 @@ def q50_exists_notexists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q51 — Python UDTF in a SQL LATERAL join (the UDTF member of the
+# UDF/UDAF/UDTF surface; q45 is the UDAF member, test_udtf.py pins
+# registration mechanics): per-row stateful expansion — character
+# bigrams over each doc's prefix — aggregated to a deterministic
+# global top-20. The UDTF is the sanctioned slow path for
+# row-stateful generators (parsers/segmenters) that cannot be one
+# column expression; everything around it (LATERAL fan-out, count
+# aggregate, ranked limit) stays JVM-side. The oracle reproduces the
+# bigram expansion with pure SQL list functions, so the Python
+# generator's semantics are differentially checked, not assumed.
+#
+# The UDTF class is CLOSURE-LOCAL: workers unpickle it without the
+# repo on their path (the driver runs queries from an arbitrary cwd).
+# ---------------------------------------------------------------------------
+
+Q51_PREFIX_LEN = 16
+Q51_TOP_N = 20
+
+Q51_ORACLE = f"""
+WITH b AS (
+  SELECT unnest(list_transform(
+           range(1, length(substr(text, 1, {Q51_PREFIX_LEN}))),
+           i -> substr(substr(text, 1, {Q51_PREFIX_LEN}), i, 2)
+         )) AS ngram
+  FROM documents
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY ngram
+ORDER BY n DESC, ngram
+LIMIT {Q51_TOP_N}
+"""
+
+
+@query("q51_udtf_bigram_topk", oracle=Q51_ORACLE)
+def q51_udtf_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    prefix_len = Q51_PREFIX_LEN
+
+    @udtf(returnType="ngram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            p = text[:prefix_len]
+            for i in range(len(p) - 1):
+                yield (p[i : i + 2],)
+
+    spark.udtf.register("q51_bigrams", Bigrams)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("q51_docs")
+    return spark.sql(
+        f"""
+        SELECT b.ngram, COUNT(*) AS n
+        FROM q51_docs d, LATERAL q51_bigrams(d.text) b
+        GROUP BY b.ngram
+        ORDER BY n DESC, b.ngram
+        LIMIT {Q51_TOP_N}
+        """
+    )
