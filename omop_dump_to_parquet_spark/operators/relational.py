@@ -1827,7 +1827,11 @@ def q51_udtf_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prefix_len = Q51_PREFIX_LEN
 
-    @udtf(returnType="ngram: string")
+    # Arrow-optimized UDTF (Spark 4): rows cross the Python boundary
+    # in Arrow batches (ArrowEvalPythonUDTF), not pickled row-at-a-time
+    # — the same sanctioned-slow-path rule the kernels follow, and the
+    # catalog-wide no-BatchEvalPython plan guard enforces it.
+    @udtf(returnType="ngram: string", useArrow=True)
     class Bigrams:
         def eval(self, text: str):
             if text is None:
