@@ -255,3 +255,75 @@ def p03_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P04 — incremental aggregate maintenance (the lakehouse IVM
+# pattern): a stored per-key aggregate built from history is MERGED
+# with a fresh batch's partial aggregate — never recomputed from raw
+# history. Every measure is chosen re-aggregable (count/sum/min/max
+# merge associatively; avg derives from sum/count at read time), so
+# merged-state == full-recompute EXACTLY, and that equality IS the
+# oracle: DuckDB aggregates the whole table from scratch, Spark
+# builds state(ts < cutoff) ⊎ partial(ts ≥ cutoff). The driver's
+# hash check therefore proves the re-aggregation algebra, not just
+# the arithmetic.
+#
+# Scale: the whole point at 100 TB — the nightly job aggregates ONLY
+# the new partition and merges |keys| rows of state; raw history is
+# never rescanned. Sum routes through exact DECIMAL (dsum) so merge
+# order (state-then-delta vs full-scan) cannot produce ULP drift.
+# ---------------------------------------------------------------------------
+
+P04_CUTOFF = "2024-01-15 00:00:00"
+
+P04_ORACLE = f"""
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+@query("p04_incremental_agg_merge", oracle=P04_ORACLE)
+def p04_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.deterministic import dsum
+    from ..sources.parquet import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    cutoff = F.lit(P04_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        # sum kept in EXACT decimal until after the merge — casting to
+        # double per-partial then re-adding would reintroduce order
+        # dependence at the merge step
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    state = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "first_ts",
+        "last_ts",
+    )
