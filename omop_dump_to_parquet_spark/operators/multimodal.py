@@ -450,3 +450,80 @@ def m06_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_positive",
         F.round(cosine_d(F.col("anchor_emb"), F.col("emb")), 6).alias("cos_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M07 — deterministic augmentation plan: per (sample, epoch), derive
+# the augmentation parameters (horizontal flip, crop offsets,
+# brightness bucket) as pure hash arithmetic over (doc_id, epoch) —
+# the reproducible-training requirement: any worker, any restart, any
+# engine derives the IDENTICAL augmentation schedule without storing
+# it, and an epoch replays exactly. Parameters come from disjoint hex
+# slices of md5(doc_id || ':' || epoch) (the t17 recipe: string/hex
+# arithmetic both engines evaluate byte-identically), crop ranges
+# from m01's payload size. The fan-out is explode(sequence) —
+# codegen, one row per (sample, epoch), no shuffle at all until a
+# consumer aggregates.
+#
+# Scale: map-side only; the plan is O(samples × epochs) rows of a few
+# ints — at 100 TB you generate it lazily inside the training reader
+# rather than materializing, same expression tree.
+# ---------------------------------------------------------------------------
+
+M07_EPOCHS = 3
+
+M07_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         unnest(range(0, {M07_EPOCHS})) AS epoch
+  FROM documents
+),
+h AS (
+  SELECT doc_id, epoch, n_bytes,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS hx
+  FROM base
+)
+SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+       substr(hx, 1, 1) <= '7' AS flip,
+       CAST(('0x' || substr(hx, 2, 4))::BIGINT % greatest(n_bytes // 4, 1)
+            AS BIGINT) AS crop_x,
+       CAST(('0x' || substr(hx, 6, 4))::BIGINT % greatest(n_bytes // 4, 1)
+            AS BIGINT) AS crop_y,
+       CAST(('0x' || substr(hx, 10, 2))::BIGINT % 5 AS BIGINT)
+         AS brightness_bucket
+FROM h
+"""
+
+
+@query("m07_augmentation_plan", oracle=M07_ORACLE)
+def m07_augmentation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(M07_EPOCHS - 1))
+        ).alias("epoch"),
+    )
+    hx = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    crop_range = F.greatest(
+        (F.col("n_bytes") / 4).cast("long"), F.lit(1)
+    )
+    def hex_slice(start: int, n: int):
+        return F.conv(F.substring(hx, start, n), 16, 10).cast("long")
+
+    return base.select(
+        "doc_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        (F.substring(hx, 1, 1) <= "7").alias("flip"),
+        (hex_slice(2, 4) % crop_range).alias("crop_x"),
+        (hex_slice(6, 4) % crop_range).alias("crop_y"),
+        (hex_slice(10, 2) % 5).alias("brightness_bucket"),
+    )
