@@ -972,3 +972,65 @@ def t17_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T18 — two-pass heavy hitters (frequent tokens above a frequency
+# share): candidate generation is PER-BATCH local counting inside
+# Arrow batches — zero shuffle — keeping only tokens whose local
+# count exceeds n_batch/(K+1). Pigeonhole losslessness: if a token's
+# GLOBAL count exceeds n/(K+1) then in at least one batch its local
+# count exceeds that batch's share (the batches partition the
+# corpus), so the candidate union is a provable superset of every
+# true heavy hitter — same argument family as d03's prefix filter.
+# Pass two verifies candidates EXACTLY: the token stream is filtered
+# by the broadcast candidate set before the only shuffle, so the
+# exchange carries O(candidate occurrences), not the whole vocabulary
+# — at 100 TB that is the difference between shuffling every token
+# occurrence and shuffling only the heads'. Output = exact counts of
+# tokens with count·(K+1) > n — deterministic regardless of how the
+# candidate stage was partitioned, which is why a full differential
+# oracle applies even though candidate generation is partition-
+# dependent. Integer threshold arithmetic (count·(K+1) > n), no
+# division, so the boundary is exact in both engines.
+# ---------------------------------------------------------------------------
+
+HH_K = 200  # heavy hitter = frequency share above 1/(K+1)
+
+T18_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM tok
+GROUP BY w
+HAVING COUNT(*) * {HH_K + 1} > (SELECT COUNT(*) FROM tok)
+"""
+
+
+@query("t18_heavy_hitters", oracle=T18_ORACLE)
+def t18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    k = HH_K
+
+    def local_candidates(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            counts = pdf["w"].value_counts()
+            keep = counts[counts * (k + 1) > len(pdf)]
+            yield _pd.DataFrame({"w": keep.index})
+
+    candidates = tok.mapInPandas(
+        local_candidates, schema="w string"
+    ).distinct()
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tok.join(F.broadcast(candidates), "w", "left_semi")
+        .groupBy(F.col("w").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * (k + 1) > F.col("n_total"))
+        .select("token", "n_occurrences")
+    )
