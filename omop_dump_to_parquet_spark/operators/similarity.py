@@ -916,3 +916,112 @@ def s10_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S11 — multi-vector late interaction (ColBERT-style MaxSim): each
+# item is a BAG of sub-vectors; score(q, d) = Σ_i max_j cos(q_i, d_j)
+# — every query sub-vector finds its best-matching doc sub-vector
+# independently, which is the retrieval semantic single-vector cosine
+# (s01) cannot express (one doc facet can dominate one query facet
+# while another facet matches elsewhere). The fixture carries one
+# 64-d vector per item, so the sub-vector bag is a deterministic
+# 4×16-d slicing — the MECHANISM under test is the max-reduce inner
+# loop and its ranking, not the encoder. All 16 pairwise cosines are
+# codegen column expressions; the plan is s01's broadcast shape with
+# a wider scoring expression — no extra shuffle, no Python.
+#
+# Scale: MaxSim cost is |Q|·|C|·(m_q·m_d) dot products — the
+# production path prunes |C| first with a single-vector ANN stage
+# (s02/s05/s09) and MaxSim-rescores the shortlist, exactly the
+# refine pattern s09 pins; this operator IS that rescorer.
+#
+# Determinism: per-term cosines are identical IEEE trees in both
+# engines; the SUM is a fixed 4-term left-to-right add; ranking by
+# ROUND(score, 6) with id tie-break per the repo contract.
+# ---------------------------------------------------------------------------
+
+MAXSIM_PARTS = 4
+_SUB = EMB_DIM // MAXSIM_PARTS
+
+
+def _maxsim_sql() -> str:
+    def cos(a, b):
+        return (
+            f"(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))))"
+        )
+
+    terms = []
+    for i in range(MAXSIM_PARTS):
+        qi = f"list_slice(q.qemb, {i * _SUB + 1}, {(i + 1) * _SUB})"
+        best = ", ".join(
+            cos(qi, f"list_slice(c.emb, {j * _SUB + 1}, {(j + 1) * _SUB})")
+            for j in range(MAXSIM_PARTS)
+        )
+        terms.append(f"greatest({best})")
+    return " + ".join(terms)
+
+
+S11_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_maxsim_sql()}, 6) AS maxsim
+  FROM q, v c
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, maxsim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY maxsim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query("s11_maxsim_late_interaction", oracle=S11_ORACLE)
+def s11_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+
+    def sub(col, i):
+        return F.slice(col, i * _SUB + 1, _SUB)
+
+    terms = []
+    for i in range(MAXSIM_PARTS):
+        qi = sub(F.col("qemb"), i)
+        terms.append(
+            F.greatest(
+                *[
+                    cosine_d(qi, sub(F.col("emb"), j))
+                    for j in range(MAXSIM_PARTS)
+                ]
+            )
+        )
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(score, 6).alias("maxsim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "maxsim", "rank")
+    )

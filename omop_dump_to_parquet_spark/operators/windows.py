@@ -1052,3 +1052,58 @@ def w19_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.count("valid_to"), F.lit(1))
         ).cast("long").alias("avg_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W20 — as-of join WITH TOLERANCE (bounded staleness): each purchase
+# matched to the same user's most recent error, but only if that
+# error is at most ASOF_TOLERANCE old — the financial-data as-of form
+# (pandas merge_asof's `tolerance`), and the semantically safe one at
+# scale: an UNBOUNDED as-of (w05) happily joins a price quote from
+# last year; the tolerance form turns staleness into an explicit
+# contract. Same single-shuffle union-and-carry-forward plan as w05
+# (no join at all), with the match NULLED map-side when it exceeds
+# the tolerance — the carry-forward still crosses the bound (state is
+# one value per user either way); only the EMISSION is filtered, so
+# the plan cost is identical to w05's. DuckDB validates via native
+# ASOF LEFT JOIN + the same staleness CASE.
+# ---------------------------------------------------------------------------
+
+ASOF_TOLERANCE_US = 60 * 60 * 1_000_000  # 1 hour
+
+W20_ORACLE = f"""
+SELECT p.event_id, p.ts,
+       CASE WHEN epoch_us(p.ts) - epoch_us(e.ts) <= {ASOF_TOLERANCE_US}
+            THEN e.ts END AS last_error_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+
+@query("w20_asof_tolerance", oracle=W20_ORACLE)
+def w20_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_probe"),
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("err_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_error_ts", F.last("err_ts", ignorenulls=True).over(w)
+    )
+    fresh = (
+        ts_us("ts") - ts_us("last_error_ts")
+    ) <= ASOF_TOLERANCE_US
+    return carried.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        "ts",
+        F.when(fresh, F.col("last_error_ts")).alias("last_error_ts"),
+    )
