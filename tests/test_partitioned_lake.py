@@ -263,3 +263,43 @@ def test_upsert_recovers_from_stale_crash_state(spark, sf_small, tmp_path):
     assert n == region.count()
     assert not os.path.exists(f"{lake}.__upsert_old")
     assert not os.path.exists(f"{lake}.__upsert_tmp")
+
+
+def test_dynamic_partition_pruning_on_join(spark, sf_small, tmp_path):
+    """DYNAMIC partition pruning — the join-driven sibling of the
+    static pruning above and of the bloom-filter runtime filter
+    (test_plans_physical): when a partitioned fact is joined on its
+    partition column against a SELECTIVE dimension, the fact scan's
+    partition filter is a runtime `dynamicpruning` subquery fed by
+    the dim side, so only joining partitions are ever listed/read —
+    at 100 TB the difference between scanning one date's directories
+    and the whole lake. Broadcast is disabled to force the exchange
+    shape where DPP pays (with broadcast reuse, Spark instead feeds
+    the pruning subquery from the reused broadcast — also asserted)."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+        == "true"
+    )
+    docs = table(spark, sf_small, "documents")
+    out = str(tmp_path / "docs_by_lang_dpp")
+    write_parquet(docs, out, partition_by=["lang"])
+    fact = spark.read.parquet(out)
+    # selective one-partition dim: distinct langs of short docs
+    dim = (
+        docs.filter(F.length("text") < 200)
+        .select(F.col("lang").alias("d_lang"))
+        .distinct()
+        .limit(1)
+    )
+    j = fact.join(dim, fact["lang"] == dim["d_lang"])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = j._jdf.queryExecution().explainString(mode)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the join result is correct
+    keep = {r["d_lang"] for r in dim.collect()}
+    expect = docs.filter(F.col("lang").isin(*keep)).count()
+    assert j.count() == expect
