@@ -1107,3 +1107,90 @@ def w20_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(fresh, F.col("last_error_ts")).alias("last_error_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W21 — interval merge (union of overlapping windows): each event
+# opens a fixed-length activity window [ts, ts + 30 min); overlapping
+# or touching windows per user coalesce into maximal merged intervals
+# — the classic de-overlap algorithm (calendar merging, maintenance-
+# window union, coverage computation). This is the INTERVAL variant
+# of gaps-and-islands (w13 collapses point runs; here a new island
+# starts only when an interval's start exceeds the running MAX of all
+# previous ends — plain lag comparison is wrong when an earlier
+# interval outlasts its successors, e.g. a long window swallowing
+# short ones). One user_id shuffle: running-max, island assignment,
+# and the final per-island aggregate all cluster on it.
+#
+# Determinism: integer microsecond arithmetic; ties ordered by
+# (start, event_id).
+# ---------------------------------------------------------------------------
+
+W21_WINDOW_US = 30 * 60 * 1_000_000
+
+W21_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {W21_WINDOW_US} AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id
+                                    ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM flagged
+)
+SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+       MIN(s) AS merged_start_us,
+       MAX(e) AS merged_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM islands
+GROUP BY user_id, island_id
+"""
+
+
+@query("w21_interval_merge", oracle=W21_ORACLE)
+def w21_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        ts_us("ts").alias("s"),
+        (ts_us("ts") + W21_WINDOW_US).alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(F.col("s") > prev_max_end, 1).otherwise(0).alias("new_island"),
+    )
+    # island sum MUST order by the same unique (s, event_id) key as
+    # the flag window: (s, e) can tie (same-ts events share a fixed-
+    # length window), and tied-row order would make island ids
+    # engine-dependent
+    w2 = W.partitionBy("user_id").orderBy("s", "event_id")
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            w2.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("merged_start_us"),
+        F.max("e").alias("merged_end_us"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
