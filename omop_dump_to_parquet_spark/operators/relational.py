@@ -1851,3 +1851,38 @@ def q51_udtf_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT {Q51_TOP_N}
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q52 — OUTER lateral generation (explode_outer): fan out one row per
+# matched regex token, but PRESERVE rows whose array is empty with a
+# NULL token — the null-generating half of the generator surface
+# (q29's plain explode silently DROPS empty-array rows, which in an
+# audit/anti-join pipeline is a correctness bug: "docs with no
+# matches" vanish instead of surfacing). Same codegen Generate node
+# with outer=true; no join, no shuffle. The oracle mirrors with a
+# LEFT JOIN LATERAL unnest.
+#
+# The extraction ('qu'-prefixed words) splits the fixture corpus
+# ~77/23 between matching and empty-array docs, so BOTH generator
+# sides — fan-out rows and null-preserved rows — are genuinely
+# exercised, not vacuous.
+# ---------------------------------------------------------------------------
+
+Q52_ORACLE = """
+SELECT d.doc_id, t.tok AS qu_token
+FROM documents d
+LEFT JOIN LATERAL unnest(regexp_extract_all(d.text, 'qu[a-z]+')) AS t(tok)
+  ON TRUE
+"""
+
+
+@query("q52_explode_outer", oracle=Q52_ORACLE)
+def q52_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(r"regexp_extract_all(text, 'qu[a-z]+', 0)")
+        ).alias("qu_token"),
+    )
