@@ -51,15 +51,22 @@ def w01_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # W02 — running (cumulative) frame per supplier over ship time.
-# Unique ordering (shipdate, orderkey, linenumber) → engine-stable
-# sequential accumulation.
+# Ordering includes l_quantity: (shipdate, orderkey, linenumber) is
+# NOT unique in every driver fixture (the sf0.1 generation carries
+# duplicate (orderkey, linenumber) fact rows — found by a full-scale
+# differential sweep in round 5: ONE colliding pair with quantities
+# 16 vs 13 made the running-sum multiset engine-order-dependent).
+# With the aggregated column itself as the final tie-break, any rows
+# STILL tied have equal quantity, and equal-quantity ties produce an
+# identical cumulative multiset under either order — so the result is
+# deterministic without assuming fixture key uniqueness.
 # ---------------------------------------------------------------------------
 
 W02_ORACLE = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        SUM(l_quantity) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
 FROM lineitem
 """
@@ -70,7 +77,7 @@ def w02_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return li.select(

@@ -99,6 +99,7 @@ _FORCE_IN_WINDOW: tuple[str, ...] = (
     "s02_ann_lsh",
     "s05_ann_ivf",
     "s06_ann_int8",
+    "w02_window_running",
 )
 
 

@@ -414,47 +414,3 @@ def test_verbatim_overlap_index_is_compact(spark, sf_small):
     assert re.search(r"\bgh#\d+L", plan), plan
     assert "CartesianProduct" not in plan
 
-
-def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_small):
-    """The 100 TB shuffle-pruning lever: a selective filter on one
-    join side should inject a runtime bloom filter into the other
-    side's scan (bloom_filter_agg + might_contain), so the big side
-    drops non-joining rows BEFORE the exchange. The size thresholds
-    that gate injection are scale-relative (defaults: 10 MB creation
-    side, 10 GB application side) and correctly do NOT fire at test
-    SF, so this test lowers them to pin that the optimizer rule is
-    ACTIVE in our session configuration — a conf regression that
-    disabled it would fail here while silently costing a full fact
-    shuffle in production."""
-    from pyspark.sql import functions as F
-
-    from omop_dump_to_parquet_spark.sources.parquet import table
-
-    assert (
-        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
-        == "true"
-    )
-    old = {
-        k: spark.conf.get(k)
-        for k in (
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            "spark.sql.autoBroadcastJoinThreshold",
-        )
-    }
-    try:
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            "0",
-        )
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        li = table(spark, sf_small, "lineitem")
-        orders = table(spark, sf_small, "orders")
-        j = li.join(
-            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "bloom_filter_agg" in plan, plan[:2000]
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
