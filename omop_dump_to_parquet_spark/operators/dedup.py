@@ -377,16 +377,18 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     size_ratio: tuple[int, int] | None = None,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band.
 
     One pass: the per-doc band signatures are built as an array and
     EXPLODED (a union of 32 per-band selects would re-evaluate the
     signature aggregation once per band — measured 25× slower at
-    sf0.1). The hot-bucket cap is a count-window over the same
-    (band, bkey) partitioning the self-join shuffles on, so it adds
-    no extra shuffle; the identical a/b subplans then share one
-    exchange via Spark's ReuseExchange.
+    sf0.1). The hot-bucket cap is a map-side partial count on the
+    same (band, bkey) partitioning the self-join shuffles on (the
+    capped-bucket set is tiny — at most docs·bands/max_bucket
+    entries — and is broadcast back as one map row); the identical
+    a/b subplans then share one exchange via Spark's ReuseExchange.
 
     Distinctness is FIRST-COLLIDING-BAND emission, not a dedupe
     shuffle: each banded row carries the doc's full band-key array,
@@ -407,6 +409,18 @@ def lsh_candidate_pairs(
     exactly when near-dedup is worth running. The earlier-band check
     runs only on raw collisions (post equi-join probe), never on the
     full banded table.
+
+    Cap-awareness: the carried array (``skeys``) has CAPPED bands
+    nulled out, so "earliest shared band" means earliest shared
+    SURVIVING band. Checking the raw key array instead would be a
+    silent recall bug: a pair whose first shared band fell in a
+    capped (dropped) bucket but that also shares a later, uncapped
+    band would be suppressed at every band — the groupBy-dedupe
+    formulation emitted it via the later band. The null-safe
+    ``coalesce(= , false)`` makes two capped entries compare
+    not-equal (NULL = NULL → NULL → false), so capped bands can
+    neither emit nor suppress. Property-tested with a bucket-cap
+    model in ``test_first_band_emission_cap_aware``.
 
     ``size_ratio=(num, den)``: if ``sigs`` carries an ``nw`` column
     (per-doc distinct-token count), add the set-size necessary
@@ -430,20 +444,64 @@ def lsh_candidate_pairs(
     )
     banded = pin_expansion_parallelism(banded, "band", "bkey")
     # Cap pathologically hot buckets (constant-content guard).
-    wb = W.partitionBy("band", "bkey")
-    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(wb)).filter(
-        F.col("bucket_n") <= MAX_BUCKET
-    ).drop("bucket_n")
+    # (band, bkey) buckets over max_bucket are collected into ONE
+    # broadcast map row (band → capped keys; ≤ docs·bands/max_bucket
+    # entries by pigeonhole, i.e. a few MB even at 10^10 docs) and
+    # used twice: (1) drop banded rows whose own bucket is capped,
+    # (2) null those bands out of the carried key array so the
+    # first-band check sees only surviving bands. groupBy reuses the
+    # pinned (band, bkey) exchange (partial agg, no extra sort —
+    # cheaper than the old count-window, which sorted every
+    # partition). A global agg always yields exactly one row, so the
+    # broadcast cross join is a no-op multiplier even with zero
+    # capped buckets (empty map).
+    capped = (
+        banded.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+        .groupBy("band")
+        .agg(F.collect_list("bkey").alias("capped_keys"))
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("band", "capped_keys"))
+            ).alias("capped_map")
+        )
+    )
+    banded = (
+        banded.crossJoin(F.broadcast(capped))
+        .withColumn(
+            "skeys",
+            F.transform(
+                "keys",
+                lambda k, i: F.when(
+                    F.array_contains(
+                        F.try_element_at(F.col("capped_map"), i), k
+                    ),
+                    F.lit(None),
+                ).otherwise(k),
+            ),
+        )
+        .filter(
+            F.element_at(F.col("skeys"), F.col("band") + 1).isNotNull()
+        )
+        .drop("keys", "capped_map")
+    )
     a = banded.alias("a")
     b2 = banded.alias("b")
-    # Emit only at the pair's FIRST shared band: bands are 0-based,
-    # key-array positions 1-based; band 0 has no earlier bands (the
-    # WHEN guard also keeps sequence() ascending under ANSI mode).
+    # Emit only at the pair's FIRST shared surviving band: bands are
+    # 0-based, key-array positions 1-based; band 0 has no earlier
+    # bands (the WHEN guard also keeps sequence() ascending under
+    # ANSI mode). coalesce(=, false): capped (NULL) entries never
+    # count as an earlier match.
     earlier_band_matches = F.when(F.col("a.band") == 0, F.lit(False)).otherwise(
         F.exists(
             F.sequence(F.lit(1), F.col("a.band")),
-            lambda i: F.element_at(F.col("a.keys"), i)
-            == F.element_at(F.col("b.keys"), i),
+            lambda i: F.coalesce(
+                F.element_at(F.col("a.skeys"), i)
+                == F.element_at(F.col("b.skeys"), i),
+                F.lit(False),
+            ),
         )
     )
     cond = (

@@ -514,7 +514,7 @@ def m07_augmentation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     crop_range = F.greatest(
-        (F.col("n_bytes") / 4).cast("long"), F.lit(1)
+        F.floor(F.col("n_bytes") / 4).cast("long"), F.lit(1)
     )
     def hex_slice(start: int, n: int):
         return F.conv(F.substring(hx, start, n), 16, 10).cast("long")

@@ -932,7 +932,7 @@ WITH seq AS (
   FROM isl GROUP BY user_id, event_type, island_id
 )
 SELECT user_id, event_type,
-       CAST(island_id + 1 AS BIGINT) AS version,
+       CAST(island_id AS BIGINT) AS version,
        valid_from,
        lead(valid_from) OVER (PARTITION BY user_id
                               ORDER BY island_id) AS valid_to,
@@ -967,7 +967,7 @@ def w18_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.select(
         "user_id",
         "event_type",
-        (F.col("island_id") + 1).cast("bigint").alias("version"),
+        F.col("island_id").cast("bigint").alias("version"),
         "valid_from",
         nxt.alias("valid_to"),
         "n_events",

@@ -62,6 +62,76 @@ def test_lsh_candidates_superset_of_high_jaccard_pairs(spark, sf_small):
     assert not missed, f"LSH missed {len(missed)} true pairs: {missed[:5]}"
 
 
+def test_lsh_cap_aware_first_band_emission(spark):
+    """r6 fix: a pair whose FIRST shared band falls in a capped
+    (dropped) bucket but that shares a later, uncapped band must
+    still be emitted exactly once. The r5 earlier-band check read
+    the raw key array, so the capped band suppressed the pair at
+    every later band — silent recall loss in exactly the
+    boilerplate-heavy regime the cap targets."""
+    # bands=3, rows=1 ⇒ band key is a pure function of h{b}. Docs
+    # 0..9 share h0 (band-0 bucket of 10, capped at 5); docs 0 and 1
+    # also share h1 (bucket of 2, survives). No h2 collisions.
+    rows = [
+        (i, 777, 1000 if i < 2 else 1000 + i + 50, 2000 + i)
+        for i in range(10)
+    ]
+    sigs = spark.createDataFrame(
+        rows, "doc_id bigint, h0 bigint, h1 bigint, h2 bigint"
+    )
+    out = [
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(
+            sigs, bands=3, rows=1, max_bucket=5
+        ).collect()
+    ]
+    assert out == [(0, 1)], out  # emitted via band 1, exactly once
+
+
+def test_lsh_capped_set_matches_surviving_band_model(spark, sf_small):
+    """Differential check of the cap-aware plan against a brute-force
+    surviving-band model at an aggressive cap on real fixture
+    signatures (caps actually fire, unlike MAX_BUCKET at sf0.001)."""
+    from collections import Counter
+
+    docs = table(spark, sf_small, "documents")
+    sigs = D.minhash_signatures(docs)
+    cap = 8
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(sigs, max_bucket=cap).collect()
+    }
+    keys_df = sigs.select(
+        "doc_id",
+        F.array(
+            *[
+                F.xxhash64(
+                    *[F.col(f"h{b * D.LSH_ROWS + r}") for r in range(D.LSH_ROWS)]
+                )
+                for b in range(D.LSH_BANDS)
+            ]
+        ).alias("keys"),
+    ).collect()
+    kmap = {r["doc_id"]: list(r["keys"]) for r in keys_df}
+    bucket = Counter(
+        (b, k) for ks in kmap.values() for b, k in enumerate(ks)
+    )
+    surv = {
+        d: [k if bucket[(b, k)] <= cap else None for b, k in enumerate(ks)]
+        for d, ks in kmap.items()
+    }
+    ids = sorted(kmap)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if any(
+            x is not None and x == y for x, y in zip(surv[a], surv[b])
+        )
+    }
+    assert got == want, (len(got), len(want))
+
+
 def test_simhash_identical_docs_collide(spark, sf_small):
     """SimHash fingerprints are a pure function of the token set."""
     docs = table(spark, sf_small, "documents").limit(20)
