@@ -256,7 +256,16 @@ def m04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: the only Python stage is linear and batch-local; candidates
 # are bounded per band bucket (never corpus-quadratic); the verify is
 # a 2-long-column comparison. Only (doc_id, 8 bytes) shuffle.
-# Rows-only check: no SQL engine runs the Arrow kernel.
+#
+# Full differential oracle (r6, the d05 recipe): the aHash threshold
+# is INTEGER-exact — bit j set iff chunk_sum[j]·64 > Σ chunk_sums,
+# algebraically identical to px[j] > mean(px) (all 64 chunks share
+# one stride) but with no float roundoff, so DuckDB recomputes the
+# very same 64-bit hash from the text bytes in SQL (ord(substr) ==
+# byte value — the fixture is pure ASCII, asserted in unit tests)
+# and the oracle is the UNBANDED all-pairs Hamming ≤ 3 join, which
+# pigeonhole-equals the banded plan (4×16-bit bands ⇒ any pair
+# within Hamming 3 shares ≥1 exact band).
 # ---------------------------------------------------------------------------
 
 PHASH_BANDS = 4
@@ -280,12 +289,16 @@ def ahash_64(df: DataFrame) -> DataFrame:
                 b = _np.frombuffer(bytes(payload), dtype=_np.uint8)
                 if b.size < 64:  # too small to form an 8×8 "image"
                     b = _np.pad(b, (0, 64 - b.size))
-                # fake decode: truncate to a multiple of 64 and average
-                # each of the 64 equal strides — deterministic, and the
-                # same downsample-to-8×8 shape a real decoder produces
+                # fake decode: truncate to a multiple of 64 and
+                # average each of the 64 equal strides — deterministic
+                # and the same downsample-to-8×8 shape a real decoder
+                # produces. Threshold in INTEGER space: with one
+                # shared stride, px[j] > mean(px) ⟺ cs[j]·64 > Σcs —
+                # exact (no float mean), so the SQL oracle reproduces
+                # every bit from the byte values.
                 n = (b.size // 64) * 64
-                px = b[:n].reshape(64, -1).mean(axis=1)
-                bits = (px > px.mean()).astype(_np.uint64)
+                cs = b[:n].reshape(64, -1).astype(_np.int64).sum(axis=1)
+                bits = (cs * 64 > cs.sum()).astype(_np.uint64)
                 h = _np.uint64(0)
                 for i in range(64):
                     h |= bits[i] << _np.uint64(i)
@@ -296,7 +309,48 @@ def ahash_64(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema="doc_id long, phash long")
 
 
-@query("m05_image_phash_neardup")
+# DuckDB recomputes the kernel's aHash bit-for-bit: ord(substr) is
+# the byte value on the ASCII fixture; stride/pad logic mirrors the
+# kernel; bit 63 lands on the sign bit, added as the signed value
+# -2^63 so the BIGINT phash equals the kernel's int64 view. The pair
+# join is UNBANDED all-pairs — pigeonhole-equal to the banded plan.
+M05_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+         CASE WHEN length(text) >= 64 THEN length(text) // 64
+              ELSE 1 END AS stride
+  FROM documents
+), cs AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), j ->
+           CASE
+             WHEN n >= 64 THEN
+               list_sum(list_transform(
+                 range(j * stride + 1, (j + 1) * stride + 1),
+                 i -> ord(substr(text, CAST(i AS INT), 1))))
+             WHEN j < n THEN ord(substr(text, CAST(j + 1 AS INT), 1))
+             ELSE 0
+           END) AS cs
+  FROM b
+), ph AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 63), i ->
+                CASE WHEN cs[CAST(i + 1 AS INT)] * 64 > list_sum(cs)
+                     THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                     ELSE 0 END)) AS BIGINT)
+         + CASE WHEN cs[64] * 64 > list_sum(cs)
+                THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                ELSE 0 END AS phash
+  FROM cs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
+
+@query("m05_image_phash_neardup", oracle=M05_ORACLE)
 def m05_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")

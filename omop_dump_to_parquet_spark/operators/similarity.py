@@ -590,47 +590,165 @@ def s06_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S07 — k-means clustering over the embedding corpus (MLlib, fixed
-# seed): the trained-centroid path that S05's IVF docstring defers to.
-# Output = per-cluster size + centroid L2 norm (rounded) — stable for
-# a fixed seed/build, but engine-specific → rows-only check; cluster
-# totality (sizes sum to corpus) asserted in unit tests.
-# Scale: Lloyd's iterations are each one map (assign) + one tree-agg
-# (recompute centroids) over the corpus — linear per iteration, and
-# the model broadcast is k×dim doubles.
+# S07 — k-means clustering over the embedding corpus: deterministic
+# Lloyd, DIFFERENTIALLY CHECKED (r6, the g01 unrolled-iteration
+# recipe; previously MLlib with a rows-only check). Five Lloyd
+# iterations with cross-engine lockstep at every step:
+#   init      — centroids = the K smallest vec_ids' embeddings (the
+#               fixture id space is dense; any deterministic pick
+#               works — k-means++ would need a cross-engine RNG).
+#   assign    — argmin_c round(|c|² − 2·x·c, 6), built from the
+#               dot-product primitive proven ULP-identical across
+#               engines (functions/vectors.py); |x|² drops out of the
+#               argmin. Ties (after rounding) break to the smallest
+#               cluster id in both engines (array_position /
+#               row_number ORDER BY key, cluster).
+#   update    — per-dim mean via exact DECIMAL(38,18) sums (davg),
+#               rounded to 9 decimals so both engines enter the next
+#               iteration with bit-identical centroids (g01's
+#               round-9 lockstep). Empty clusters keep their previous
+#               centroid.
+# The oracle unrolls the same five iterations as chained CTEs.
+#
+# Scale shape unchanged: each iteration is one map (assign — k×dim
+# literal broadcast inside codegen, no join) + one partial-agg
+# shuffle (k×dim decimal sums); the only driver state is the k×dim
+# centroid matrix (bounded — the same contract as s05's IVF
+# centroids). MLlib's KMeans drops in for production use where
+# cross-engine reproducibility isn't required; Lloyd-in-DataFrame is
+# what makes the op auditable here.
 # ---------------------------------------------------------------------------
 
 KMEANS_K = 8
-KMEANS_SEED = 7
+LLOYD_ITERS = 5
+S07_DIM = 64  # fixture embedding dim; asserted against data in tests
 
 
-@query("s07_kmeans_clusters")
-def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+def _s07_assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Add ``cluster`` = argmin over centroids of the rounded distance
+    key |c|² − 2·x·c (ties → smallest cluster index).
 
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(to_double_array("embedding")).alias("features")
+    The centroid matrix rides in as BROADCAST DATA (one row,
+    array<array<double>>), not as literals: per-iteration literals
+    change the plan and force a fresh whole-stage-codegen compile per
+    iteration (measured: the literal formulation spent ~15s of a 17s
+    run compiling 6 one-off plans at sf0.01); with constant plan
+    structure the generated code is compiled once and every iteration
+    reuses it. Assign stays map-only — a 1-row broadcast nested-loop
+    join is a map-side operator, no shuffle of the corpus."""
+    spark = emb.sparkSession
+    crow = spark.createDataFrame(
+        [([list(c) for c in cents],)], "ca array<array<double>>"
     )
-    model = KMeans(k=KMEANS_K, seed=KMEANS_SEED, maxIter=10).fit(emb)
-    pred = model.transform(emb).select(
-        "vec_id", F.col("prediction").alias("cluster")
-    )
-    import math
-
-    norms = {
-        i: round(math.sqrt(sum(x * x for x in c)), 4)
-        for i, c in enumerate(model.clusterCenters())
-    }
-    norm_col = F.element_at(
-        F.array(*[F.lit(norms[i]) for i in range(KMEANS_K)]),
-        F.col("cluster") + 1,
+    dists = F.transform(
+        F.col("ca"),
+        lambda c: F.round(dot_d(c, c) - 2 * dot_d(F.col("emb"), c), 6),
     )
     return (
-        pred.groupBy("cluster")
+        emb.crossJoin(F.broadcast(crow))
+        .withColumn(
+            "cluster",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("long"),
+        )
+        .drop("ca")
+    )
+
+
+def _s07_oracle() -> str:
+    dim = S07_DIM
+    assign = """
+a{t} AS (
+  SELECT vec_id, emb, cluster FROM (
+    SELECT v.vec_id, v.emb, c.cluster,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(c.cent, c.cent)
+                            - 2 * list_dot_product(v.emb, c.cent), 6),
+                      c.cluster) AS rn
+    FROM v CROSS JOIN c{t} c) t{t}
+  WHERE rn = 1
+)"""
+    update = f"""
+m{{t}} AS (
+  SELECT cluster, i,
+         round(CAST(SUM(CAST(emb[i] AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(emb[i]), 9) AS m
+  FROM a{{t}} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) r{{t}}
+  GROUP BY cluster, i
+),
+c{{t1}} AS (
+  SELECT c.cluster, COALESCE(g.cent, c.cent) AS cent
+  FROM c{{t}} c LEFT JOIN (
+    SELECT cluster, list(m ORDER BY i) AS cent FROM m{{t}} GROUP BY cluster
+  ) g ON c.cluster = g.cluster
+)"""
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cluster, emb AS cent FROM v WHERE vec_id < {KMEANS_K}
+)"""
+    ]
+    for t in range(LLOYD_ITERS):
+        parts.append(assign.format(t=t))
+        parts.append(update.format(t=t, t1=t + 1))
+    parts.append(assign.format(t=LLOYD_ITERS))
+    return (
+        ",".join(parts)
+        + f"""
+SELECT a.cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       round(sqrt(list_dot_product(c.cent, c.cent)), 6) AS centroid_norm
+FROM a{LLOYD_ITERS} a JOIN c{LLOYD_ITERS} c ON a.cluster = c.cluster
+GROUP BY a.cluster, c.cent
+"""
+    )
+
+
+S07_ORACLE = _s07_oracle()
+
+
+@query("s07_kmeans_clusters", oracle=S07_ORACLE)
+def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.deterministic import davg
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    # Bounded driver state: k initial centroids, then k×dim means per
+    # iteration — the same contract as s05's IVF centroid collect.
+    init = emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    cents = [[float(x) for x in r["emb"]] for r in init]
+    for _ in range(LLOYD_ITERS):
+        assigned = _s07_assign(emb, cents)
+        rows = assigned.groupBy("cluster").agg(
+            *[
+                F.round(
+                    davg(F.element_at(F.col("emb"), d + 1), 38, 18), 9
+                ).alias(f"m{d}")
+                for d in range(S07_DIM)
+            ]
+        ).collect()
+        means = {
+            int(r["cluster"]): [float(r[f"m{d}"]) for d in range(S07_DIM)]
+            for r in rows
+        }
+        cents = [means.get(c, cents[c]) for c in range(KMEANS_K)]
+    final = _s07_assign(emb, cents)
+    norms = spark.createDataFrame(
+        [(c, list(v)) for c, v in enumerate(cents)],
+        "cluster long, cent array<double>",
+    ).select(
+        "cluster",
+        F.round(F.sqrt(dot_d(F.col("cent"), F.col("cent"))), 6).alias(
+            "centroid_norm"
+        ),
+    )
+    return (
+        final.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .withColumn("centroid_norm", norm_col)
-        .orderBy("cluster")
+        .join(F.broadcast(norms), "cluster")
     )
 
 

@@ -80,26 +80,27 @@ _WINDOW = 50
 # of the checked window until the driver re-validates them. s06/d05
 # were pinned in r3 and came back clean (CORRECTNESS_r03) — cleared.
 # r4 pins (d03/d04/d06/q03, post verify_jaccard_pairs + q03 rewrites)
-# all came back green in CORRECTNESS_r04 — cleared.  r5 pins w13: its
-# r4 hash-fail was adjudicated as an ORACLE typing bug (DuckDB
-# SUM(BIGINT) → HUGEINT; driver hash is type-sensitive) and the oracle
-# now casts to BIGINT — pinned until CORRECTNESS_r05 shows green.
-# s09 rewritten in r5 (ADC shortlist + exact refine) and d04 rewritten
-# in r5 (first-band LSH emission replaces the pair-dedupe groupBy) —
-# pinned until the driver re-checks them.
-# d05 rewritten in r5 (md5-derived 60-bit token hash; upgraded from
-# rows-only to a full differential oracle) — pinned likewise.
-# s02 gained a full differential oracle in r5 (literal-hyperplane
-# buckets recomputed in SQL, the d10 recipe) — pinned likewise.
+# all came back green in CORRECTNESS_r04 — cleared.  All eight r5
+# pins (w13, s09, d04, d05, s02, s05, s06, w02) came back green in
+# CORRECTNESS_r05 — cleared.
+# r6 pins, rewritten/upgraded this round:
+#   d04 — cap-aware first-band emission (capped buckets nulled out of
+#         the carried key array); value-identical at fixture scale
+#         (cap never fires) but the plan changed.
+#   w18 — version off-by-one fix (island_id, not island_id+1); plan
+#         AND oracle changed in lockstep.
+#   m07 — explicit floor before integer cast (value-identical on
+#         non-negative n_bytes).
+#   m05 — upgraded rows-only → full differential oracle (integer-
+#         exact aHash threshold, DuckDB recomputes the hash).
+#   s07 — MLlib KMeans → deterministic DataFrame Lloyd with an
+#         unrolled-iteration oracle (upgraded rows-only → full).
 _FORCE_IN_WINDOW: tuple[str, ...] = (
-    "w13_gaps_and_islands",
-    "s09_ann_pq",
     "d04_dedup_minhash_lsh",
-    "d05_dedup_simhash",
-    "s02_ann_lsh",
-    "s05_ann_ivf",
-    "s06_ann_int8",
-    "w02_window_running",
+    "w18_scd2_intervals",
+    "m07_augmentation_plan",
+    "m05_image_phash_neardup",
+    "s07_kmeans_clusters",
 )
 
 

@@ -336,12 +336,24 @@ def test_shuffle_verify_matches_broadcast_verify(spark, sf_small):
 def test_kmeans_clusters_total_and_deterministic(spark, sf_small):
     from omop_dump_to_parquet_spark.operators import similarity as S
 
-    a = S.s07_kmeans_clusters(spark, sf_small).collect()
+    # the unrolled oracle hardcodes the dim — guard the assumption
+    dim = spark.read.parquet(f"{sf_small}/embeddings.parquet").select(
+        F.size("embedding")
+    ).distinct().collect()
+    assert [r[0] for r in dim] == [S.S07_DIM]
+
+    a = sorted(
+        S.s07_kmeans_clusters(spark, sf_small).collect(),
+        key=lambda r: r["cluster"],
+    )
     n_emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").count()
     assert sum(r["n_vectors"] for r in a) == n_emb  # totality
     assert len(a) <= S.KMEANS_K
-    b = S.s07_kmeans_clusters(spark, sf_small).collect()
-    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # fixed seed
+    b = sorted(
+        S.s07_kmeans_clusters(spark, sf_small).collect(),
+        key=lambda r: r["cluster"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # deterministic
 
 
 def test_stratified_sample_rates_and_determinism(spark, sf_small):
@@ -614,6 +626,65 @@ def test_m05_finds_planted_near_dups(spark, tmp_path):
     # (real pipelines verify survivors in pixel space)
     assert pairs.get((1, 2)) == 0   # exact dup: Hamming 0
     assert (1, 3) in pairs or (2, 3) in pairs  # planted near-dup found
+
+
+def test_m05_oracle_recomputes_kernel_phash(spark, sf_small):
+    """r6 oracle upgrade: DuckDB must recompute the Arrow kernel's
+    64-bit aHash bit-for-bit from the text bytes (the d05 recipe —
+    integer threshold, no float mean). Also guards the oracle's
+    ord(substr)==byte assumption: the fixture must stay pure ASCII."""
+    import duckdb
+
+    from omop_dump_to_parquet_spark.operators.multimodal import ahash_64
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    docs = table(spark, sf_small, "documents")
+    non_ascii = docs.filter(
+        F.length(F.encode("text", "utf-8")) != F.length("text")
+    ).count()
+    assert non_ascii == 0, "oracle assumes ASCII (ord == byte)"
+
+    payload = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    got = {r["doc_id"]: r["phash"] for r in ahash_64(payload).collect()}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want_rows = con.sql("""
+        WITH b AS (
+          SELECT doc_id, text, length(text) AS n,
+                 CASE WHEN length(text) >= 64 THEN length(text) // 64
+                      ELSE 1 END AS stride
+          FROM documents
+        ), cs AS (
+          SELECT doc_id,
+                 list_transform(range(0, 64), j ->
+                   CASE
+                     WHEN n >= 64 THEN
+                       list_sum(list_transform(
+                         range(j * stride + 1, (j + 1) * stride + 1),
+                         i -> ord(substr(text, CAST(i AS INT), 1))))
+                     WHEN j < n THEN ord(substr(text, CAST(j + 1 AS INT), 1))
+                     ELSE 0
+                   END) AS cs
+          FROM b
+        )
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 63), i ->
+                      CASE WHEN cs[CAST(i + 1 AS INT)] * 64 > list_sum(cs)
+                           THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                           ELSE 0 END)) AS BIGINT)
+               + CASE WHEN cs[64] * 64 > list_sum(cs)
+                      THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                      ELSE 0 END AS phash
+        FROM cs
+    """).fetchall()
+    want = {int(d): int(p) for d, p in want_rows}
+    assert got == want
 
 
 def test_sketch_rollup_tracks_exact_distinct(spark, sf_small):
