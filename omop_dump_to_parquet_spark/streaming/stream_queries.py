@@ -304,6 +304,9 @@ GROUP BY window_start, event_type
 
 @query("st01_stream_tumbling", oracle=ST01_ORACLE)
 def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows over a real readStream
+    replay — append mode + watermark, the form that runs forever on an
+    unbounded stream."""
     # Append mode + watermark: state holds only windows newer than the
     # watermark horizon and each window is emitted exactly once when
     # the watermark passes its end — the form that runs forever on an
@@ -375,6 +378,9 @@ GROUP BY user_id, session_id
 
 @query("st02_session_window", oracle=ST02_ORACLE)
 def st02_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap session windows (``F.session_window``) —
+    dynamic-length sessionization, the streaming-native twin of w04's
+    batch lag/cumsum formulation."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(

@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Deterministic ≥10× scale-rehearsal fixtures (r6 verdict ask #1).
+
+Generates ``documents.parquet`` + ``embeddings.parquet`` at 1×/3×/10×
+the sf0.1 row counts into ``.scale/x{1,3,10}/`` so the d04 family's
+wall-time-vs-size exponents can be MEASURED instead of argued
+(SCALING.md "Scale rehearsal" section holds the results).
+
+Statistics are a DUP-RATE-REALISTIC variant of the driver fixture
+(BASELINE.md:104-109 notes sf0.1 is pathologically dup-dense — ~8% of
+ALL pairs ≥ 0.9 Jaccard — which makes every candidate set approach
+all-pairs and hides the asymptotic behaviour the rehearsal is meant to
+expose):
+
+- vocabulary of 2,000 words under a Zipf(1.1) law (the sf fixtures use
+  31 words, which is what makes them dup-dense);
+- ~12% of docs belong to planted near-dup clusters of size 2-4; a
+  cluster member is either an exact copy or a 1-2 token substitution
+  of its base (distinct-token Jaccard ≳ 0.9, above both the
+  MinHash (0.9) and exact-Jaccard (0.6) operating thresholds);
+- cluster members share (lang, source) so the blocked AllPairs ops
+  (d03/g01) see them — same contract as the driver fixture;
+- the planted-pair count scales LINEARLY with corpus size, so a
+  correctly-scaling pipeline shows near-linear wall time while any
+  hidden quadratic (pair dedupe, unbounded buckets) shows up as a
+  super-linear exponent.
+
+Embeddings: 64-dim float32, 10 Gaussian label clusters, n = 0.4·docs
+(the sf0.1 ratio). Everything is a pure function of SEED — rerunning
+the script reproduces byte-identical fixtures, so the parquet files
+stay out of git (.scale/ is ignored).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 20260814
+BASE_DOCS = 5_000          # sf0.1's documents row count
+BASE_EMB = 2_000           # sf0.1's embeddings row count
+SCALES = (1, 3, 10)
+VOCAB_SIZE = 2_000
+WORDS_PER_DOC = (40, 60)   # uniform inclusive range
+CLUSTER_DOC_FRACTION = 0.12
+N_SOURCES = 20
+EMB_DIM = 64
+N_LABELS = 10
+
+
+def _vocab() -> list[str]:
+    return [f"w{i:04d}" for i in range(VOCAB_SIZE)]
+
+
+def gen_documents(n_docs: int, rng: np.random.Generator) -> pa.Table:
+    vocab = np.array(_vocab())
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    p = ranks ** -1.1
+    p /= p.sum()
+
+    n_cluster_docs = int(n_docs * CLUSTER_DOC_FRACTION)
+    texts: list[str] = []
+    langs: list[str] = []
+    sources: list[str] = []
+
+    def fresh_doc() -> np.ndarray:
+        n_words = rng.integers(WORDS_PER_DOC[0], WORDS_PER_DOC[1] + 1)
+        return rng.choice(vocab, size=n_words, p=p)
+
+    # unique base corpus
+    while len(texts) < n_docs - n_cluster_docs:
+        toks = fresh_doc()
+        texts.append(" ".join(toks))
+        langs.append("en")
+        sources.append(f"src{rng.integers(0, N_SOURCES)}")
+
+    # planted near-dup clusters (members inherit lang/source so the
+    # (lang, source)-blocked ops can see the pair)
+    while len(texts) < n_docs:
+        base = fresh_doc()
+        src = f"src{rng.integers(0, N_SOURCES)}"
+        size = int(rng.integers(2, 5))
+        size = min(size, n_docs - len(texts))
+        texts.append(" ".join(base))
+        langs.append("en")
+        sources.append(src)
+        for _ in range(size - 1):
+            variant = base.copy()
+            if rng.random() > 0.5:  # 1-2 token substitution, else exact
+                for pos in rng.choice(
+                    len(variant), size=int(rng.integers(1, 3)), replace=False
+                ):
+                    variant[pos] = vocab[rng.integers(0, VOCAB_SIZE)]
+            texts.append(" ".join(variant))
+            langs.append("en")
+            sources.append(src)
+
+    # deterministic shuffle so clusters aren't contiguous on doc_id
+    order = rng.permutation(n_docs)
+    texts = [texts[i] for i in order]
+    langs = [langs[i] for i in order]
+    sources = [sources[i] for i in order]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n_emb: int, rng: np.random.Generator) -> pa.Table:
+    centers = rng.normal(0.0, 1.0, size=(N_LABELS, EMB_DIM))
+    labels = rng.integers(0, N_LABELS, size=n_emb)
+    vecs = (
+        centers[labels] + rng.normal(0.0, 0.35, size=(n_emb, EMB_DIM))
+    ).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n_emb), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def main(root: str) -> None:
+    for scale in SCALES:
+        out = os.path.join(root, f"x{scale}")
+        os.makedirs(out, exist_ok=True)
+        # independent stream per scale: reproducible regardless of
+        # which scales are (re)generated
+        rng = np.random.default_rng([SEED, scale])
+        docs = gen_documents(BASE_DOCS * scale, rng)
+        emb = gen_embeddings(BASE_EMB * scale, rng)
+        pq.write_table(docs, os.path.join(out, "documents.parquet"))
+        pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+        print(
+            f"x{scale}: {docs.num_rows} docs, {emb.num_rows} embeddings "
+            f"-> {out}"
+        )
+
+
+if __name__ == "__main__":
+    main(
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(os.path.dirname(__file__), "..", ".scale")
+    )
