@@ -126,11 +126,19 @@ def m02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M03 — frame sampling over fake "video" payloads (honest stub).
+# M03 — frame sampling over fake "video" payloads (honest stub for
+# the CODEC, differentially checked for everything else — r6).
 # Chunks the payload into fixed-size frames and emits every k-th one —
 # the plumbing (explode to frame rows, per-frame metadata, bounded
-# memory per batch) is the real shape of video pipelines. Rows-only
-# check: a real container demuxer is NotImplemented here.
+# memory per batch) is the real shape of video pipelines. A real
+# container demuxer stays NotImplemented (no codec in this
+# environment), but the deterministic fake demux is byte slicing the
+# oracle reproduces with substr on the ASCII fixture, so the whole
+# Arrow path (binary in, binary frames out, typed metadata) gets a
+# full differential oracle: the registered query projects the frame
+# bytes to LOSSLESS hex (the m01 convention — no oracle-backed query
+# emits raw binary, keeping the driver's value hash on strings);
+# ``frame_sample`` keeps the binary API for real consumers.
 # ---------------------------------------------------------------------------
 
 FRAME_BYTES = 64
@@ -155,11 +163,26 @@ def _fake_demux(payload: bytes) -> list[bytes]:
     ]
 
 
-@query("m03_frame_sample")
-def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+M03_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         encode(substr(text, CAST(i * {FRAME_BYTES} + 1 AS INT),
+                       {FRAME_BYTES})) AS frame
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
+  WHERE i * {FRAME_BYTES} < length(text) AND i % {FRAME_STRIDE} = 0
+)
+SELECT doc_id, frame_idx,
+       CAST(octet_length(frame) AS INT) AS frame_bytes,
+       hex(frame) AS frame_hex
+FROM f
+"""
+
+
+def frame_sample(payloads: DataFrame) -> DataFrame:
+    """``(doc_id, payload binary)`` → every ``FRAME_STRIDE``-th
+    ``FRAME_BYTES``-sized frame as ``(doc_id, frame_idx, frame_bytes,
+    frame binary)`` — the binary API real consumers use."""
     frame_bytes, frame_stride = FRAME_BYTES, FRAME_STRIDE  # close over values
 
     def run(batches):
@@ -180,37 +203,65 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame"]
             )
 
-    return docs.mapInPandas(
+    return payloads.mapInPandas(
         run, schema="doc_id long, frame_idx int, frame_bytes int, frame binary"
     )
 
 
+@query("m03_frame_sample", oracle=M03_ORACLE)
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return frame_sample(docs).select(
+        "doc_id",
+        "frame_idx",
+        "frame_bytes",
+        F.hex(F.col("frame")).alias("frame_hex"),
+    )
+
+
 # ---------------------------------------------------------------------------
-# M04 — image resize (honest stub, real plumbing). Payloads carry
-# (width, height) metadata; the "image" is a deterministic fake (row-
-# major bytes). Resize = nearest-neighbor index sampling — a real
-# decoder+resampler (PIL/cv2) drops into the kernel unchanged; the
-# Spark-side shape (metadata-driven target size JVM-side, binary in /
-# binary out through Arrow, output dims as typed columns) is the
-# production pattern. Rows-only check: no SQL engine resizes bytes.
+# M04 — image resize (honest stub for the CODEC, differentially
+# checked for everything else — r6). Payloads carry (width, height)
+# metadata; the "image" is a deterministic fake (row-major bytes).
+# Resize = nearest-neighbor index sampling — a real decoder+resampler
+# (PIL/cv2) drops into the kernel unchanged; the Spark-side shape
+# (metadata-driven target size JVM-side, binary in / binary out
+# through Arrow, output dims as typed columns) is the production
+# pattern. The nearest-neighbor index arithmetic is pure integer
+# sampling the oracle reproduces with substr on the ASCII fixture, so
+# the full Arrow path gets a differential oracle (frame bytes as
+# lossless hex, the m01/m03 convention); ``resize_frames`` keeps the
+# binary API.
 # ---------------------------------------------------------------------------
 
 TARGET_W, TARGET_H = 8, 4
 
+# y = k // out_w, x = k % out_w; src index = (y*src_h//out_h)*src_w
+# + (x*src_w//out_w) — the kernel's exact arithmetic, 1-based substr.
+M04_ORACLE = f"""
+SELECT doc_id,
+       CAST(32 AS INT) AS src_w,
+       CAST(length(text) // 32 AS INT) AS src_h,
+       CAST({TARGET_W} AS INT) AS out_w,
+       CAST({TARGET_H} AS INT) AS out_h,
+       hex(encode(list_aggregate(
+         list_transform(range(0, {TARGET_W * TARGET_H}), k ->
+           substr(text,
+                  CAST(((k // {TARGET_W}) * (length(text) // 32)
+                         // {TARGET_H}) * 32
+                       + ((k % {TARGET_W}) * 32 // {TARGET_W}) + 1 AS INT),
+                  1)),
+         'string_agg', ''))) AS resized_hex
+FROM documents
+WHERE length(text) // 32 >= 1
+"""
 
-@query("m04_resize")
-def m04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
-    # Metadata computed JVM-side: fake frames are W×H with W=32,
-    # H=len/32 (truncated) — routing/filtering on dims never touches
-    # Python. Skip payloads too small to form one row.
-    docs = (
-        docs.withColumn("src_w", F.lit(32))
-        .withColumn("src_h", (F.length("payload") / 32).cast("int"))
-        .filter(F.col("src_h") >= 1)
-    )
+
+def resize_frames(frames: DataFrame) -> DataFrame:
+    """``(doc_id, payload, src_w, src_h)`` → nearest-neighbor-resized
+    ``TARGET_W×TARGET_H`` frames with typed dims — binary API."""
     tw, th = TARGET_W, TARGET_H
 
     def run(batches):
@@ -234,9 +285,32 @@ def m04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             rows = []
 
-    return docs.mapInPandas(
+    return frames.mapInPandas(
         run,
         schema="doc_id long, src_w int, src_h int, out_w int, out_h int, resized binary",
+    )
+
+
+@query("m04_resize", oracle=M04_ORACLE)
+def m04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    # Metadata computed JVM-side: fake frames are W×H with W=32,
+    # H=len/32 (truncated) — routing/filtering on dims never touches
+    # Python. Skip payloads too small to form one row.
+    docs = (
+        docs.withColumn("src_w", F.lit(32))
+        .withColumn("src_h", F.floor(F.length("payload") / 32).cast("int"))
+        .filter(F.col("src_h") >= 1)
+    )
+    return resize_frames(docs).select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        "out_w",
+        "out_h",
+        F.hex(F.col("resized")).alias("resized_hex"),
     )
 
 

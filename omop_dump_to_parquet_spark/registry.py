@@ -95,12 +95,17 @@ _WINDOW = 50
 #         exact aHash threshold, DuckDB recomputes the hash).
 #   s07 — MLlib KMeans → deterministic DataFrame Lloyd with an
 #         unrolled-iteration oracle (upgraded rows-only → full).
+#   m03/m04 — upgraded rows-only → full oracle (the deterministic
+#         fake decode is byte slicing DuckDB reproduces; registered
+#         queries project frames to lossless hex, the m01 convention).
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d04_dedup_minhash_lsh",
     "w18_scd2_intervals",
     "m07_augmentation_plan",
     "m05_image_phash_neardup",
     "s07_kmeans_clusters",
+    "m03_frame_sample",
+    "m04_resize",
 )
 
 

@@ -194,8 +194,10 @@ def test_langid_deterministic_and_total(spark, sf_small):
 def test_frame_sample_stride_and_sizes(spark, sf_small):
     from omop_dump_to_parquet_spark.operators import multimodal as M
 
-    out = QUERIES["m03_frame_sample"](spark, sf_small)
-    rows = out.collect()
+    payloads = table(spark, sf_small, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    rows = M.frame_sample(payloads).collect()
     assert all(r["frame_idx"] % M.FRAME_STRIDE == 0 for r in rows)
     assert all(1 <= r["frame_bytes"] <= M.FRAME_BYTES for r in rows)
     assert all(len(r["frame"]) == r["frame_bytes"] for r in rows)
@@ -209,6 +211,15 @@ def test_frame_sample_stride_and_sizes(spark, sf_small):
         if r["doc_id"] == doc["doc_id"]
     )
     assert [f for _, f in got] == expect
+    # the registered query is the lossless hex projection of the same
+    hx = QUERIES["m03_frame_sample"](spark, sf_small).collect()
+    hmap = {
+        (r["doc_id"], r["frame_idx"]): r["frame_hex"] for r in hx
+    }
+    assert all(
+        hmap[(r["doc_id"], r["frame_idx"])] == bytes(r["frame"]).hex().upper()
+        for r in rows
+    )
 
 
 def test_demux_stub_is_honest():
@@ -253,18 +264,31 @@ def test_resize_deterministic_and_sized(spark, sf_small):
         TARGET_H,
         TARGET_W,
         m04_resize,
+        resize_frames,
     )
 
-    out = m04_resize(spark, sf_small).collect()
+    frames = (
+        table(spark, sf_small, "documents")
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+        .withColumn("src_w", F.lit(32))
+        .withColumn("src_h", F.floor(F.length("payload") / 32).cast("int"))
+        .filter(F.col("src_h") >= 1)
+    )
+    out = resize_frames(frames).collect()
     assert out, "fixture docs all form at least one 32-byte row"
     for r in out:
         assert (r["out_w"], r["out_h"]) == (TARGET_W, TARGET_H)
         assert len(r["resized"]) == TARGET_W * TARGET_H
-    # nearest-neighbor on a known frame: doc text bytes, row-major
-    row = next(r for r in out if r["doc_id"] == out[0]["doc_id"])
-    again = m04_resize(spark, sf_small).collect()
+    # deterministic across recomputation
+    again = resize_frames(frames).collect()
+    row = out[0]
     row2 = next(r for r in again if r["doc_id"] == row["doc_id"])
     assert bytes(row["resized"]) == bytes(row2["resized"])
+    # the registered query is the lossless hex projection of the same
+    hx = {r["doc_id"]: r["resized_hex"] for r in m04_resize(spark, sf_small).collect()}
+    assert all(
+        hx[r["doc_id"]] == bytes(r["resized"]).hex().upper() for r in out
+    )
 
 
 def test_int8_ann_agrees_with_exact_topk(spark, sf_small):
