@@ -36,6 +36,10 @@ OPS = (
     "g01_pagerank",
     "d11_verbatim_overlap",
     "t18_heavy_hitters",
+    # embedding family (x1/x3/x10 = 2k/6k/20k vectors)
+    "s05_ann_ivf",
+    "d10_semdedup",
+    "d08_embedding_dedup_clusters",
 )
 SCALES = (1, 3, 10)
 
