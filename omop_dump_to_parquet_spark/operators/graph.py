@@ -409,3 +409,101 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr")
         )
     return pr
+
+
+# ---------------------------------------------------------------------------
+# G02 — synchronous label propagation (LPA, Raghavan et al. 2007)
+# over the d03 similarity graph: community detection beyond d06's
+# connected components — CC merges anything touching, LPA splits a
+# connected blob into densely-linked communities (the template-
+# family-vs-coincidental-bridge distinction a curation pipeline
+# needs before bulk-dropping "one cluster").
+#
+# Fixed LPA_ITERS SYNCHRONOUS rounds: every node simultaneously
+# adopts the most frequent label among its neighbors, ties broken to
+# the SMALLEST label — fully deterministic (the classic async/random
+# tie-break variant is not reproducible across engines or runs, so
+# it cannot be differentially checked; synchronous min-tie-break is
+# the standard determinization). A fixed iteration count sidesteps
+# the known 2-cycle oscillation of sync LPA — both engines compute
+# the identical k-step trajectory. Oracle: the same rounds unrolled
+# as chained CTEs (per-round neighbor-label counts + row_number
+# argmax), the g01 recipe with counting in place of decimal sums —
+# all-integer state, so no rounding lockstep is even needed.
+#
+# Scale: each round is one join (edges × labels, clustered on the
+# same src key g01 pins) + one (node, label) count + one argmax
+# window on node — |edges|-linear, label table |nodes|-sized. The
+# edge table is checkpointed ONCE and reused by all rounds.
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 4
+
+_LPA_STEP = """c{i} AS (
+  SELECT e.dst AS node, p.community AS cand, COUNT(*) AS cnt
+  FROM und e JOIN l{prev} p ON p.node = e.src
+  GROUP BY e.dst, p.community
+),
+l{i} AS (
+  SELECT node, cand AS community FROM (
+    SELECT node, cand,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, cand) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+
+G02_ORACLE = (
+    f"WITH {_D03_CTES},\n"
+    f"pairs AS (SELECT doc_a, doc_b FROM ({_D03_SELECT}) t),\n"
+    "und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
+    "        UNION ALL SELECT doc_b, doc_a FROM pairs),\n"
+    "l0 AS (SELECT DISTINCT src AS node, src AS community FROM und),\n"
+    + ",\n".join(
+        _LPA_STEP.format(i=i + 1, prev=i) for i in range(LPA_ITERS)
+    )
+    + f"\nSELECT node, community FROM l{LPA_ITERS}"
+)
+
+
+@query("g02_label_propagation", oracle=G02_ORACLE)
+def g02_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fractions import Fraction
+
+    docs = table(spark, sf_dir, "documents")
+    ratio = Fraction(str(JACCARD_THRESHOLD))
+    candidates = prefix_filter_candidates(
+        docs, ratio.numerator, ratio.denominator, "lang", "source"
+    )
+    pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .repartition(n_shuffle, "src")
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    for _ in range(LPA_ITERS):
+        votes = (
+            und.join(labels, und["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n2"), "community")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        wv = W.partitionBy("n2").orderBy(
+            F.col("cnt").desc(), F.col("community")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n2").alias("node"), "community")
+        )
+    return labels

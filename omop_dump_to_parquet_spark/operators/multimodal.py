@@ -655,3 +655,103 @@ def m07_augmentation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hex_slice(6, 4) % crop_range).alias("crop_y"),
         (hex_slice(10, 2) % 5).alias("brightness_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M08 — audio-style framing + per-frame features (r6): OVERLAPPING
+# fixed-length windows (frame 256, hop 128 — the 50%-overlap STFT
+# layout every audio front-end uses) over an opaque payload, with
+# per-frame integer features: energy (byte sum), peak (max byte),
+# and mean-crossing count (sign changes of b[i]·L − Σb, the
+# zero-crossing-rate shape in integer arithmetic — no float mean, so
+# the oracle reproduces every value exactly; same trick as m05's
+# aHash threshold). Complements m03 (disjoint frames): overlap means
+# each byte lands in ~2 frames, the fan-out a real feature extractor
+# pays.
+#
+# Scale shape: one Arrow mapInPandas pass, NumPy-vectorized per
+# frame, linear in payload bytes × overlap factor; output is typed
+# integer columns (routing/filtering JVM-side). A real
+# librosa/torchaudio front-end drops into the kernel unchanged —
+# the framing indices and batch plumbing are exactly what it needs.
+# ---------------------------------------------------------------------------
+
+M08_FRAME = 256
+M08_HOP = 128
+
+M08_ORACLE = f"""
+WITH fr AS (
+  SELECT doc_id, CAST(o AS INT) AS frame_idx,
+         CAST(o * {M08_HOP} AS INT) AS off,
+         substr(text, CAST(o * {M08_HOP} + 1 AS INT), {M08_FRAME}) AS chunk
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 512)) AS o)
+  WHERE o * {M08_HOP} < length(text)
+), b AS (
+  SELECT doc_id, frame_idx, off,
+         CAST(length(chunk) AS INT) AS flen,
+         list_transform(range(1, CAST(length(chunk) + 1 AS INT)),
+                        i -> ord(substr(chunk, CAST(i AS INT), 1))) AS bs
+  FROM fr
+), e AS (
+  SELECT doc_id, frame_idx, off, flen, bs,
+         CAST(list_sum(bs) AS BIGINT) AS energy,
+         CAST(list_max(bs) AS INT) AS peak
+  FROM b
+)
+SELECT doc_id, frame_idx, off, flen, energy, peak,
+       CAST(coalesce(list_sum(list_transform(range(1, flen), i ->
+         CASE WHEN (bs[CAST(i AS INT)] * flen - energy)
+                   * (bs[CAST(i + 1 AS INT)] * flen - energy) < 0
+              THEN 1 ELSE 0 END)), 0) AS INT) AS mean_crossings
+FROM e
+"""
+
+
+@query("m08_audio_framing", oracle=M08_ORACLE)
+def m08_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    frame, hop = M08_FRAME, M08_HOP  # close over values (worker-safe)
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = _np.frombuffer(bytes(payload), dtype=_np.uint8).astype(
+                    _np.int64
+                )
+                for idx, off in enumerate(range(0, b.size, hop)):
+                    c = b[off : off + frame]
+                    energy = int(c.sum())
+                    d = c * c.size - energy
+                    rows.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            off,
+                            int(c.size),
+                            energy,
+                            int(c.max()),
+                            int(((d[:-1] * d[1:]) < 0).sum()),
+                        )
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "off", "flen",
+                    "energy", "peak", "mean_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, frame_idx int, off int, flen int, "
+            "energy long, peak int, mean_crossings int"
+        ),
+    )

@@ -1034,3 +1034,99 @@ def t18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") * (k + 1) > F.col("n_total"))
         .select("token", "n_occurrences")
     )
+
+
+# ---------------------------------------------------------------------------
+# T19 — bigram language-model scoring (r6): train an add-one-smoothed
+# bigram LM on the corpus itself and score each document by its
+# average negative log-likelihood — the classic KenLM-shaped quality
+# filter (high avg NLL ⇒ the document's word transitions are unlike
+# the corpus ⇒ boilerplate junk, mojibake, or off-domain text gets
+# culled before training). Complements t13's unigram logprob with
+# actual SEQUENCE structure: word ORDER matters here, so shuffled
+# word soup scores worse than fluent text over the same vocabulary.
+#
+# Model: P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V), add-one smoothing
+# over the bigram table; score(doc) = avg over its bigrams of
+# −ln P. Bigrams come from ORDERED adjacent token pairs (zip_with of
+# two array slices — pure codegen, no explode-then-self-join).
+#
+# Scale shape (the t13/t14 pattern): the bigram-count table is ONE
+# uniform-key shuffle; the model (bigram lls) is vocabulary²-bounded
+# in principle but Heaps-law-sized in practice and BROADCAST to the
+# fact side, the scalar V folded into the small side pre-broadcast
+# so the exploded corpus crosses exactly one BroadcastHashJoin;
+# per-doc scoring is a groupBy on doc_id. Corpora whose bigram table
+# outgrows broadcast switch that one join to shuffle — same plan
+# otherwise. Determinism: ln on identical rationals + round-6 avg
+# (the t13 precedent, hash-stable across engines).
+# ---------------------------------------------------------------------------
+
+T19_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, ws[CAST(i - 1 AS INT)] AS w1, ws[CAST(i AS INT)] AS w2
+  FROM tok CROSS JOIN (SELECT unnest(range(2, 4096)) AS i)
+  WHERE i <= len(ws)
+), bc AS (
+  SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
+), lc AS (
+  SELECT w1, sum(cnt) AS lcnt FROM bc GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w) AS vsize
+  FROM (SELECT unnest(ws) AS w FROM tok)
+), ll AS (
+  SELECT bc.w1, bc.w2,
+         ln((CAST(bc.cnt AS DOUBLE) + 1)
+            / (CAST(lc.lcnt AS DOUBLE) + v.vsize)) AS ll
+  FROM bc JOIN lc USING (w1) CROSS JOIN v
+)
+SELECT bg.doc_id,
+       round(avg(-ll.ll), 6) AS avg_nll,
+       count(*) AS n_bigrams
+FROM bg JOIN ll ON bg.w1 = ll.w1 AND bg.w2 = ll.w2
+GROUP BY bg.doc_id
+"""
+
+
+@query("t19_bigram_lm_score", oracle=T19_ORACLE)
+def t19_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    lc = bc.groupBy("w1").agg(F.sum("cnt").alias("lcnt"))
+    vsize = (
+        docs.select(F.explode(ws).alias("w"))
+        .agg(F.countDistinct("w").alias("vsize"))
+    )
+    # scalar V folded into the SMALL (model) side before broadcast —
+    # the t13 pattern keeping the fact side to one BroadcastHashJoin
+    model = (
+        bc.join(lc, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("cnt").cast("double") + 1)
+                / (F.col("lcnt").cast("double") + F.col("vsize"))
+            ).alias("ll"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.col("ll")), 6).alias("avg_nll"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

@@ -1201,3 +1201,53 @@ def w21_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("merged_end_us"),
         F.count(F.lit(1)).alias("n_windows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W22 — exact rolling median: per-user sliding-window median of
+# `value` over the last 10 events — the robust-statistics twin of
+# w09's rolling mean (a single outlier saturates a mean; the median
+# is the standard robust smoother for sensor/metric streams). EXACT,
+# not approximate: `percentile(value, 0.5)` as a window aggregate
+# (Spark evaluates the exact interpolated percentile per frame);
+# DuckDB's windowed `median` computes the identical statistic (both
+# average the two middle values on even frames). One user_id
+# exchange + one sort — the same single shuffle family as every w*
+# op; the frame is ROWS-bounded so state per row is O(frame).
+#
+# Scale: exact windowed medians re-sort each frame; at 100 TB with
+# wide frames the approximate twin (percentile_approx over the same
+# frame) or a two-heap applyInPandasWithState kernel bounds the
+# per-row cost — documented trade, exact wins at frame=10.
+# Determinism: frame membership is fixed by the (ts, event_id) total
+# order; round-6 on the interpolated output.
+# ---------------------------------------------------------------------------
+
+W22_FRAME = 10
+
+W22_ORACLE = f"""
+SELECT event_id, user_id, ts,
+       round(median(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {W22_FRAME - 1} PRECEDING AND CURRENT ROW), 6)
+         AS rolling_median
+FROM events
+"""
+
+
+@query("w22_rolling_median", oracle=W22_ORACLE)
+def w22_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(W22_FRAME - 1), W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+            "rolling_median"
+        ),
+    )

@@ -86,3 +86,37 @@ def test_random_graphs_match_union_find(spark):
         expect = union_find_components(edges, nodes)
         got = _cc(spark, [(int(u), int(v)) for u, v in edges])
         assert got == expect, f"case {case}: {sorted(edges)}"
+
+
+def test_g02_lpa_separates_planted_families(spark, tmp_path):
+    """Two disjoint near-duplicate families must land in two distinct
+    communities with all members sharing their family's label; every
+    node appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.operators.graph import (
+        g02_label_propagation,
+    )
+
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta"
+    fam_b = "one two three four five six seven eight"
+    rows = []
+    for i, base in ((0, fam_a), (10, fam_b)):
+        for j in range(3):
+            # drop one word per member: pairwise Jaccard 6/8 = 0.75
+            toks = base.split(" ")
+            del toks[j]
+            rows.append((i + j, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    docs = docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["node"]: r["community"]
+           for r in g02_label_propagation(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 2, 10, 11, 12}
+    a_labels = {out[n] for n in (0, 1, 2)}
+    b_labels = {out[n] for n in (10, 11, 12)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels

