@@ -180,6 +180,38 @@ def _distinct_tokens(
     return docs.select("doc_id", *block_cols, F.explode(toks).alias("w"))
 
 
+def _ranked_tokens(
+    docs: DataFrame,
+    *block_cols: str,
+    tok: DataFrame | None = None,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc tokens with their rank ``rn`` under the global
+    (document-frequency ASC, token ASC) order and the doc's distinct
+    token count ``nw`` — the shared substrate of the prefix index and
+    the position-filtered probe side (one subtree → one computation
+    via ReuseExchange)."""
+    if tok is None:
+        tok = _distinct_tokens(docs, *block_cols)
+    if sizes is None:
+        sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    dfreq = tok.groupBy(*block_cols, "w").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        tok.join(dfreq, [*block_cols, "w"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("w").asc()
+                )
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+
+
 def prefix_index(
     docs: DataFrame,
     num: int,
@@ -197,25 +229,7 @@ def prefix_index(
     ``tok``/``sizes`` let the caller pass the token explosion and
     per-doc size aggregate it already computed (identical subtrees →
     one scan via ReuseExchange instead of three)."""
-    if tok is None:
-        tok = _distinct_tokens(docs, *block_cols)
-    if sizes is None:
-        sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    dfreq = tok.groupBy(*block_cols, "w").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    ranked = (
-        tok.join(dfreq, [*block_cols, "w"])
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(
-                    F.col("df").asc(), F.col("w").asc()
-                )
-            ),
-        )
-        .join(sizes, "doc_id")
-    )
+    ranked = _ranked_tokens(docs, *block_cols, tok=tok, sizes=sizes)
     # prefix length nw - ⌈t·nw⌉ + 1, integer-exact: ⌈num·nw/den⌉
     ceil_t_nw = F.floor(
         (F.lit(num) * F.col("nw") + F.lit(den - 1)) / F.lit(den)
@@ -247,17 +261,44 @@ def prefix_filter_candidates(
     is df_full × df_prefix, and df_prefix ≈ 0 for hot tokens. The
     exact set-size condition (den·min(nw) ≥ num·max(nw), cf.
     lsh_candidate_pairs) prunes further at zero recall cost.
+
+    POSITION filter (PPJoin, Xiao et al. 2008 — r6): a match between
+    A's token at rank pa and B's token at rank pb (global df order on
+    both sides) can witness an overlap of at most
+    1 + min(nwa−pa, nwb−pb) (every other common token sorts after the
+    match on BOTH sides), and Jaccard ≥ num/den forces overlap
+    α ≥ ⌈num·(nwa+nwb)/(num+den)⌉. Matches that cannot reach α are
+    dropped INSIDE the join condition — integer-exact
+    ((1+min)·(num+den) ≥ num·(nwa+nwb)), zero recall cost (a true
+    pair's FIRST common token always satisfies the bound; later
+    redundant matches are what gets pruned, along with most spurious
+    mid-frequency collisions). Measured at 30× fixture scale: raw
+    candidates 130.9M → a small multiple of the true pair count, the
+    growth that made exact-Jaccard candidate generation the one
+    superlinear stage in the scale rehearsal (SCALING.md).
     """
     tok = _distinct_tokens(docs, *block_cols, tokens=tokens)
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    prefix = prefix_index(docs, num, den, *block_cols, tok=tok, sizes=sizes)
-    probe = tok.join(sizes, "doc_id").alias("a")
-    index = prefix.alias("b")
+    ranked = _ranked_tokens(docs, *block_cols, tok=tok, sizes=sizes)
+    ceil_t_nw = F.floor(
+        (F.lit(num) * F.col("nw") + F.lit(den - 1)) / F.lit(den)
+    )
+    index = ranked.filter(
+        F.col("rn") <= F.col("nw") - ceil_t_nw + 1
+    ).alias("b")
+    probe = ranked.alias("a")
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.nw") - F.col("a.rn"), F.col("b.nw") - F.col("b.rn")
+    )
     cond = (
         (F.col("a.w") == F.col("b.w"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (F.col("a.nw") * den >= F.col("b.nw") * num)
         & (F.col("b.nw") * den >= F.col("a.nw") * num)
+        & (
+            overlap_ub * (num + den)
+            >= F.lit(num) * (F.col("a.nw") + F.col("b.nw"))
+        )
     )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))

@@ -98,6 +98,12 @@ _WINDOW = 50
 #   m03/m04 — upgraded rows-only → full oracle (the deterministic
 #         fake decode is byte slicing DuckDB reproduces; registered
 #         queries project frames to lossless hex, the m01 convention).
+#   d03/d06/d07/g01 — prefix_filter_candidates gained the PPJoin
+#         position filter (r6): identical output (completeness proven
+#         by property test + full local differential sweep), 6× fewer
+#         raw candidates — rewritten plan, driver must re-check.
+#         (g02/w22/m08/t19/s12 are new ops: zero driver checks sorts
+#         them into the window automatically, no pin needed.)
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d04_dedup_minhash_lsh",
     "w18_scd2_intervals",
@@ -106,6 +112,10 @@ _FORCE_IN_WINDOW: tuple[str, ...] = (
     "s07_kmeans_clusters",
     "m03_frame_sample",
     "m04_resize",
+    "d03_dedup_ngram_jaccard",
+    "d06_dedup_clusters",
+    "d07_dedup_shingle_jaccard",
+    "g01_pagerank",
 )
 
 

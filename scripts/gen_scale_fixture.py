@@ -131,8 +131,8 @@ def gen_embeddings(n_emb: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
-def main(root: str) -> None:
-    for scale in SCALES:
+def main(root: str, scales: tuple[int, ...] = SCALES) -> None:
+    for scale in scales:
         out = os.path.join(root, f"x{scale}")
         os.makedirs(out, exist_ok=True)
         # independent stream per scale: reproducible regardless of
@@ -149,8 +149,14 @@ def main(root: str) -> None:
 
 
 if __name__ == "__main__":
-    main(
+    root_arg = (
         sys.argv[1]
         if len(sys.argv) > 1
         else os.path.join(os.path.dirname(__file__), "..", ".scale")
     )
+    scales_arg = (
+        tuple(int(s) for s in sys.argv[2].split(","))
+        if len(sys.argv) > 2
+        else SCALES
+    )
+    main(root_arg, scales_arg)

@@ -248,3 +248,54 @@ def test_simhash_pigeonhole_hamming_implies_shared_chunk(fa, fb):
     )
     if hamming <= 3:
         assert chunks_equal
+
+
+@given(
+    st.lists(  # token sets over a small universe → heavy overlap
+        st.sets(st.integers(min_value=0, max_value=14), min_size=1, max_size=10),
+        min_size=2,
+        max_size=8,
+    ),
+    st.tuples(st.integers(min_value=1, max_value=9),
+              st.just(10)),  # threshold num/10
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_position_filter_is_complete(docsets, ratio):
+    """The r6 PPJoin position filter (dedup.prefix_filter_candidates):
+    with tokens globally ordered by (df ASC, token ASC), a pair with
+    J ≥ num/den must survive prefix indexing + the per-match overlap
+    upper bound 1+min(nwa−pa, nwb−pb) ≥ ⌈num(nwa+nwb)/(num+den)⌉ at
+    SOME shared token — zero recall loss by construction."""
+    from collections import Counter
+
+    num, den = ratio
+    df = Counter(t for s in docsets for t in s)
+    order = sorted(df, key=lambda t: (df[t], t))
+    pos = {t: i for i, t in enumerate(order)}
+    ranked = [
+        {t: r + 1 for r, t in enumerate(sorted(s, key=lambda t: pos[t]))}
+        for s in docsets
+    ]
+    for i in range(len(docsets)):
+        for j in range(i + 1, len(docsets)):
+            A, B = docsets[i], docsets[j]
+            inter = len(A & B)
+            if inter * den < num * len(A | B):
+                continue  # below threshold — completeness says nothing
+            nwa, nwb = len(A), len(B)
+            # size condition (exact, zero recall cost)
+            assert nwa * den >= nwb * num and nwb * den >= nwa * num
+            pl_b = nwb - -(-num * nwb // den) + 1  # nw - ceil(t*nw) + 1
+            pl_a = nwa - -(-num * nwa // den) + 1
+            del pl_a  # implementation indexes ONLY the b (larger-id) side
+            survived = False
+            for t in A & B:
+                pa, pb = ranked[i][t], ranked[j][t]
+                in_prefix = pb <= pl_b  # index side = larger doc_id
+                pos_ok = (1 + min(nwa - pa, nwb - pb)) * (num + den) >= (
+                    num * (nwa + nwb)
+                )
+                if in_prefix and pos_ok:
+                    survived = True
+                    break
+            assert survived, (A, B, num, den)
