@@ -1053,16 +1053,34 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles this data produces — the same argument s04's hash-parity
     rests on, not a claim the rounding MODES match.
     """
-    from .similarity import bucket_id
-
     from ..functions.vectors import to_double_array
 
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", to_double_array("embedding").alias("emb"))
-        .withColumn("bucket", bucket_id(F.col("emb"), SEMDEDUP_PLANES))
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
     )
-    tau = SEMDEDUP_TAU
+    return semdedup_prune(emb, SEMDEDUP_PLANES, SEMDEDUP_TAU)
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    n_planes: int = SEMDEDUP_PLANES,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup's per-cluster prune over ``(vec_id, emb)``.
+
+    ``n_planes`` is the planes-scale-with-corpus rule AS A PARAMETER:
+    bucket count 2^planes must track corpus size to hold bucket
+    population (and the per-bucket GEMM's pop² work) constant.
+    Measured at 30× fixture scale (60k vectors): the test-scale
+    default (3 planes → 8 buckets, 7.5k vectors each) runs 36.5s —
+    pure pop² growth; 9 planes → 512 buckets runs the same corpus in
+    a few seconds with the same kernel (SCALING.md "Scale
+    rehearsal"). More planes trade recall at bucket borders exactly
+    like s02 — SemDeDup's own clustering (k-means, s07) has the same
+    border property."""
+    from .similarity import bucket_id
+
+    emb = emb.withColumn("bucket", bucket_id(F.col("emb"), n_planes))
 
     def bucket_gemm(pdf):
         import numpy as _np

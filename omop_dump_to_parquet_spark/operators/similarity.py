@@ -263,22 +263,38 @@ def s04_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 70s at sf0.1; a BLAS GEMM does the identical arithmetic
     in milliseconds.
 
-    Both sides stay distributed: the corpus is hashed into
-    ``GEMM_BLOCKS`` row-blocks (``vec_id % B``), the constant
-    upper-triangular block-pair table (B(B+1)/2 rows) is
-    broadcast-joined against both sides, and a cogrouped
-    ``applyInPandas`` runs one NumPy GEMM per block pair. Every
-    unordered vector pair lands in exactly one block pair, so the
-    result is exact — identical arithmetic to one-sided brute force —
-    while the shuffle moves O(n·B) replicated rows, never O(n²)
-    pairs, and nothing is collected to the driver. At 100 TB, B
-    scales with corpus size so each block fits an Arrow batch
-    (rows/B × dim doubles); the kernel is unchanged.
+    Both sides stay distributed: the corpus is hashed into ``blocks``
+    row-blocks (``vec_id % B``), the constant upper-triangular
+    block-pair table (B(B+1)/2 rows) is broadcast-joined against both
+    sides, and a cogrouped ``applyInPandas`` runs one NumPy GEMM per
+    block pair. Every unordered vector pair lands in exactly one
+    block pair, so the result is exact — identical arithmetic to
+    one-sided brute force — while the shuffle moves O(n·B) replicated
+    rows, never O(n²) pairs, and nothing is collected to the driver.
+    At 100 TB, B scales with corpus size so each block fits an Arrow
+    batch (rows/B × dim doubles); the kernel is unchanged. B is the
+    MEMORY knob, not a work knob — the op is exact all-pairs, so
+    total cosines stay O(n²); sub-quadratic needs the bucketed
+    family (d10/s02/s05). Measured at 30× fixture scale (60k
+    vectors): B=8 dies of GC pressure (7.5k-row blocks → 450 MB
+    score matrices × concurrent kernels), B=64 runs it comfortably —
+    exactly the scale-B-with-corpus rule, now a parameter
+    (``cosine_pair_gemm``) instead of prose.
     """
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("emb")
     )
-    nb = GEMM_BLOCKS
+    return cosine_pair_gemm(emb, COS_DUP_THRESHOLD, GEMM_BLOCKS)
+
+
+def cosine_pair_gemm(
+    emb: DataFrame, threshold: float, blocks: int = GEMM_BLOCKS
+) -> DataFrame:
+    """Exact cosine-≥-threshold pairs over ``(vec_id, emb)`` via the
+    block-pair GEMM; ``blocks`` bounds per-kernel memory
+    ((n/blocks)² score doubles) and must grow with the corpus."""
+    spark = emb.sparkSession
+    nb = blocks
     emb_b = emb.withColumn(
         "blk", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
     )
@@ -304,7 +320,6 @@ def s04_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("er.emb").alias("emb"),
         )
     )
-    threshold = COS_DUP_THRESHOLD
 
     def gemm(key, ldf, rdf):
         import numpy as _np

@@ -104,6 +104,9 @@ _WINDOW = 50
 #         raw candidates — rewritten plan, driver must re-check.
 #         (g02/w22/m08/t19/s12 are new ops: zero driver checks sorts
 #         them into the window automatically, no pin needed.)
+#   d10/s04 — scale knobs extracted as parameters (semdedup_prune /
+#         cosine_pair_gemm); registered plans value-identical, pinned
+#         for a fresh driver check anyway.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d04_dedup_minhash_lsh",
     "w18_scd2_intervals",
@@ -116,6 +119,8 @@ _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d06_dedup_clusters",
     "d07_dedup_shingle_jaccard",
     "g01_pagerank",
+    "d10_semdedup",
+    "s04_dedup_embedding",
 )
 
 
