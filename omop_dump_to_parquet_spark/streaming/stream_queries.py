@@ -793,3 +793,62 @@ def st08_stream_stream_left_outer(
     return out.filter(F.col("p_type") == "purchase").select(
         "purchase_event", "error_event", "user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# ST09 — STREAMING session windows (r6): st02's dynamic-gap
+# sessionization as a real readStream job — append mode + watermark,
+# the form that runs forever (session state merges windows as events
+# arrive and emits a session only once the watermark proves no
+# further event can extend it: gap-close + watermark-pass is exactly
+# production sessionization's emission rule). st02 remains the batch
+# twin; this op proves the ENGINE's session_window state machine
+# (merge-on-arrival, watermark eviction) produces the identical
+# result, against the same oracle.
+#
+# The '__flush__' sentinel (st01's trick) drags the watermark 2h past
+# the last real event so the final open sessions close; it rides 2h
+# past max(ts) with a 30-minute gap, so its own session can never
+# merge with a real one — it is excluded by counting only real
+# events per session and dropping zero-count sessions batch-side.
+# Scale: state is O(open sessions); watermark eviction bounds it on
+# an unbounded stream — same argument as st01, with session merge
+# instead of fixed buckets.
+# ---------------------------------------------------------------------------
+
+
+@query("st09_stream_session_window", oracle=ST02_ORACLE)
+def st09_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap session windows over a real streaming
+    replay (watermark + append) — the streaming state-machine twin of
+    st02's batch ``session_window``."""
+
+    def build(s: SparkSession) -> DataFrame:
+        stream = _events_stream(s, sf_dir, with_flush=True)
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("sw"),
+                "user_id",
+            )
+            .agg(
+                F.count(
+                    F.when(F.col("event_type") != "__flush__", F.lit(1))
+                ).alias("n_events")
+            )
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                "n_events",
+            )
+        )
+
+    out = _run_to_memory(
+        build,
+        spark,
+        "st09_out",
+        "append",
+        expect_single_batch=True,
+        await_watermark_flush=True,
+    )
+    return out.filter(F.col("n_events") > 0)

@@ -145,6 +145,7 @@ STREAMING_QUERIES = {
     "st06_stream_static_enrich",
     "st07_stream_foreachbatch_upsert",
     "st08_stream_stream_left_outer",
+    "st09_stream_session_window",
 }
 
 
