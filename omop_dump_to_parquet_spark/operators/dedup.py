@@ -413,6 +413,20 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
+def band_keys(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
+    """The per-doc band-key array (xxhash64 over each band's ``rows``
+    signature columns) — THE definition of d04's bucketing, shared by
+    ``lsh_candidate_pairs``, the cap-stress measurement script, and
+    the surviving-band model test so the key recipe cannot silently
+    drift between the operator and its evidence."""
+    return F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = LSH_BANDS,
@@ -473,12 +487,7 @@ def lsh_candidate_pairs(
     Integer num/den keeps the boundary exact (0.9·10 in floats could
     tip either way on j = 0.9 pairs).
     """
-    keys = F.array(
-        *[
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
+    keys = band_keys(bands, rows)
     carry = ["nw"] if size_ratio is not None else []
     banded = sigs.select("doc_id", *carry, keys.alias("keys")).select(
         "doc_id", *carry, "keys", F.posexplode("keys").alias("band", "bkey")

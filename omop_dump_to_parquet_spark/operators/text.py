@@ -1078,12 +1078,13 @@ WITH tok AS (
   FROM (SELECT unnest(ws) AS w FROM tok)
 ), ll AS (
   SELECT bc.w1, bc.w2,
-         ln((CAST(bc.cnt AS DOUBLE) + 1)
-            / (CAST(lc.lcnt AS DOUBLE) + v.vsize)) AS ll
+         round(-ln((CAST(bc.cnt AS DOUBLE) + 1)
+                   / (CAST(lc.lcnt AS DOUBLE) + v.vsize)), 9) AS nll
   FROM bc JOIN lc USING (w1) CROSS JOIN v
 )
 SELECT bg.doc_id,
-       round(avg(-ll.ll), 6) AS avg_nll,
+       round(CAST(SUM(CAST(ll.nll AS DECIMAL(38,18))) AS DOUBLE)
+             / COUNT(ll.nll), 6) AS avg_nll,
        count(*) AS n_bigrams
 FROM bg JOIN ll ON bg.w1 = ll.w1 AND bg.w2 = ll.w2
 GROUP BY bg.doc_id
@@ -1109,24 +1110,33 @@ def t19_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("w").alias("vsize"))
     )
     # scalar V folded into the SMALL (model) side before broadcast —
-    # the t13 pattern keeping the fact side to one BroadcastHashJoin
+    # the t13 pattern keeping the fact side to one BroadcastHashJoin.
+    # Per-bigram NLL is rounded to 9 and the per-doc mean accumulates
+    # through exact DECIMAL (davg) — a plain avg(double) would
+    # re-introduce cross-engine summation-order noise at the round-6
+    # boundary (deterministic.py's warning; review finding r6).
+    from ..functions.deterministic import davg
+
     model = (
         bc.join(lc, "w1")
         .crossJoin(F.broadcast(vsize))
         .select(
             "w1",
             "w2",
-            F.log(
-                (F.col("cnt").cast("double") + 1)
-                / (F.col("lcnt").cast("double") + F.col("vsize"))
-            ).alias("ll"),
+            F.round(
+                -F.log(
+                    (F.col("cnt").cast("double") + 1)
+                    / (F.col("lcnt").cast("double") + F.col("vsize"))
+                ),
+                9,
+            ).alias("nll"),
         )
     )
     return (
         bg.join(F.broadcast(model), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg(-F.col("ll")), 6).alias("avg_nll"),
+            F.round(davg(F.col("nll"), 38, 18), 6).alias("avg_nll"),
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )

@@ -37,20 +37,22 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     queries, oracles = load_catalog()
-    fails = []
+    # iterate ORACLES (not queries∩oracles) so a stale oracle whose
+    # query was renamed fails loudly instead of being skipped-as-green
+    fails, passed = [], 0
     t_start = time.time()
-    for qid, fn in queries.items():
-        if qid not in oracles:
-            continue
+    for qid, sql in oracles.items():
         try:
+            fn = queries[qid]  # KeyError ⇒ registry drift ⇒ FAIL
             a = normalize(fn(spark, sf_dir).toPandas())
-            b = normalize(con.sql(oracles[qid]).df())
+            b = normalize(con.sql(sql).df())
             pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            passed += 1
             print(f"OK   {qid} ({len(a)} rows)", flush=True)
         except Exception as ex:  # noqa: BLE001 — report-and-continue sweep
             fails.append(qid)
             print(f"FAIL {qid}: {str(ex)[:200]}", flush=True)
-    print(f"\n{len(oracles) - len(fails)}/{len(oracles)} pass "
+    print(f"\n{passed}/{len(oracles)} pass "
           f"in {time.time() - t_start:.0f}s; failures: {fails}")
     spark.stop()
     return 1 if fails else 0

@@ -102,15 +102,7 @@ def test_lsh_capped_set_matches_surviving_band_model(spark, sf_small):
         for r in D.lsh_candidate_pairs(sigs, max_bucket=cap).collect()
     }
     keys_df = sigs.select(
-        "doc_id",
-        F.array(
-            *[
-                F.xxhash64(
-                    *[F.col(f"h{b * D.LSH_ROWS + r}") for r in range(D.LSH_ROWS)]
-                )
-                for b in range(D.LSH_BANDS)
-            ]
-        ).alias("keys"),
+        "doc_id", D.band_keys().alias("keys")
     ).collect()
     kmap = {r["doc_id"]: list(r["keys"]) for r in keys_df}
     bucket = Counter(
