@@ -734,6 +734,16 @@ def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bounded driver state: k initial centroids, then k×dim means per
     # iteration — the same contract as s05's IVF centroid collect.
     init = emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    # The oracle uses vec_id AS the cluster id while this side indexes
+    # centroids by collect position — sound only while the first K
+    # vec_ids are exactly 0..K-1. Fail loudly if the fixture's id
+    # space ever turns sparse instead of crashing (IndexError below)
+    # or silently diverging from the oracle.
+    got_ids = [r["vec_id"] for r in init]
+    assert got_ids == list(range(KMEANS_K)), (
+        f"s07 requires dense vec_ids 0..{KMEANS_K - 1} (oracle keys "
+        f"clusters by vec_id); fixture has {got_ids}"
+    )
     cents = [[float(x) for x in r["emb"]] for r in init]
     for _ in range(LLOYD_ITERS):
         assigned = _s07_assign(emb, cents)

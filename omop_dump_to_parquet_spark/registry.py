@@ -107,20 +107,21 @@ _WINDOW = 50
 #   d10/s04 — scale knobs extracted as parameters (semdedup_prune /
 #         cosine_pair_gemm); registered plans value-identical, pinned
 #         for a fresh driver check anyway.
+# All 13 r6 pins came back green in CORRECTNESS_r06 — cleared, so the
+# four r3-vintage streaming ids (st01-st04, the oldest driver
+# evidence in the catalog) finally rotate into the r7 window.
+# r7 pins, rewritten this round:
+#   d04 — empty-cap fast path (skip the skeys rewrite when no bucket
+#         is capped) + own-band short-circuit; value-identical, plan
+#         changed.
+#   s09 — integer-lattice PQ rewrite: rows-only → full differential
+#         oracle (every ADC distance is an exact integer).
+#   q27 — upgraded to the q47-q49 exact+within-ε pattern: no_oracle →
+#         full differential.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d04_dedup_minhash_lsh",
-    "w18_scd2_intervals",
-    "m07_augmentation_plan",
-    "m05_image_phash_neardup",
-    "s07_kmeans_clusters",
-    "m03_frame_sample",
-    "m04_resize",
-    "d03_dedup_ngram_jaccard",
-    "d06_dedup_clusters",
-    "d07_dedup_shingle_jaccard",
-    "g01_pagerank",
-    "d10_semdedup",
-    "s04_dedup_embedding",
+    "s09_ann_pq",
+    "q27_approx_sketches",
 )
 
 

@@ -125,3 +125,45 @@ def test_ts_us_works_end_to_end(spark, sf_small):
     lo_2000 = 946_684_800 * 1_000_000
     hi_2100 = 4_102_444_800 * 1_000_000
     assert lo_2000 < row.lo <= row.hi < hi_2100
+
+
+def test_unrolled_oracle_fanout_bounds():
+    """The m03/m08/t19 oracles unroll per-document fan-out with
+    HARDCODED range() bounds (m03: 4096 frames, m08: 512 hops, t19:
+    4095 tokens). A fixture document growing past a bound would make
+    the oracle silently drop rows and the differential gate fail as a
+    confusing row-count mismatch — pin the contract here so the bound
+    violation fails at THIS assertion, by name, instead (advisor
+    finding, r6)."""
+    import duckdb
+
+    from omop_dump_to_parquet_spark.operators.multimodal import (
+        FRAME_BYTES,
+        M08_FRAME,
+        M08_HOP,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        max_chars, max_tokens = duckdb.sql(
+            "SELECT max(length(text)),"
+            "       max(len(string_split(text, ' ')))"
+            f" FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchone()
+        # m03: frame_idx i ranges over [0, 4096); frames exist while
+        # i * FRAME_BYTES < length(text).
+        assert max_chars <= 4096 * FRAME_BYTES, (
+            f"{sf}: max doc {max_chars}B exceeds m03's 4096-frame "
+            f"oracle unroll ({4096 * FRAME_BYTES}B) — raise the bound"
+        )
+        # m08: hop o ranges over [0, 512); frames exist while
+        # o * M08_HOP < length(text). (M08_FRAME only pads the last.)
+        assert M08_FRAME > M08_HOP  # overlap layout sanity
+        assert max_chars <= 512 * M08_HOP, (
+            f"{sf}: max doc {max_chars}B exceeds m08's 512-hop oracle "
+            f"unroll ({512 * M08_HOP}B) — raise the bound"
+        )
+        # t19: bigram index i ranges over [2, 4096] ∩ [2, len(ws)].
+        assert max_tokens <= 4095, (
+            f"{sf}: max doc {max_tokens} tokens exceeds t19's "
+            f"4095-token oracle unroll — raise the bound"
+        )
