@@ -510,7 +510,7 @@ def lsh_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("bucket_n"))
         .filter(F.col("bucket_n") > max_bucket)
         .groupBy("band")
-        .agg(F.collect_list("bkey").alias("capped_keys"))
+        .agg(F.sort_array(F.collect_list("bkey")).alias("capped_keys"))
         .groupBy()
         .agg(
             F.map_from_entries(
@@ -518,18 +518,39 @@ def lsh_candidate_pairs(
             ).alias("capped_map")
         )
     )
+    # Fast path (r7): when NO bucket is capped — the common case; the
+    # cap exists for boilerplate pathologies, and at fixture scale it
+    # never fires — skip the per-row array rewrite entirely (one
+    # cardinality check per row instead of bands × array_contains
+    # scans). When the cap DOES fire, entries at positions PAST the
+    # row's own band are never read (the filter reads position band+1,
+    # the earlier-band check positions 1..band), so the rewrite
+    # short-circuits there: the per-row scan cost is
+    # O(own_band × capped_keys_per_band), half the full-width scan on
+    # average and ~zero for band-0 rows. Remaining scale note: the
+    # surviving scan is linear in each band's capped-key list
+    # (Spark's complex-type lookups are all linear); its size is
+    # bounded by the cap pigeonhole and measured in CAP_STRESS.json —
+    # if a corpus ever pushes thousands of capped keys per band, swap
+    # the broadcast map for a pre-join against the capped-bucket
+    # table (advisor note, r6).
+    no_caps = F.coalesce(F.cardinality("capped_map") == 0, F.lit(True))
     banded = (
         banded.crossJoin(F.broadcast(capped))
         .withColumn(
             "skeys",
-            F.transform(
-                "keys",
-                lambda k, i: F.when(
-                    F.array_contains(
-                        F.try_element_at(F.col("capped_map"), i), k
-                    ),
-                    F.lit(None),
-                ).otherwise(k),
+            F.when(no_caps, F.col("keys")).otherwise(
+                F.transform(
+                    "keys",
+                    lambda k, i: F.when(i > F.col("band"), k)
+                    .when(
+                        F.array_contains(
+                            F.try_element_at(F.col("capped_map"), i), k
+                        ),
+                        F.lit(None),
+                    )
+                    .otherwise(k),
+                )
             ),
         )
         .filter(
