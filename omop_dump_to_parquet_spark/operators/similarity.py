@@ -847,96 +847,298 @@ def s08_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query, corpus scored by M table lookups per vector instead of a
 # 64-dim float product.
 #
-# THE 100 TB lever beyond SQ8: codes are PQ_M bytes per vector (8
-# here — another 8× under int8, 64× under float64), so a billion-
-# vector index is ~8 GB and scan cost is table-lookup-bound.
-# Codebooks here are deterministic (subvectors of a fixed corpus
-# slice, same convention as s05's seed centroids); a production
-# build k-means-trains them — the operator shape is unchanged.
-# Approximate by design → rows-only check; code totality, ranking
-# determinism, and recall vs exact s01 asserted in unit tests.
+# THE 100 TB lever beyond SQ8: codes are PQ_M bytes per vector (16
+# here — 4× under int8, 32× under float64), so a billion-vector
+# index is ~16 GB and scan cost is table-lookup-bound.
+#
+# FULLY DIFFERENTIAL since r7 (previously the one similarity op with
+# a rows-only check). The trick is an INTEGER-LATTICE formulation:
+# every vector is quantized onto an integer grid through scalar IEEE
+# steps both engines perform identically (the s06 recipe — np.rint ≡
+# DuckDB round_even; max/abs/division/sqrt-of-integer are all exact
+# or correctly rounded), codebook training is k-means whose state is
+# (integer component sums, counts) — integer addition is order-free,
+# so no decimal machinery is needed — with centroids snapped to a
+# 1/PQ_LATTICE sub-grid via floor(s·L/n) (exact: s·L < 2^31 so the
+# double division is correctly rounded and ≥ 1/n ≈ 2e-3 away from
+# integer boundaries vs ulp ≈ 5e-7), and every assignment / ADC
+# distance is an exact int64 (bounded by 4·(2·UGRID·LATTICE)² ≈
+# 2.8e14 per subspace, Σ over M ≈ 4.5e15 < 2^53) — so argmins,
+# shortlists, and the emitted approx_dist carry ZERO float ambiguity
+# and the oracle reproduces them bit-for-bit. Recall vs exact s01 is
+# still pinned by unit tests and the every-round s10 gate.
 # ---------------------------------------------------------------------------
 
-PQ_M = 16  # subspaces (EMB_DIM/PQ_M dims each)
+PQ_M = 16  # subspaces (EMB_DIM/PQ_M = 4 dims each)
 PQ_K = 32  # codewords per subspace → 5 bits; stored as 1 byte each
 PQ_TRAIN_N = 512  # driver-side training sample (bounded, deterministic)
-PQ_TRAIN_ITERS = 15  # Lloyd iterations per subspace
+PQ_TRAIN_ITERS = 8  # Lloyd iterations per subspace (unrolled in SQL)
 PQ_REFINE = 50  # ADC shortlist size per query, exact-re-ranked
+PQ_UGRID = 16384  # unit-sphere lattice: u = rint(q8/|q8| · 2^14)
+PQ_LATTICE = 256  # centroid sub-grid: c = floor(sum·256/count)
 
 
-@query("s09_ann_pq")
+def _pq_unit_lattice_np(X):
+    """float64 (n, dim) → int64 unit-sphere lattice vectors, via
+    q8 = rint(x/max|x|·127); u = rint(q8/|q8|·PQ_UGRID).
+
+    Cross-engine-exact by construction: max/abs are exact, each
+    division and multiply is one correctly-rounded IEEE op on
+    identical operands (·127 and ·2^14 — the latter exact outright),
+    |q8| = sqrt of an exact integer, and np.rint ≡ DuckDB round_even
+    (the s06 precedent, driver-hash-proven since r5). Unit
+    normalization is what makes squared L2 rank-equivalent to cosine
+    (2 − 2·cos on unit vectors); the intermediate q8 step exists so
+    the norm is computed from INTEGERS (a float-vector norm would
+    hang on summation order)."""
+    import numpy as np
+
+    s = np.abs(X).max(axis=1)
+    s[s == 0] = 1.0
+    q8 = np.rint(X / s[:, None] * 127)
+    n8 = np.sqrt((q8 * q8).sum(axis=1))
+    n8[n8 == 0] = 1.0
+    return np.rint(q8 / n8[:, None] * PQ_UGRID).astype(np.int64)
+
+
+def _pq_train_np(U):
+    """(n_train, M, sub) int64 u-lattice → (M, K, sub) int64 codebook
+    on the PQ_LATTICE sub-grid. State per (m, k) is (component-sum,
+    count) — exact integers, so member ORDER never matters; empty
+    clusters keep their previous state; assignment distance is exact
+    int64 with first-min (= smallest k) tie-break, matching the
+    oracle's row_number ORDER BY d, k."""
+    import numpy as np
+
+    n_train = U.shape[0]
+    assert n_train >= PQ_K, f"PQ needs ≥{PQ_K} training rows, got {n_train}"
+    S = U[:PQ_K].transpose(1, 0, 2).copy()  # (M, K, sub) component sums
+    n = np.ones((PQ_M, PQ_K), dtype=np.int64)
+    UT = U.transpose(1, 0, 2)  # (M, n_train, sub)
+
+    def grid(S_, n_):
+        return np.floor(S_ * float(PQ_LATTICE) / n_[..., None]).astype(
+            np.int64
+        )
+
+    for _ in range(PQ_TRAIN_ITERS):
+        C = grid(S, n)
+        D = ((UT[:, :, None, :] * PQ_LATTICE - C[:, None, :, :]) ** 2).sum(-1)
+        A = D.argmin(-1)  # (M, n_train); first min ⇒ smallest k
+        for m in range(PQ_M):
+            sm = np.zeros_like(S[m])
+            nm = np.zeros(PQ_K, dtype=np.int64)
+            np.add.at(sm, A[m], UT[m])
+            np.add.at(nm, A[m], 1)
+            upd = nm > 0
+            S[m][upd] = sm[upd]
+            n[m][upd] = nm[upd]
+    return grid(S, n)
+
+
+def _s09_oracle() -> str:
+    """The full PQ pipeline — quantize, train (unrolled), encode,
+    ADC, shortlist, exact re-rank — as one DuckDB query. Every CTE
+    mirrors a step of the Spark plan 1:1; all comparisons are on
+    exact BIGINT distances, so there is no per-iteration rounding
+    lockstep to maintain (contrast s07, which needs decimal means)."""
+    sub = EMB_DIM // PQ_M
+    L, G = PQ_LATTICE, PQ_UGRID
+
+    def d2(a: str, b: str) -> str:  # squared lattice distance, 4 dims
+        return " + ".join(
+            f"({a}.x{i}*{L} - {b}.c{i})*({a}.x{i}*{L} - {b}.c{i})"
+            for i in range(1, sub + 1)
+        )
+
+    xs = ", ".join(
+        f"uv[{m_expr}*{sub}+{i}] AS x{i}"
+        for m_expr in ("m",)
+        for i in range(1, sub + 1)
+    )
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+sc AS (
+  SELECT vec_id, emb,
+         CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(emb, x -> abs(x))) END AS s
+  FROM v
+),
+q8 AS (
+  SELECT vec_id, list_transform(emb, x -> round_even(x / s * 127, 0)) AS qv
+  FROM sc
+),
+un AS (
+  SELECT vec_id, qv,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) = 0 THEN 1.0
+              ELSE sqrt(list_dot_product(qv, qv)) END AS n8
+  FROM q8
+),
+u AS (
+  SELECT vec_id,
+         list_transform(qv, x -> CAST(round_even(x / n8 * {G}, 0) AS BIGINT))
+           AS uv
+  FROM un
+),
+subv AS (
+  SELECT vec_id, CAST(m AS INT) AS m, {xs}
+  FROM u CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
+),
+tr AS (
+  SELECT * FROM subv
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_TRAIN_N}
+),
+st0 AS (
+  SELECT m, CAST(vec_id - {N_QUERIES} AS INT) AS k,
+         {", ".join(f"x{i} AS s{i}" for i in range(1, sub + 1))},
+         CAST(1 AS BIGINT) AS n
+  FROM tr WHERE vec_id < {N_QUERIES + PQ_K}
+)"""
+    ]
+    cgrid = ", ".join(
+        f"CAST(floor(s{i} * {L}.0 / n) AS BIGINT) AS c{i}"
+        for i in range(1, sub + 1)
+    )
+    ssum = ", ".join(
+        f"CAST(SUM(x{i}) AS BIGINT) AS s{i}" for i in range(1, sub + 1)
+    )
+    scoal = ", ".join(
+        f"COALESCE(g.s{i}, s.s{i}) AS s{i}" for i in range(1, sub + 1)
+    )
+    for t in range(PQ_TRAIN_ITERS):
+        parts.append(
+            f"""ct{t} AS (SELECT m, k, {cgrid} FROM st{t}),
+a{t} AS (
+  SELECT vec_id, m, {", ".join(f"x{i}" for i in range(1, sub + 1))}, k
+  FROM (
+    SELECT t.*, c.k,
+           row_number() OVER (PARTITION BY t.vec_id, t.m
+                              ORDER BY {d2("t", "c")}, c.k) AS rn
+    FROM tr t JOIN ct{t} c ON t.m = c.m) z
+  WHERE rn = 1
+),
+st{t + 1} AS (
+  SELECT s.m, s.k, {scoal}, COALESCE(g.n, s.n) AS n
+  FROM st{t} s LEFT JOIN (
+    SELECT m, k, {ssum}, COUNT(*) AS n FROM a{t} GROUP BY m, k
+  ) g ON s.m = g.m AND s.k = g.k
+)"""
+        )
+    T = PQ_TRAIN_ITERS
+    parts.append(
+        f"""ctF AS (SELECT m, k, {cgrid} FROM st{T}),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT s.vec_id, s.m, c.k,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {d2("s", "c")}, c.k) AS rn
+    FROM subv s JOIN ctF c ON s.m = c.m) z
+  WHERE rn = 1
+),
+pt AS (
+  SELECT p.vec_id AS query_id, c.m, c.k, {d2("p", "c")} AS pd
+  FROM subv p JOIN ctF c ON p.m = c.m
+  WHERE p.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT pt.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(pt.pd) AS BIGINT) AS approx_dist
+  FROM codes cd JOIN pt ON pt.m = cd.m AND pt.k = cd.k
+  WHERE cd.vec_id <> pt.query_id
+  GROUP BY pt.query_id, cd.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id, approx_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_dist, neighbor_id) AS rn
+    FROM adc) z
+  WHERE rn <= {PQ_REFINE}
+),
+resc AS (
+  SELECT s.query_id, s.neighbor_id, s.approx_dist,
+         round(list_dot_product(q.emb, n.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos_sim
+  FROM short s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, approx_dist, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM resc) z
+WHERE rank <= {TOP_K}"""
+    )
+    sql = ",\n".join(parts)
+    # The training chain is a CTE diamond (st{t} feeds both ct{t} and
+    # st{t+1}'s empty-cluster fallback). DuckDB 1.0 inlines CTEs, so
+    # each extra reference doubles the subtree — 2^ITERS re-evaluation
+    # (measured: 112s inlined vs 2.0s materialized at sf0.001). Pin
+    # materialization explicitly; value-identical by definition.
+    import re
+
+    return re.sub(r"\bAS \(", "AS MATERIALIZED (", sql)
+
+
+S09_ORACLE = _s09_oracle()
+
+
+@query("s09_ann_pq", oracle=S09_ORACLE)
 def s09_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC shortlist + exact re-rank (the FAISS IndexRefine
     pattern): codebooks + probes are driver-bounded collects
-    (PQ_K + N_QUERIES rows, same class as s05/s06); the corpus never
-    leaves the executors. Each Arrow batch encodes its slice (argmin
-    over the codebook per subspace — one (batch × K) GEMM-shaped
-    distance per subspace) and emits a per-batch local top-PQ_REFINE
-    under the SAME total order (rounded approx distance asc, id asc)
-    the shortlist window ranks by, so the local prune is lossless.
-    The Q×PQ_REFINE shortlist (a broadcast-sized constant, never
-    corpus-scaled) is then re-ranked by EXACT cosine via a broadcast
-    join back to the true vectors — ADC quantization error decides
-    only which candidates enter the shortlist, not their final order.
-    On the synthetic fixture (500 random 64-d vectors, near-tied
-    neighbors) ADC-only recall@5 was ~0.5; with refine it is the
-    shortlist's hit rate (~0.9+), pinned in tests.
-    """
+    (PQ_TRAIN_N + N_QUERIES rows, same class as s05/s06); the corpus
+    never leaves the executors. Each Arrow batch lattice-quantizes
+    its slice, encodes it (argmin over the codebook per subspace —
+    exact int64 distances), and emits a per-batch local
+    top-PQ_REFINE under the SAME total order (approx_dist asc, id
+    asc) the shortlist window ranks by, so the local prune is
+    lossless. The Q×PQ_REFINE shortlist (a broadcast-sized constant,
+    never corpus-scaled) is then re-ranked by EXACT cosine via a
+    broadcast join back to the true vectors — quantization error
+    decides only which candidates enter the shortlist, not their
+    final order. Recall@5 vs exact s01 ≈ 0.95+ with the refine stage
+    (pinned in tests + the s10 gate)."""
     import numpy as np
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("emb")
     )
-    seed_rows = emb.filter(
-        (F.col("vec_id") >= N_QUERIES)
-        & (F.col("vec_id") < N_QUERIES + PQ_TRAIN_N)
-    ).collect()
-    probe_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
-    dim = EMB_DIM
-    sub = dim // PQ_M
-    # L2-normalize everything first: on unit vectors, squared L2 is
-    # 2 − 2·cos — RANK-EQUIVALENT to cosine — so the ADC ordering
-    # approximates the cosine ordering s01 defines. Unnormalized PQ
-    # would mix magnitude into the ranking (measured: recall@5 0.16
-    # unnormalized vs ~0.5+ normalized on the fixture).
-    def _unit(M_):
-        n_ = np.sqrt((M_ * M_).sum(-1, keepdims=True))
-        n_[n_ == 0] = 1.0
-        return M_ / n_
-
-    # Train the per-subspace codebooks: deterministic Lloyd/k-means on
-    # a BOUNDED sample (PQ_TRAIN_N rows collected — same class as
-    # s05's centroids; a 100 TB build samples by hash and/or trains
-    # distributed with MLlib, the operator shape is unchanged).
-    # Untrained slice-codebooks measured recall@5 ≈ 0.16; trained ≈
-    # 3× better on the fixture.
-    train = _unit(
-        np.array(
-            [r["emb"] for r in sorted(seed_rows, key=lambda r: r["vec_id"])]
-        )
-    ).reshape(-1, PQ_M, sub)  # (n_train, M, sub)
-    books = []
-    for m_i in range(PQ_M):
-        X = train[:, m_i, :]  # (n_train, sub)
-        C = X[:PQ_K].copy()  # deterministic init
-        for _ in range(PQ_TRAIN_ITERS):
-            assign = (
-                ((X[:, None, :] - C[None]) ** 2).sum(-1).argmin(-1)
-            )
-            for k_i in range(PQ_K):
-                mask = assign == k_i
-                if mask.any():
-                    C[k_i] = X[mask].mean(0)
-        books.append(C)
-    cb = np.stack(books)  # (M, K, sub)
+    seed_rows = sorted(
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + PQ_TRAIN_N)
+        ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    probe_rows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    # The oracle keys the initial codebook by vec_id − N_QUERIES;
+    # this side takes the first PQ_K collected rows. Both are the
+    # same rows only while the id space is dense here (s07's
+    # dense-id contract) — fail loudly if the fixture drifts.
+    got = [r["vec_id"] for r in seed_rows[:PQ_K]]
+    assert got == list(range(N_QUERIES, N_QUERIES + PQ_K)), (
+        f"s09 codebook init requires dense vec_ids "
+        f"{N_QUERIES}..{N_QUERIES + PQ_K - 1}; fixture has {got}"
+    )
+    sub = EMB_DIM // PQ_M
+    lattice, ugrid = PQ_LATTICE, PQ_UGRID
+    Utr = _pq_unit_lattice_np(
+        np.array([r["emb"] for r in seed_rows], dtype=np.float64)
+    ).reshape(-1, PQ_M, sub)
+    C = _pq_train_np(Utr)  # (M, K, sub) int64 lattice codebook
     p_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
-    P = _unit(np.array([r["emb"] for r in probe_rows], dtype=np.float64))
-    # ADC tables: squared L2 from each probe subvector to each codeword
-    tables = (
-        (P.reshape(len(P), PQ_M, 1, sub) - cb[None]) ** 2
-    ).sum(-1)  # (Q, M, K)
-    bc = spark.sparkContext.broadcast((p_ids, tables, cb))
-    top_k = TOP_K
+    Pu = _pq_unit_lattice_np(
+        np.array([r["emb"] for r in probe_rows], dtype=np.float64)
+    ).reshape(len(probe_rows), PQ_M, sub)
+    # ADC tables: exact int64 squared lattice distance probe→codeword
+    tables = ((Pu[:, :, None, :] * lattice - C[None]) ** 2).sum(-1)
+    bc = spark.sparkContext.broadcast((p_ids, tables, C))
     refine = PQ_REFINE
 
     def kernel(batches):
@@ -948,28 +1150,34 @@ def s09_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"query_id": [], "neighbor_id": [], "approx_dist": []}
             if len(pdf):
-                B = _unit(
-                    _np.stack(pdf["emb"].to_numpy()).astype(_np.float64)
-                )  # unit vectors — see normalization note above
-                # encode: nearest codeword per subspace
-                d = ((B.reshape(len(B), m, 1, s) - cbk[None]) ** 2).sum(-1)
-                codes = d.argmin(-1)  # (n, M) ints in [0, K)
+                X = _np.stack(pdf["emb"].to_numpy()).astype(_np.float64)
+                # unit-lattice quantization — inlined (kernels must be
+                # closure-local), byte-for-byte _pq_unit_lattice_np
+                sc_ = _np.abs(X).max(axis=1)
+                sc_[sc_ == 0] = 1.0
+                q8 = _np.rint(X / sc_[:, None] * 127)
+                n8 = _np.sqrt((q8 * q8).sum(axis=1))
+                n8[n8 == 0] = 1.0
+                U = _np.rint(q8 / n8[:, None] * ugrid).astype(_np.int64)
+                U = U.reshape(len(X), m, s)
+                # encode: nearest codeword per subspace, exact int64
+                d = ((U[:, :, None, :] * lattice - cbk[None]) ** 2).sum(-1)
+                codes = d.argmin(-1)  # (n, M); first min ⇒ smallest k
                 b_ids = pdf["vec_id"].to_numpy()
                 mi = _np.arange(m)
                 for i in range(len(ids_p)):
-                    approx = _np.round(tabs[i][mi[None, :], codes].sum(1), 6)
-                    keep = b_ids != ids_p[i]
-                    cand = _np.nonzero(keep)[0]
+                    approx = tabs[i][mi[None, :], codes].sum(1)
+                    cand = _np.nonzero(b_ids != ids_p[i])[0]
                     a = approx[cand]
                     order = _np.lexsort((b_ids[cand], a))[:refine]
                     for j in order:
                         out["query_id"].append(int(ids_p[i]))
                         out["neighbor_id"].append(int(b_ids[cand[j]]))
-                        out["approx_dist"].append(float(a[j]))
+                        out["approx_dist"].append(int(a[j]))
             yield _pd.DataFrame(out)
 
     cand = emb.mapInPandas(
-        kernel, schema="query_id long, neighbor_id long, approx_dist double"
+        kernel, schema="query_id long, neighbor_id long, approx_dist long"
     )
     w_adc = W.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")
@@ -1005,7 +1213,7 @@ def s09_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "approx_dist", "cos_sim", "rank")
     )
 
