@@ -741,21 +741,63 @@ def q26_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q27 — sketch aggregates (HLL distinct, t-digest quantiles): the
+# Q27 — sketch aggregates (HLL++ distinct, KLL quantiles): the
 # one-pass mergeable forms that replace exact distinct/percentile at
-# 100 TB. Approximate by design (engine-specific sketches) →
-# rows-only check; exactness-bounds asserted in unit tests against
-# the exact operators.
+# 100 TB. FULLY DIFFERENTIAL since r7 via the q47-q49 pattern: the
+# registered query computes both the sketch estimates AND the exact
+# answers, emitting the exact values plus within-ε booleans; the
+# oracle recomputes the exact side and emits TRUE — so the driver's
+# value hash gates both cross-engine exactness of the reference
+# computation and every estimate's accuracy, every round it's
+# sampled (previously a rows-only `no_oracle` row). The raw sketch
+# values themselves are engine-internal and deliberately NOT output
+# columns. ε: HLL++ default rsd 0.05 → 3σ = 15%; KLL accuracy 10000
+# → rank error 1e-4 ≪ the ±0.05 rank band. Distinct from q49 (the
+# original error-bound harness, lineitem × l_returnflag): this is
+# the orders-side sketch surface (customer cardinality + order-value
+# median per priority class).
+#
+# Scale note: the exact side (count_distinct / exact percentile) is
+# the VERIFICATION harness, intentionally run at test SF; production
+# at 100 TB runs only the sketch side.
 # ---------------------------------------------------------------------------
 
+Q27_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       TRUE AS acd_within_eps,
+       TRUE AS med_within_band
+FROM orders
+GROUP BY o_orderpriority
+"""
 
-@query("q27_approx_sketches")
+
+@query("q27_approx_sketches", oracle=Q27_ORACLE)
 def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.count(F.lit(1)).alias("n_rows"),
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.approx_count_distinct("o_custkey").alias("acd"),
+        F.count_distinct("o_custkey").alias("exact_custs"),
+        F.percentile_approx("o_totalprice", 0.5).alias("amed"),
+        F.expr("percentile(o_totalprice, 0.45)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.55)").alias("hi"),
+    )
+    acd_eps = 0.15
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "exact_custs",
+        (
+            F.col("acd").between(
+                F.col("exact_custs") * (1 - acd_eps),
+                F.col("exact_custs") * (1 + acd_eps),
+            )
+        ).alias("acd_within_eps"),
+        (F.col("amed").between(F.col("lo"), F.col("hi"))).alias(
+            "med_within_band"
+        ),
     )
 
 
