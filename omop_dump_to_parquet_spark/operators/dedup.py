@@ -243,6 +243,7 @@ def prefix_filter_candidates(
     den: int,
     *block_cols: str,
     tokens: Column | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Exact candidate pairs for Jaccard ≥ num/den via prefix
     filtering (Bayardo et al., AllPairs — public algorithm).
@@ -302,14 +303,14 @@ def prefix_filter_candidates(
     )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (
-        probe.join(index, cond)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
+    pairs = probe.join(index, cond).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
     )
+    # distinct=False exposes the RAW join emissions (one row per
+    # surviving token match) for the scale-sweep scripts' candidate
+    # attribution; every operator consumer uses the default.
+    return pairs.distinct() if distinct else pairs
 
 
 @query("d03_dedup_ngram_jaccard", oracle=D03_ORACLE)

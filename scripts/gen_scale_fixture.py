@@ -51,13 +51,15 @@ EMB_DIM = 64
 N_LABELS = 10
 
 
-def _vocab() -> list[str]:
-    return [f"w{i:04d}" for i in range(VOCAB_SIZE)]
+def _vocab(vocab_size: int = VOCAB_SIZE) -> list[str]:
+    return [f"w{i:04d}" for i in range(vocab_size)]
 
 
-def gen_documents(n_docs: int, rng: np.random.Generator) -> pa.Table:
-    vocab = np.array(_vocab())
-    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+def gen_documents(
+    n_docs: int, rng: np.random.Generator, vocab_size: int = VOCAB_SIZE
+) -> pa.Table:
+    vocab = np.array(_vocab(vocab_size))
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
     p = ranks ** -1.1
     p /= p.sum()
 
@@ -93,7 +95,7 @@ def gen_documents(n_docs: int, rng: np.random.Generator) -> pa.Table:
                 for pos in rng.choice(
                     len(variant), size=int(rng.integers(1, 3)), replace=False
                 ):
-                    variant[pos] = vocab[rng.integers(0, VOCAB_SIZE)]
+                    variant[pos] = vocab[rng.integers(0, vocab_size)]
             texts.append(" ".join(variant))
             langs.append("en")
             sources.append(src)
@@ -131,32 +133,50 @@ def gen_embeddings(n_emb: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
-def main(root: str, scales: tuple[int, ...] = SCALES) -> None:
+def main(
+    root: str, scales: tuple[int, ...] = SCALES, heaps: bool = False
+) -> None:
     for scale in scales:
         out = os.path.join(root, f"x{scale}")
         os.makedirs(out, exist_ok=True)
         # independent stream per scale: reproducible regardless of
         # which scales are (re)generated
-        rng = np.random.default_rng([SEED, scale])
-        docs = gen_documents(BASE_DOCS * scale, rng)
+        # (seed layout unchanged for the default mode so the r6
+        # fixed-vocab fixtures stay byte-identical)
+        rng = np.random.default_rng([SEED, scale] + ([1] if heaps else []))
+        # Heaps' law: vocabulary grows ∝ (corpus tokens)^β, β ≈ 0.5
+        # for natural text. The fixed-vocab default deliberately
+        # stresses the df² join product (every token's document
+        # frequency grows linearly with the corpus); the heaps
+        # variant is the realistic-corpus regime the 100 TB playbook
+        # argument assumes — r7 measures that argument instead of
+        # arguing it (SCALING.md "Heaps-law sweep").
+        vocab_size = (
+            int(VOCAB_SIZE * scale**0.5) if heaps else VOCAB_SIZE
+        )
+        docs = gen_documents(BASE_DOCS * scale, rng, vocab_size)
         emb = gen_embeddings(BASE_EMB * scale, rng)
         pq.write_table(docs, os.path.join(out, "documents.parquet"))
         pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
         print(
-            f"x{scale}: {docs.num_rows} docs, {emb.num_rows} embeddings "
-            f"-> {out}"
+            f"x{scale}: {docs.num_rows} docs (vocab {vocab_size}), "
+            f"{emb.num_rows} embeddings -> {out}"
         )
 
 
 if __name__ == "__main__":
+    heaps_flag = "--heaps" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--heaps"]
     root_arg = (
-        sys.argv[1]
-        if len(sys.argv) > 1
-        else os.path.join(os.path.dirname(__file__), "..", ".scale")
+        args[0]
+        if args
+        else os.path.join(
+            os.path.dirname(__file__),
+            "..",
+            ".scale" if not heaps_flag else os.path.join(".scale", "heaps"),
+        )
     )
     scales_arg = (
-        tuple(int(s) for s in sys.argv[2].split(","))
-        if len(sys.argv) > 2
-        else SCALES
+        tuple(int(s) for s in args[1].split(",")) if len(args) > 1 else SCALES
     )
-    main(root_arg, scales_arg)
+    main(root_arg, scales_arg, heaps=heaps_flag)

@@ -881,3 +881,76 @@ def test_s12_hybrid_fuses_both_modalities(spark, sf_small):
         # fused ordering is by rrf desc within the query
         rrfs = [r["rrf"] for r in sorted(rows, key=lambda r: -r["rrf"])]
         assert rrfs == sorted(rrfs, reverse=True)
+
+
+def test_bmp_decode_kernel_matches_reference(spark):
+    """resize_bmp runs a REAL BMP decode (magic, pixel-array offset,
+    4-byte row stride, bottom-up vs top-down height sign) inside the
+    Arrow kernel. Build genuine BMP payloads — odd width so stride
+    padding matters, one bottom-up and one top-down — and pin the
+    kernel's output to the driver-side reference decoder + the m04
+    nearest-neighbor arithmetic (also guards the inlined kernel copy
+    against drifting from decode_bmp_gray)."""
+    import struct
+
+    from omop_dump_to_parquet_spark.operators.multimodal import (
+        TARGET_H,
+        TARGET_W,
+        decode_bmp_gray,
+        resize_bmp,
+    )
+
+    def encode_bmp_gray(w, h, pixels, top_down=False):
+        stride = (w + 3) & ~3
+        # 8bpp BMPs carry a 256-entry palette; grayscale identity
+        palette = b"".join(
+            bytes((i, i, i, 0)) for i in range(256)
+        )
+        data_off = 14 + 40 + len(palette)
+        rows = []
+        ys = range(h) if top_down else range(h - 1, -1, -1)
+        for y in ys:
+            row = bytes(pixels[y * w : (y + 1) * w])
+            rows.append(row + b"\x00" * (stride - w))
+        px = b"".join(rows)
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", data_off + len(px), 0, 0, data_off)
+            + struct.pack(
+                "<IiiHHIIiiII",
+                40, w, (-h if top_down else h), 1, 8, 0,
+                len(px), 2835, 2835, 256, 0,
+            )
+        )
+        return header + palette + px
+
+    w, h = 13, 6  # odd width: stride 16 ≠ 13, padding is exercised
+    pixels = [(3 * i + 7) % 256 for i in range(w * h)]
+    payloads = [
+        (0, encode_bmp_gray(w, h, pixels, top_down=False)),
+        (1, encode_bmp_gray(w, h, pixels, top_down=True)),
+    ]
+    # reference: module decoder + the m04 sampling arithmetic
+    for _, payload in payloads:
+        dw, dh, px = decode_bmp_gray(payload)
+        assert (dw, dh) == (w, h)
+        assert list(px) == pixels  # stride stripped, rows top-down
+    expect = bytes(
+        pixels[(y * h // TARGET_H) * w + (x * w // TARGET_W)]
+        for y in range(TARGET_H)
+        for x in range(TARGET_W)
+    )
+
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in resize_bmp(df).collect()}
+    assert set(out) == {0, 1}
+    for doc_id, r in out.items():
+        assert (r["src_w"], r["src_h"]) == (w, h), doc_id
+        assert (r["out_w"], r["out_h"]) == (TARGET_W, TARGET_H)
+        assert bytes(r["resized"]) == expect, f"doc {doc_id}"
+
+    # malformed payloads fail loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp_gray(b"PNG not a bmp")
