@@ -954,3 +954,65 @@ def test_bmp_decode_kernel_matches_reference(spark):
 
     with _pytest.raises(ValueError):
         decode_bmp_gray(b"PNG not a bmp")
+
+
+def test_lsh_capped_path_matches_surviving_band_model(spark):
+    """Drive lsh_candidate_pairs' CAPPED branch (the broadcast map is
+    non-empty, so the skeys rewrite + own-band short-circuit actually
+    run — at fixture scale the cap never fires and the r7 fast path
+    skips all of it) against a brute-force surviving-band model built
+    from the operator's own band_keys() definition: pairs emitted =
+    exactly the pairs sharing ≥1 surviving band, each exactly once."""
+    import collections
+    import itertools
+
+    from omop_dump_to_parquet_spark.operators.dedup import (
+        LSH_BANDS,
+        band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)]
+    rows += [
+        (i, f"alpha beta gamma delta epsilon w{i}") for i in range(12, 24)
+    ]
+    rows += [
+        (i, f"u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(24, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+    keys = {
+        r["doc_id"]: list(r["keys"])
+        for r in sigs.select("doc_id", band_keys().alias("keys")).collect()
+    }
+    cap = 8
+    bucket = collections.Counter(
+        (b, k[b]) for k in keys.values() for b in range(LSH_BANDS)
+    )
+    assert any(v > cap for v in bucket.values()), "cap never fired"
+    surv = {
+        d: [
+            k[b] if bucket[(b, k[b])] <= cap else None
+            for b in range(LSH_BANDS)
+        ]
+        for d, k in keys.items()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(keys), 2)
+        if any(
+            surv[a][c] is not None and surv[a][c] == surv[b][c]
+            for c in range(LSH_BANDS)
+        )
+    }
+    got_rows = lsh_candidate_pairs(sigs, max_bucket=cap).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == len(got), "a pair was emitted more than once"
+    # the cap must have actually dropped something vs the uncapped run
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket=10**9).collect()
+    }
+    assert got < uncapped
