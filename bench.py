@@ -185,10 +185,11 @@ def main() -> None:
 
     # Secondary (non-headline) measurements: iterative/alternative
     # paths whose cost we track per-round without perturbing the
-    # headline total's round-over-round comparability. Same min-of-reps
-    # methodology as the headline (single-shot on a shared box is load
-    # noise — observed 5.3s vs 13.9s for the same d06 plan), with the
-    # raw per-rep lists persisted so the artifact shows the variance.
+    # headline total's round-over-round comparability. Same
+    # median-of-reps methodology as the headline (single-shot on a
+    # shared box is load noise — observed 5.3s vs 13.9s for the same
+    # d06 plan), with the raw per-rep lists persisted so the artifact
+    # shows the variance.
     secondary: dict[str, float] = {}
     secondary_raw: dict[str, list[float]] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SECONDARY", "1") != "0":

@@ -338,10 +338,17 @@ def decode_bmp_gray(b: bytes) -> tuple[int, int, bytes]:
     hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
     planes, bpp = struct.unpack_from("<HH", b, 26)
     compression = struct.unpack_from("<I", b, 30)[0]
-    if hdr_size < 40 or planes != 1 or bpp != 8 or compression != 0:
+    if (
+        hdr_size < 40
+        or planes != 1
+        or bpp != 8
+        or compression != 0
+        or w <= 0  # zero/negative width or zero height would decode
+        or h == 0  # to an empty buffer and crash the resampler later
+    ):
         raise ValueError(
             f"unsupported BMP variant (hdr={hdr_size} planes={planes} "
-            f"bpp={bpp} compression={compression})"
+            f"bpp={bpp} compression={compression} w={w} h={h})"
         )
     top_down = h < 0
     h_abs = abs(h)
@@ -383,6 +390,8 @@ def resize_bmp(payloads: DataFrame) -> DataFrame:
                 or planes != 1
                 or bpp != 8
                 or compression != 0
+                or w <= 0
+                or h == 0
             ):
                 raise ValueError("unsupported BMP variant")
             top_down = h < 0

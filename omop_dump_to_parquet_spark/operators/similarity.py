@@ -740,10 +740,11 @@ def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # space ever turns sparse instead of crashing (IndexError below)
     # or silently diverging from the oracle.
     got_ids = [r["vec_id"] for r in init]
-    assert got_ids == list(range(KMEANS_K)), (
-        f"s07 requires dense vec_ids 0..{KMEANS_K - 1} (oracle keys "
-        f"clusters by vec_id); fixture has {got_ids}"
-    )
+    if got_ids != list(range(KMEANS_K)):  # not assert: survives -O
+        raise ValueError(
+            f"s07 requires dense vec_ids 0..{KMEANS_K - 1} (oracle keys "
+            f"clusters by vec_id); fixture has {got_ids}"
+        )
     cents = [[float(x) for x in r["emb"]] for r in init]
     for _ in range(LLOYD_ITERS):
         assigned = _s07_assign(emb, cents)
@@ -911,7 +912,8 @@ def _pq_train_np(U):
     import numpy as np
 
     n_train = U.shape[0]
-    assert n_train >= PQ_K, f"PQ needs ≥{PQ_K} training rows, got {n_train}"
+    if n_train < PQ_K:  # data contract, not a debug check: survives -O
+        raise ValueError(f"PQ needs ≥{PQ_K} training rows, got {n_train}")
     S = U[:PQ_K].transpose(1, 0, 2).copy()  # (M, K, sub) component sums
     n = np.ones((PQ_M, PQ_K), dtype=np.int64)
     UT = U.transpose(1, 0, 2)  # (M, n_train, sub)
@@ -1122,10 +1124,11 @@ def s09_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same rows only while the id space is dense here (s07's
     # dense-id contract) — fail loudly if the fixture drifts.
     got = [r["vec_id"] for r in seed_rows[:PQ_K]]
-    assert got == list(range(N_QUERIES, N_QUERIES + PQ_K)), (
-        f"s09 codebook init requires dense vec_ids "
-        f"{N_QUERIES}..{N_QUERIES + PQ_K - 1}; fixture has {got}"
-    )
+    if got != list(range(N_QUERIES, N_QUERIES + PQ_K)):  # survives -O
+        raise ValueError(
+            f"s09 codebook init requires dense vec_ids "
+            f"{N_QUERIES}..{N_QUERIES + PQ_K - 1}; fixture has {got}"
+        )
     sub = EMB_DIM // PQ_M
     lattice, ugrid = PQ_LATTICE, PQ_UGRID
     Utr = _pq_unit_lattice_np(

@@ -25,13 +25,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import duckdb  # noqa: E402
 
+from _duck import create_views  # noqa: E402
 from bench import HEADLINE  # noqa: E402
 from omop_dump_to_parquet_spark import load_catalog  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 def main() -> None:
@@ -42,11 +38,7 @@ def main() -> None:
 
     con = duckdb.connect()
     con.sql(f"SET threads TO {threads}")
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    create_views(con, sf_dir)
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     missing = []
@@ -55,10 +47,20 @@ def main() -> None:
         if sql is None:
             missing.append(name)
             continue
+        # SYMMETRIC evaluation contract with bench.py's Spark side
+        # (count + sum-of-row-hash reduced ENGINE-side, one row out):
+        # a fetchall() here would charge DuckDB ~0.4s of pure Python
+        # tuple conversion on d04's 965k rows that Spark never pays
+        # (r7 review finding), while a bare count(*) would let DuckDB
+        # prune unreferenced result columns that Spark's hash(*)
+        # forces — hash(t) over the row struct forces every column.
+        wrapped = (
+            f"SELECT count(*) AS n, sum(hash(t)) AS h FROM ({sql}) t"
+        )
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            n = len(con.sql(sql).fetchall())
+            n = con.sql(wrapped).fetchone()[0]
             runs.append(round(time.perf_counter() - t0, 3))
         raw[name] = runs
         timings[name] = round(statistics.median(runs), 3)

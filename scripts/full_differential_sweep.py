@@ -29,13 +29,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
+    from _duck import create_views
+
     con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split():
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    create_views(con, sf_dir)
     queries, oracles = load_catalog()
     # iterate ORACLES (not queries∩oracles) so a stale oracle whose
     # query was renamed fails loudly instead of being skipped-as-green

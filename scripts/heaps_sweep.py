@@ -30,7 +30,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-REPS = 2
+REPS = 3  # median-of-3, the r7 bench.py methodology (review finding:
+# min-of-2 here contradicted the stat switch this same round made)
 SCALES = (1, 10, 30)
 
 
@@ -63,13 +64,15 @@ def main() -> None:
         docs = table(spark, sf_dir, "documents")
 
         def timed(fn):
+            import statistics
+
             runs, out = [], None
             for _ in range(REPS):
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
                 out = fn()
                 runs.append(round(time.perf_counter() - t0, 3))
-            return min(runs), runs, out
+            return round(statistics.median(runs), 3), runs, out
 
         raw_sec, raw_runs, raw_n = timed(
             lambda: prefix_filter_candidates(

@@ -954,6 +954,8 @@ def test_bmp_decode_kernel_matches_reference(spark):
 
     with _pytest.raises(ValueError):
         decode_bmp_gray(b"PNG not a bmp")
+    with _pytest.raises(ValueError):  # zero-width header (review find)
+        decode_bmp_gray(encode_bmp_gray(0, 4, []))
 
 
 def test_lsh_capped_path_matches_surviving_band_model(spark):
