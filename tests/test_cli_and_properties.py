@@ -299,3 +299,87 @@ def test_prefix_position_filter_is_complete(docsets, ratio):
                     survived = True
                     break
             assert survived, (A, B, num, den)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    top_down=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h, top_down, seed):
+    """decode_bmp_gray inverts a valid 8bpp BI_RGB encoding for ANY
+    dims (stride padding for every width mod 4, both row orders)."""
+    import numpy as np
+
+    from omop_dump_to_parquet_spark.operators.multimodal import (
+        decode_bmp_gray,
+    )
+
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=w * h, dtype=np.uint8).tolist()
+    import struct
+
+    stride = (w + 3) & ~3
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    data_off = 14 + 40 + len(palette)
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    px = b"".join(
+        bytes(pixels[y * w : (y + 1) * w]) + b"\x00" * (stride - w)
+        for y in ys
+    )
+    payload = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(px), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, (-h if top_down else h), 1, 8, 0,
+            len(px), 2835, 2835, 256, 0,
+        )
+        + palette
+        + px
+    )
+    dw, dh, out = decode_bmp_gray(payload)
+    assert (dw, dh) == (w, h)
+    assert list(out) == pixels
+
+
+@given(
+    n=st.integers(min_value=33, max_value=80),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_pq_lattice_and_train_invariants(n, seed):
+    """s09's integer-lattice primitives hold their contracts on random
+    float input: u-vectors are int64 with |u_i| ≤ PQ_UGRID·(1+ε) and
+    ≈ unit norm on the lattice; trained codebooks are int64 on the
+    PQ_LATTICE sub-grid with |c| bounded by the u range, and training
+    is deterministic (same input → identical codebook)."""
+    import numpy as np
+
+    from omop_dump_to_parquet_spark.operators.similarity import (
+        EMB_DIM,
+        PQ_LATTICE,
+        PQ_M,
+        PQ_UGRID,
+        _pq_train_np,
+        _pq_unit_lattice_np,
+    )
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 1, size=(n, EMB_DIM))
+    U = _pq_unit_lattice_np(X)
+    assert U.dtype == np.int64
+    # each |u_i| ≤ UGRID up to one rint step (component ≤ norm)
+    assert np.abs(U).max() <= PQ_UGRID + 1
+    norms = np.sqrt((U.astype(float) ** 2).sum(axis=1))
+    assert np.all(np.abs(norms - PQ_UGRID) < PQ_UGRID * 0.01)
+    sub = EMB_DIM // PQ_M
+    Utr = U.reshape(n, PQ_M, sub)
+    C1 = _pq_train_np(Utr)
+    C2 = _pq_train_np(Utr)
+    assert C1.dtype == np.int64 and C1.shape == (PQ_M, 32, sub)
+    assert np.array_equal(C1, C2), "training must be deterministic"
+    # centroids are means of u-vectors scaled by the lattice: bounded
+    assert np.abs(C1).max() <= (PQ_UGRID + 1) * PQ_LATTICE
