@@ -15,21 +15,23 @@ cost tracks data size (the claim SCALING.md argues analytically);
 alpha ≫ 1 flags a hidden quadratic. Emits SCALE_REHEARSAL.json and a
 markdown table for SCALING.md.
 
-Methodology matches bench.py: min of REPS per (op, scale) on one warm
-session (first-rep codegen/compile noise excluded by the min), ops
-run largest-scale-last so JVM warmup cannot flatter the big runs.
+Methodology matches bench.py (median-of-3 since r7 — min-of-reps let
+one lucky rep flip an exponent, the exact failure mode that retired
+it for the headline bench) on one warm session, ops run
+largest-scale-last so JVM warmup cannot flatter the big runs.
 """
 from __future__ import annotations
 
 import json
 import math
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-REPS = 2
+REPS = 3
 OPS = (
     "d04_dedup_minhash_lsh",
     "d06_dedup_clusters",
@@ -67,13 +69,14 @@ def main() -> None:
                 if op == "d06_dedup_clusters" and LAST_CC_STATS:
                     extra = dict(LAST_CC_STATS)
             results[op]["scales"][f"x{scale}"] = {
-                "sec": min(runs),
+                "sec": round(statistics.median(runs), 3),
                 "raw": runs,
                 "rows_out": rows,
                 **({"cc_stats": extra} if extra else {}),
             }
             print(
-                f"x{scale} {op}: min {min(runs):.2f}s of {runs}, "
+                f"x{scale} {op}: median {statistics.median(runs):.2f}s "
+                f"of {runs}, "
                 f"{rows} rows {extra or ''}",
                 file=sys.stderr,
             )
