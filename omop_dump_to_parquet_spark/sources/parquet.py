@@ -105,3 +105,33 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register fixture tables as temp views for SQL-API operators."""
     for n, df in load_tables(spark, sf_dir, *names).items():
         df.createOrReplaceTempView(n)
+
+
+def read_lake(
+    spark: SparkSession, *paths: str, merge_schema: bool = False
+) -> DataFrame:
+    """Read one or more Parquet lake locations as a single DataFrame.
+
+    ``merge_schema=True`` turns on ADDITIVE SCHEMA EVOLUTION: shards
+    written by an older dump generation (fewer columns) and a newer
+    one (added nullable columns) read as one table with the union
+    schema, pre-evolution rows NULL in the new columns — the standard
+    Parquet-lake contract (every shard's footer carries its own
+    schema; Spark unions them at planning time). A user of the
+    reference hits this the first time a source table grows a column
+    between dump runs (the reference itself would just start writing
+    differently-shaped files into the same directory and break the
+    next read).
+
+    Off by default, deliberately: footer merging costs a planning
+    pass over EVERY file footer, which at 100 TB (millions of shards)
+    is a driver-side scan you should not pay on schema-stable lakes —
+    the reference's own contract is a pinned schema (``verify.py``
+    enforces it per dump). Turn it on only while a lake is
+    mid-migration, then compact (``sinks/compact.py``) back to one
+    schema.
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)

@@ -347,3 +347,52 @@ class TestResumableDump:
         assert res.ok
         assert res.rows_written == 0
         assert res.read_back_rows == 0
+
+
+def test_lake_additive_schema_evolution(spark, sf_small, tmp_path):
+    """Two dump generations into one lake — v2 adds a nullable column
+    — must read back as ONE table under read_lake(merge_schema=True):
+    union schema, counts conserved, pre-evolution rows NULL in the
+    new column; and the schema-stable default (merge_schema=False)
+    still reads a single-generation lake untouched."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.sources.parquet import read_lake
+
+    src = table(spark, sf_small, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    v1_dir, v2_dir = str(tmp_path / "gen=1"), str(tmp_path / "gen=2")
+    r1 = dump_table(spark, src, v1_dir)
+    assert r1.ok
+    v2 = src.withColumn(
+        "quality", (F.length("text") % 7).cast("double")
+    ).withColumn("doc_id", F.col("doc_id") + 100_000)
+    r2 = dump_table(spark, v2, v2_dir)
+    assert r2.ok
+
+    merged = read_lake(spark, v1_dir, v2_dir, merge_schema=True)
+    assert set(merged.columns) == {"doc_id", "text", "lang", "quality"}
+    n1, n2 = src.count(), v2.count()
+    assert merged.count() == n1 + n2
+    # every pre-evolution row reads NULL in the evolved column; every
+    # post-evolution row keeps its value
+    nulls = merged.filter(F.col("quality").isNull()).count()
+    assert nulls == n1
+    kept = (
+        merged.filter(F.col("doc_id") >= 100_000)
+        .select(
+            F.sum(
+                (
+                    F.col("quality") == (F.length("text") % 7).cast("double")
+                ).cast("int")
+            ).alias("ok")
+        )
+        .first()["ok"]
+    )
+    assert kept == n2
+
+    # schema-stable default path is unchanged
+    plain = read_lake(spark, v1_dir)
+    assert set(plain.columns) == {"doc_id", "text", "lang"}
+    assert plain.count() == n1
