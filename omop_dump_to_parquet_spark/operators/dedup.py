@@ -434,8 +434,34 @@ def lsh_candidate_pairs(
     rows: int = LSH_ROWS,
     size_ratio: tuple[int, int] | None = None,
     max_bucket: int = MAX_BUCKET,
+    dedupe: str = "first_band",
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band.
+
+    ``dedupe`` is the SCALE knob (a parameter, not prose — the d10
+    planes / s04 blocks doctrine), choosing how each pair is emitted
+    exactly once:
+
+    - ``"first_band"`` (default): the carried-key-array formulation
+      below — fastest when duplication is real, but the cap's
+      surviving-band bookkeeping rides a broadcast map whose per-band
+      lists are linearly scanned per banded row (advisor note, r6);
+      fine while capped buckets are few (every measured corpus), a
+      cliff if a corpus ever produces thousands of capped keys per
+      band.
+    - ``"group_by"``: no carried array, no broadcast map at all —
+      capped buckets are dropped with a broadcast ANTI-JOIN against
+      the capped-bucket table (a real hash lookup JVM-side), pairs
+      are emitted once per shared surviving band and deduped by one
+      ``groupBy(doc_a, doc_b)`` exchange. Narrower banded rows
+      (no bands-long array), immune to the cap×first-band
+      interaction by construction (any surviving band emits), and
+      the only state that scales with boilerplate is the capped
+      TABLE, never a per-row scan — the formulation to run when the
+      cap actually fires at scale. Costs the O(dup_factor·|pairs|)
+      dedupe exchange the default exists to avoid (measured 6.5s →
+      3.6s on the dup-dense sf0.1; equality of output asserted in
+      ``test_lsh_capped_path_matches_surviving_band_model``).
 
     One pass: the per-doc band signatures are built as an array and
     EXPLODED (a union of 32 per-band selects would re-evaluate the
@@ -488,12 +514,49 @@ def lsh_candidate_pairs(
     Integer num/den keeps the boundary exact (0.9·10 in floats could
     tip either way on j = 0.9 pairs).
     """
+    if dedupe not in ("first_band", "group_by"):
+        raise ValueError(f"unknown dedupe mode {dedupe!r}")
     keys = band_keys(bands, rows)
     carry = ["nw"] if size_ratio is not None else []
     banded = sigs.select("doc_id", *carry, keys.alias("keys")).select(
         "doc_id", *carry, "keys", F.posexplode("keys").alias("band", "bkey")
     )
     banded = pin_expansion_parallelism(banded, "band", "bkey")
+    if dedupe == "group_by":
+        # Scale-mode: drop capped buckets via broadcast anti-join
+        # (hash lookup, no per-row list scan), emit per surviving
+        # band, dedupe with one exchange. The capped-bucket count
+        # reuses the pinned (band, bkey) exchange like the default.
+        capped_tbl = (
+            banded.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket)
+            .select("band", "bkey")
+        )
+        slim = banded.drop("keys").join(
+            F.broadcast(capped_tbl), ["band", "bkey"], "left_anti"
+        )
+        ga, gb = slim.alias("a"), slim.alias("b")
+        gcond = (
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        if size_ratio is not None:
+            num, den = size_ratio
+            gcond = (
+                gcond
+                & (F.col("a.nw") * den >= F.col("b.nw") * num)
+                & (F.col("b.nw") * den >= F.col("a.nw") * num)
+            )
+        return (
+            ga.join(gb, gcond)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
     # Cap pathologically hot buckets (constant-content guard).
     # (band, bkey) buckets over max_bucket are collected into ONE
     # broadcast map row (band → capped keys; ≤ docs·bands/max_bucket

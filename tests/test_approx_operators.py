@@ -1018,3 +1018,13 @@ def test_lsh_capped_path_matches_surviving_band_model(spark):
         for r in lsh_candidate_pairs(sigs, max_bucket=10**9).collect()
     }
     assert got < uncapped
+    # the group_by scale mode (no carried array, anti-join cap) must
+    # produce the IDENTICAL candidate set under the same cap — any
+    # surviving band emits, dedupe by exchange
+    got_gb = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            sigs, max_bucket=cap, dedupe="group_by"
+        ).collect()
+    }
+    assert got_gb == want
