@@ -595,9 +595,10 @@ def lsh_candidate_pairs(
     # surviving scan is linear in each band's capped-key list
     # (Spark's complex-type lookups are all linear); its size is
     # bounded by the cap pigeonhole and measured in CAP_STRESS.json —
-    # if a corpus ever pushes thousands of capped keys per band, swap
-    # the broadcast map for a pre-join against the capped-bucket
-    # table (advisor note, r6).
+    # a corpus that pushes thousands of capped keys per band should
+    # run ``dedupe="group_by"`` instead (anti-join cap, no map scan
+    # at all — the parameterized escape hatch for the advisor's r6
+    # note).
     no_caps = F.coalesce(F.cardinality("capped_map") == 0, F.lit(True))
     banded = (
         banded.crossJoin(F.broadcast(capped))
