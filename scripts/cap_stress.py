@@ -80,12 +80,12 @@ def main() -> None:
         .localCheckpoint(eager=True)  # time candidate gen, not signatures
     )
 
-    def run(cap: int) -> tuple[float, int, int]:
+    def run(cap: int, dedupe: str = "first_band") -> tuple[float, int, int]:
         best, n, n_real = None, 0, 0
         for _ in range(2):  # min-of-2: exclude codegen/warmup noise
             t0 = time.perf_counter()
             cands = D.lsh_candidate_pairs(
-                sigs, size_ratio=(9, 10), max_bucket=cap
+                sigs, size_ratio=(9, 10), max_bucket=cap, dedupe=dedupe
             )
             agg = cands.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -100,6 +100,10 @@ def main() -> None:
 
     t_un, n_un, nr_un = run(cap=1 << 40)
     t_cap, n_cap, nr_cap = run(cap=CAP)
+    # the r7 scale-mode twin (anti-join cap + groupBy dedupe): must
+    # find the identical pair set; its timing is the measured cost of
+    # trading the carried-array formulation for map-free capping
+    t_gb, n_gb, nr_gb = run(cap=CAP, dedupe="group_by")
 
     # every pair INVOLVING a realistic doc must be identical with and
     # without the cap (doc ids sort real < boiler, so doc_a < M covers
@@ -182,6 +186,10 @@ def main() -> None:
                      "realistic_pairs": nr_un},
         "capped": {"sec": round(t_cap, 2), "pairs": n_cap,
                    "realistic_pairs": nr_cap},
+        "capped_group_by_mode": {"sec": round(t_gb, 2), "pairs": n_gb,
+                                 "realistic_pairs": nr_gb,
+                                 "same_pairs_as_first_band":
+                                     n_gb == n_cap and nr_gb == nr_cap},
         "realistic_sets_identical": same_real,
         "boiler_pairs_under_cap": int(recovered["n"]),
         "boiler_pairs_first_raw_band_capped": int(recovered["n_rec"]),
