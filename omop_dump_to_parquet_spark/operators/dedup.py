@@ -237,6 +237,53 @@ def prefix_index(
     return ranked.filter(F.col("rn") <= F.col("nw") - ceil_t_nw + 1)
 
 
+# The largest per-block population exact AllPairs may sweep. The
+# Heaps-law sweep (HEAPS_SWEEP.json, SCALING.md) measured candidate
+# growth ≈ N^1.6 per block even under realistic V ∝ N^0.5 vocabulary
+# growth, so exact-Jaccard candidate generation is a BOUNDED-BLOCK
+# tool: block count, not block size, must absorb corpus growth. At
+# 10⁷ docs/block the per-block sweep is ~10¹¹ token-match emissions
+# (hours of a large cluster, the measured practical ceiling); past
+# it, d04's banded MinHash is strictly cheaper and the guard makes
+# the crossover an ERROR instead of a silent super-linear stage.
+DEFAULT_MAX_BLOCK_DOCS = 10_000_000
+
+
+def _guard_block_population(
+    docs: DataFrame, block_cols: tuple[str, ...], max_block_docs: int | None
+) -> DataFrame:
+    """Enforce the bounded-block contract IN-PLAN: join each doc to
+    its block's population (one row per block, broadcast) and raise
+    at execution time if any populated block exceeds the bound. No
+    driver-side action — the check runs where the data is scanned,
+    costs one tiny per-block count-aggregate, and fires even when
+    the caller never inspects block sizes."""
+    if max_block_docs is None:
+        return docs
+    n = F.count(F.lit(1)).alias("_block_docs")
+    if block_cols:
+        bsz = docs.groupBy(*block_cols).agg(n)
+        checked = docs.join(F.broadcast(bsz), list(block_cols))
+    else:
+        checked = docs.crossJoin(F.broadcast(docs.agg(n)))
+    ok = F.col("_block_docs") <= F.lit(max_block_docs)
+    msg = F.format_string(
+        "prefix_filter_candidates: block population %s exceeds "
+        f"max_block_docs={max_block_docs}; exact AllPairs candidate "
+        "generation is ~N^1.6 per block (HEAPS_SWEEP.json) — split "
+        "the block (finer block_cols), raise max_block_docs "
+        "explicitly, or switch to lsh_candidate_pairs (d04) for "
+        "whole-corpus dedup",
+        F.col("_block_docs"),
+    )
+    # assert_true returns NULL when ok (every row passes the filter)
+    # and raises with msg otherwise; as a FILTER it cannot be pruned
+    # away as an unused projection.
+    return checked.filter(
+        F.assert_true(ok, msg).isNull() | ok
+    ).drop("_block_docs")
+
+
 def prefix_filter_candidates(
     docs: DataFrame,
     num: int,
@@ -244,6 +291,7 @@ def prefix_filter_candidates(
     *block_cols: str,
     tokens: Column | None = None,
     distinct: bool = True,
+    max_block_docs: int | None = DEFAULT_MAX_BLOCK_DOCS,
 ) -> DataFrame:
     """Exact candidate pairs for Jaccard ≥ num/den via prefix
     filtering (Bayardo et al., AllPairs — public algorithm).
@@ -277,7 +325,17 @@ def prefix_filter_candidates(
     candidates 130.9M → a small multiple of the true pair count, the
     growth that made exact-Jaccard candidate generation the one
     superlinear stage in the scale rehearsal (SCALING.md).
+
+    BOUNDED-BLOCK contract (r9, enforced): candidate volume per
+    block is ~N^1.6 even under Heaps-law vocabulary growth
+    (HEAPS_SWEEP.json), so ``max_block_docs`` (default
+    ``DEFAULT_MAX_BLOCK_DOCS``) caps the population any single block
+    may contribute — exceeding it raises AT EXECUTION TIME inside
+    the plan rather than silently running the super-linear sweep.
+    Pass ``None`` to opt out explicitly (scale-sweep scripts do, to
+    measure the regime the guard exists to prevent).
     """
+    docs = _guard_block_population(docs, block_cols, max_block_docs)
     tok = _distinct_tokens(docs, *block_cols, tokens=tokens)
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
     ranked = _ranked_tokens(docs, *block_cols, tok=tok, sizes=sizes)

@@ -1325,29 +1325,59 @@ def q40_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket. Theta sketches (set intersection/difference) extend the
 # same pattern to audience-overlap questions.
 #
-# Rows-only correctness check (DuckDB's HLL is a different
-# implementation with different estimates); the unit test
-# (tests/test_approx_operators.py) bounds the estimate against the
-# exact distinct count computed at test scale.
+# FULLY DIFFERENTIAL since r9 via the q27/q47 exact+within-ε fold:
+# DuckDB's HLL is a different implementation with different
+# estimates, so the raw estimate is not an output column; instead
+# the registered query computes BOTH the sketch-rollup estimate and
+# the exact per-week distinct count, emitting the exact values plus
+# a `hll_within_eps` boolean. The oracle recomputes the exact side
+# and emits TRUE — the driver's value hash then gates (a) the exact
+# computation cross-engine and (b) the merged estimate's accuracy,
+# every round it's sampled (previously a rows-only `no_oracle` row).
+# ε = 0.05 ≈ 3σ for HLL lgConfigK=12 (RSE ≈ 1.6%) — the same band
+# the q47 companion has hash-passed since r6. The unit test
+# (tests/test_approx_operators.py) additionally bounds the estimate
+# at test scale.
 # ---------------------------------------------------------------------------
 
+Q41_ORACLE = """
+SELECT date_trunc('week', ts) AS week,
+       CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_weekly_users,
+       TRUE AS hll_within_eps
+FROM events
+GROUP BY week
+"""
 
-@query("q41_sketch_rollup_merge")
+
+@query("q41_sketch_rollup_merge", oracle=Q41_ORACLE)
 def q41_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts").alias("week")
     daily = ev.groupBy(
-        F.date_trunc("week", "ts").alias("week"),
-        F.date_trunc("day", "ts").alias("day"),
+        week, F.date_trunc("day", "ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("day_sketch"))
-    return (
-        daily.groupBy("week")
-        .agg(
-            F.hll_sketch_estimate(
-                F.hll_union_agg("day_sketch")
-            ).alias("approx_weekly_users"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
-        .orderBy("week")
+    # the production path: merge per-day sketch BYTES up to weeks —
+    # this is the rollup under test
+    rolled = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("day_sketch")).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    # the verification harness: exact distinct, test-SF only
+    exact = ev.groupBy(week).agg(
+        F.count_distinct("user_id").alias("exact_weekly_users")
+    )
+    eps = 0.05
+    return exact.join(rolled, "week").select(
+        "week",
+        "n_days",
+        "exact_weekly_users",
+        (
+            F.col("est").between(
+                F.col("exact_weekly_users") * (1 - eps),
+                F.col("exact_weekly_users") * (1 + eps),
+            )
+        ).alias("hll_within_eps"),
     )
 
 
@@ -1465,12 +1495,47 @@ def q43_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exclusion question is answered from sketches alone. q41 is the
 # same argument for rollup-union; this is the intersection half.
 #
-# Rows-only check (sketch estimates are implementation-specific);
-# the unit test bounds the estimate against the exact intersection.
+# FULLY DIFFERENTIAL since r9 via the q27/q48 exact+within-ε fold:
+# sketch estimates are implementation-specific, so the registered
+# query computes BOTH the theta-algebra estimates AND the exact set
+# counts (one groupBy(user_id) pass → per-user purchase/error flags
+# → four exact counts), emitting the exact values plus four
+# within-tolerance booleans; the oracle recomputes the exact side
+# and emits TRUE. Tolerance model: theta intersection/difference
+# error scales with the UNION size, not the result size (a tiny
+# overlap of two huge sets has absolute error ∝ |A∪B|/√k), so the
+# band is abs(est − exact) ≤ ε·(|A|+|B|) with ε = 0.05 — which also
+# handles exact-zero results (n_purchase_only is 0 at test SF; a
+# relative band would demand est ≡ 0 of an estimator that is only
+# exact below 4 096 entries). Default lgNomEntries=12 means the
+# sketch IS exact below 4 096 distinct keys, so at test SF a hash
+# fail is a broken sketch, not noise; at production SF the same
+# band is the published 3σ envelope. Unit test additionally bounds
+# the estimate at test scale (tests/test_approx_operators.py).
 # ---------------------------------------------------------------------------
 
+Q44_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         bool_or(event_type = 'purchase') AS p,
+         bool_or(event_type = 'error') AS e
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(count(CASE WHEN p THEN 1 END) AS BIGINT) AS n_purchasers,
+       CAST(count(CASE WHEN e THEN 1 END) AS BIGINT) AS n_erroring,
+       CAST(count(CASE WHEN p AND e THEN 1 END) AS BIGINT) AS n_overlap,
+       CAST(count(CASE WHEN p AND NOT e THEN 1 END) AS BIGINT)
+           AS n_purchase_only,
+       TRUE AS purchasers_within_eps,
+       TRUE AS erroring_within_eps,
+       TRUE AS overlap_within_eps,
+       TRUE AS diff_within_eps
+FROM per_user
+"""
 
-@query("q44_theta_overlap")
+
+@query("q44_theta_overlap", oracle=Q44_ORACLE)
 def q44_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     sketches = ev.groupBy().agg(
@@ -1481,23 +1546,48 @@ def q44_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "error", F.col("user_id"))
         ).alias("erroring"),
     )
-    return sketches.select(
-        F.theta_sketch_estimate(F.col("purchasers"))
-        .cast("long")
-        .alias("n_purchasers"),
-        F.theta_sketch_estimate(F.col("erroring"))
-        .cast("long")
-        .alias("n_erroring"),
+    est = sketches.select(
+        F.theta_sketch_estimate(F.col("purchasers")).alias("est_p"),
+        F.theta_sketch_estimate(F.col("erroring")).alias("est_e"),
         F.theta_sketch_estimate(
             F.theta_intersection(F.col("purchasers"), F.col("erroring"))
-        )
-        .cast("long")
-        .alias("n_overlap"),
+        ).alias("est_overlap"),
         F.theta_sketch_estimate(
             F.theta_difference(F.col("purchasers"), F.col("erroring"))
-        )
-        .cast("long")
-        .alias("n_purchase_only"),
+        ).alias("est_diff"),
+    )
+    # verification harness: one shuffle on user_id → per-user flags →
+    # scalar exact counts; test-SF only (production runs sketches)
+    p = F.max((F.col("event_type") == "purchase").cast("int")).alias("p")
+    e = F.max((F.col("event_type") == "error").cast("int")).alias("e")
+    flags = ev.groupBy("user_id").agg(p, e)
+    exact = flags.agg(
+        F.sum("p").cast("long").alias("n_purchasers"),
+        F.sum("e").cast("long").alias("n_erroring"),
+        F.sum(
+            (F.col("p") + F.col("e") == 2).cast("long")
+        ).alias("n_overlap"),
+        F.sum(
+            ((F.col("p") == 1) & (F.col("e") == 0)).cast("long")
+        ).alias("n_purchase_only"),
+    )
+    eps = 0.05
+    # error envelope ∝ union size for every theta set operation
+    tol = eps * (F.col("n_purchasers") + F.col("n_erroring"))
+
+    def within(est_col: str, exact_col: str):
+        return F.abs(F.col(est_col) - F.col(exact_col)) <= tol
+
+    # singleton × singleton: a scalar join, not a cartesian scan
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_purchasers",
+        "n_erroring",
+        "n_overlap",
+        "n_purchase_only",
+        within("est_p", "n_purchasers").alias("purchasers_within_eps"),
+        within("est_e", "n_erroring").alias("erroring_within_eps"),
+        within("est_overlap", "n_overlap").alias("overlap_within_eps"),
+        within("est_diff", "n_purchase_only").alias("diff_within_eps"),
     )
 
 

@@ -110,18 +110,19 @@ _WINDOW = 50
 # All 13 r6 pins came back green in CORRECTNESS_r06 — cleared, so the
 # four r3-vintage streaming ids (st01-st04, the oldest driver
 # evidence in the catalog) finally rotate into the r7 window.
-# r7 pins, rewritten this round:
-#   d04 — empty-cap fast path (skip the skeys rewrite when no bucket
-#         is capped) + own-band short-circuit; value-identical, plan
-#         changed.
-#   s09 — integer-lattice PQ rewrite: rows-only → full differential
-#         oracle (every ADC distance is an exact integer).
-#   q27 — upgraded to the q47-q49 exact+within-ε pattern: no_oracle →
-#         full differential.
+# All three r7 pins (d04/s09/q27) came back green in CORRECTNESS_r08
+# — cleared.
+# r9 pins, rewritten this round:
+#   q41/q44 — upgraded to the q27/q47-q49 exact+within-ε pattern:
+#         the catalog's last two no_oracle ids became full
+#         differential (exact values + ε-booleans; oracle recomputes
+#         the exact side). Pinned so CORRECTNESS_r09 shows them
+#         hash-checked under their new contract.
+# (m09, new this round, has zero driver checks and auto-sorts into
+# the window — no pin needed.)
 _FORCE_IN_WINDOW: tuple[str, ...] = (
-    "d04_dedup_minhash_lsh",
-    "s09_ann_pq",
-    "q27_approx_sketches",
+    "q41_sketch_rollup_merge",
+    "q44_theta_overlap",
 )
 
 

@@ -496,6 +496,45 @@ def test_prefix_filter_excludes_hot_tokens_and_loses_no_recall(
     assert hottest["pdf"] == 0, hottest
 
 
+def test_prefix_filter_block_population_guard_fires(spark, sf_small):
+    """The r9 bounded-block contract: a block whose population
+    exceeds ``max_block_docs`` must raise AT EXECUTION TIME (the
+    Heaps-law sweep measured ~N^1.6 candidate growth per block — the
+    guard turns the silent super-linear sweep into an error), while
+    the same data under a sufficient bound — and under the explicit
+    ``None`` opt-out — returns the identical candidate set."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    from omop_dump_to_parquet_spark.operators import dedup as D
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    docs = table(spark, sf_small, "documents")
+    blocked = D.prefix_filter_candidates(
+        docs, 3, 5, "lang", "source", max_block_docs=3
+    )
+    with pytest.raises(
+        (Py4JJavaError, PySparkRuntimeError, Exception),
+        match="max_block_docs=3",
+    ):
+        blocked.collect()
+
+    guarded = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in D.prefix_filter_candidates(
+            docs, 3, 5, "lang", "source", max_block_docs=10**6
+        ).collect()
+    )
+    unguarded = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in D.prefix_filter_candidates(
+            docs, 3, 5, "lang", "source", max_block_docs=None
+        ).collect()
+    )
+    assert guarded == unguarded and guarded
+
+
 def test_int8_ann_matches_numpy_reference_exactly(spark, sf_small):
     """The distributed SQ8 kernel (per-batch local top-k + global
     window) must equal a straight single-process NumPy reference of
@@ -704,20 +743,20 @@ def test_m05_oracle_recomputes_kernel_phash(spark, sf_small):
 
 
 def test_sketch_rollup_tracks_exact_distinct(spark, sf_small):
-    """q41's merged weekly HLL estimates must land within 5% of the
-    exact per-week distinct user counts (64-dim HLL at default lgK is
-    far tighter than that at fixture cardinalities), and merging daily
-    sketches must equal sketching the week directly."""
+    """q41 (r9 exact+within-ε contract): every registered row's
+    `hll_within_eps` gate must be True and `exact_weekly_users` must
+    equal an independently computed exact distinct; separately, the
+    re-aggregation contract — merging daily sketches ≈ sketching the
+    week directly — is checked on raw sketch columns."""
     from pyspark.sql import functions as F
 
     from omop_dump_to_parquet_spark import load_catalog
     from omop_dump_to_parquet_spark.sources.parquet import table
 
     queries, _ = load_catalog()
-    approx = {
-        r["week"]: r["approx_weekly_users"]
-        for r in queries["q41_sketch_rollup_merge"](spark, sf_small).collect()
-    }
+    rows = queries["q41_sketch_rollup_merge"](spark, sf_small).collect()
+    assert rows and all(r["hll_within_eps"] for r in rows), rows
+    got = {r["week"]: r["exact_weekly_users"] for r in rows}
     exact = {
         r["week"]: r["n"]
         for r in table(spark, sf_small, "events")
@@ -725,29 +764,34 @@ def test_sketch_rollup_tracks_exact_distinct(spark, sf_small):
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for week, est in approx.items():
-        assert abs(est - exact[week]) <= max(1, 0.05 * exact[week]), (
-            week, est, exact[week]
-        )
+    assert got == exact
 
     # merge-of-parts ~= sketch-of-whole (the re-aggregation contract).
     # Exact equality only holds while sketches stay in sparse/coupon
     # mode; in dense HLL mode a union's estimate can differ in
     # low-order digits, so bound instead of demanding bit-equality.
+    ev = table(spark, sf_small, "events")
+    week = F.date_trunc("week", "ts").alias("week")
+    merged = {
+        r["week"]: r["est"]
+        for r in ev.groupBy(week, F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("s"))
+        .groupBy("week")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est"))
+        .collect()
+    }
     direct = {
         r["week"]: r["est"]
-        for r in table(spark, sf_small, "events")
-        .groupBy(F.date_trunc("week", "ts").alias("week"))
+        for r in ev.groupBy(week)
         .agg(
             F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
         )
         .collect()
     }
-    assert set(approx) == set(direct)
-    for week, est in approx.items():
-        assert abs(est - direct[week]) <= max(1, 0.05 * direct[week]), (
-            week, est, direct[week]
+    assert set(merged) == set(direct)
+    for wk, est in merged.items():
+        assert abs(est - direct[wk]) <= max(1, 0.05 * direct[wk]), (
+            wk, est, direct[wk]
         )
 
 
@@ -788,10 +832,11 @@ def test_pq_adc_beats_chance_and_is_deterministic(spark, sf_small):
 
 
 def test_theta_overlap_tracks_exact_set_algebra(spark, sf_small):
-    """q44's sketch-algebra estimates must land within 5% of the
-    exact intersection / difference cardinalities (theta sketches are
-    exact below their nominal-entries threshold — fixture
-    cardinalities are tens of users)."""
+    """q44 (r9 exact+within-ε contract): the registered exact counts
+    must equal an independently computed set algebra, and all four
+    sketch-vs-exact ε-gates must be True (theta sketches are exact
+    below their nominal-entries threshold — fixture cardinalities are
+    tens of users)."""
     from pyspark.sql import functions as F
 
     from omop_dump_to_parquet_spark import load_catalog
@@ -822,9 +867,14 @@ def test_theta_overlap_tracks_exact_set_algebra(spark, sf_small):
         "n_purchase_only": len(purchasers - erroring),
     }
     for col, exact in checks.items():
-        assert abs(row[col] - exact) <= max(1, 0.05 * exact), (
-            col, row[col], exact,
-        )
+        assert row[col] == exact, (col, row[col], exact)
+    for gate in (
+        "purchasers_within_eps",
+        "erroring_within_eps",
+        "overlap_within_eps",
+        "diff_within_eps",
+    ):
+        assert row[gate] is True, (gate, row)
 
 
 def test_pq_adc_recall_floor_vs_exact(spark, sf_small):
