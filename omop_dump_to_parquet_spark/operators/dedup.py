@@ -486,6 +486,16 @@ def band_keys(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
     )
 
 
+# dedupe="auto" switches first_band → group_by when the worst band
+# holds more capped keys than this. Measured (CAP_STRESS.json
+# "crossover": 40-copy templates, cap 30, both modes median-of-3):
+# ~break-even at 50 capped keys/band, group_by faster at 200, 4× at
+# 600 — first_band's per-row scan is linear in this count, so 64
+# sits just past the measured indifference zone and well before the
+# cliff.
+AUTO_CAPPED_KEYS_PER_BAND = 64
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = LSH_BANDS,
@@ -493,6 +503,7 @@ def lsh_candidate_pairs(
     size_ratio: tuple[int, int] | None = None,
     max_bucket: int = MAX_BUCKET,
     dedupe: str = "first_band",
+    auto_capped_keys_per_band: int = AUTO_CAPPED_KEYS_PER_BAND,
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band.
 
@@ -520,6 +531,19 @@ def lsh_candidate_pairs(
       dedupe exchange the default exists to avoid (measured 6.5s →
       3.6s on the dup-dense sf0.1; equality of output asserted in
       ``test_lsh_capped_path_matches_surviving_band_model``).
+    - ``"auto"`` (r9): probe the capped-bucket table once (a tiny
+      eager aggregate on the same (band, bkey) grouping both modes
+      compute anyway) and pick the measured winner for the regime:
+      ``group_by`` iff the WORST band's capped-key count exceeds
+      ``auto_capped_keys_per_band``, else ``first_band``. The signal
+      is capped keys per band — exactly what first_band's per-row
+      map scan is linear in — and the crossover is measured, not
+      guessed (CAP_STRESS.json "crossover" table: ~break-even at 50
+      capped keys/band, group_by ahead at 200, 4× ahead at 600;
+      first_band ahead on the dup-dense zero-cap bench corpus).
+      The probe is an extra job over the banded subtree; auto-mode
+      callers that cannot afford recomputing signatures should
+      checkpoint ``sigs`` first (the cap_stress harness pattern).
 
     One pass: the per-doc band signatures are built as an array and
     EXPLODED (a union of 32 per-band selects would re-evaluate the
@@ -572,7 +596,7 @@ def lsh_candidate_pairs(
     Integer num/den keeps the boundary exact (0.9·10 in floats could
     tip either way on j = 0.9 pairs).
     """
-    if dedupe not in ("first_band", "group_by"):
+    if dedupe not in ("first_band", "group_by", "auto"):
         raise ValueError(f"unknown dedupe mode {dedupe!r}")
     keys = band_keys(bands, rows)
     carry = ["nw"] if size_ratio is not None else []
@@ -580,6 +604,26 @@ def lsh_candidate_pairs(
         "doc_id", *carry, "keys", F.posexplode("keys").alias("band", "bkey")
     )
     banded = pin_expansion_parallelism(banded, "band", "bkey")
+    if dedupe == "auto":
+        # one eager probe of the capped-bucket table (rows ≤
+        # docs·bands/max_bucket by pigeonhole — tiny): the worst
+        # band's capped-key count is the quantity first_band's
+        # per-row map scan is linear in, so it IS the mode signal
+        # (measured crossover in CAP_STRESS.json / AUTO_... above)
+        worst = (
+            banded.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket)
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("nk"))
+            .agg(F.max("nk").alias("mx"))
+            .first()["mx"]
+        )
+        dedupe = (
+            "group_by"
+            if (worst or 0) > auto_capped_keys_per_band
+            else "first_band"
+        )
     if dedupe == "group_by":
         # Scale-mode: drop capped buckets via broadcast anti-join
         # (hash lookup, no per-row list scan), emit per surviving

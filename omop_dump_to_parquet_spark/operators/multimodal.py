@@ -334,21 +334,40 @@ def decode_bmp_gray(b: bytes) -> tuple[int, int, bytes]:
 
     if b[:2] != b"BM":
         raise ValueError("not a BMP payload (missing BM magic)")
+    if len(b) < 54:  # 14-byte file header + full BITMAPINFOHEADER
+        raise ValueError("truncated BMP header")
     data_off = struct.unpack_from("<I", b, 10)[0]
     hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
     planes, bpp = struct.unpack_from("<HH", b, 26)
     compression = struct.unpack_from("<I", b, 30)[0]
+    clr_used = struct.unpack_from("<I", b, 46)[0]
     if (
         hdr_size < 40
         or planes != 1
         or bpp != 8
         or compression != 0
+        or clr_used > 256
         or w <= 0  # zero/negative width or zero height would decode
         or h == 0  # to an empty buffer and crash the resampler later
     ):
         raise ValueError(
             f"unsupported BMP variant (hdr={hdr_size} planes={planes} "
             f"bpp={bpp} compression={compression} w={w} h={h})"
+        )
+    # 8bpp pixel bytes are PALETTE INDICES, not luminance: decoding
+    # them as grayscale is only valid when the palette is the
+    # identity ramp (entry i = BGR (i,i,i)). Validate instead of
+    # silently mis-decoding a colormapped image (advisor note r7).
+    n_colors = clr_used or 256
+    pal = b[14 + hdr_size : 14 + hdr_size + 4 * n_colors]
+    if len(pal) < 4 * n_colors:
+        raise ValueError("truncated BMP palette")
+    ramp = bytes(range(n_colors))
+    if not (pal[0::4] == ramp and pal[1::4] == ramp and pal[2::4] == ramp):
+        raise ValueError(
+            "non-grayscale BMP palette (8bpp pixels are palette "
+            "indices; a colormapped image cannot be decoded as "
+            "luminance)"
         )
     top_down = h < 0
     h_abs = abs(h)
@@ -381,19 +400,34 @@ def resize_bmp(payloads: DataFrame) -> DataFrame:
             # inlined decode_bmp_gray (closure-local kernel rule)
             if b[:2] != b"BM":
                 raise ValueError("not a BMP payload (missing BM magic)")
+            if len(b) < 54:
+                raise ValueError("truncated BMP header")
             data_off = _struct.unpack_from("<I", b, 10)[0]
             hdr_size, w, h = _struct.unpack_from("<Iii", b, 14)
             planes, bpp = _struct.unpack_from("<HH", b, 26)
             compression = _struct.unpack_from("<I", b, 30)[0]
+            clr_used = _struct.unpack_from("<I", b, 46)[0]
             if (
                 hdr_size < 40
                 or planes != 1
                 or bpp != 8
                 or compression != 0
+                or clr_used > 256
                 or w <= 0
                 or h == 0
             ):
                 raise ValueError("unsupported BMP variant")
+            n_colors = clr_used or 256
+            pal = b[14 + hdr_size : 14 + hdr_size + 4 * n_colors]
+            if len(pal) < 4 * n_colors:
+                raise ValueError("truncated BMP palette")
+            ramp = bytes(range(n_colors))
+            if not (
+                pal[0::4] == ramp
+                and pal[1::4] == ramp
+                and pal[2::4] == ramp
+            ):
+                raise ValueError("non-grayscale BMP palette")
             top_down = h < 0
             h_abs = abs(h)
             stride = (w + 3) & ~3

@@ -860,9 +860,11 @@ def s08_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # or correctly rounded), codebook training is k-means whose state is
 # (integer component sums, counts) — integer addition is order-free,
 # so no decimal machinery is needed — with centroids snapped to a
-# 1/PQ_LATTICE sub-grid via floor(s·L/n) (exact: s·L < 2^31 so the
-# double division is correctly rounded and ≥ 1/n ≈ 2e-3 away from
-# integer boundaries vs ulp ≈ 5e-7), and every assignment / ADC
+# 1/PQ_LATTICE sub-grid via floor(s·L/n) (exact: |s|·L ≤
+# n·(UGRID+1)·L ≈ 2.1e9 ≪ 2^53, so the product is exactly
+# representable in double and the division correctly rounded, and
+# the true quotient sits ≥ 1/n ≈ 2e-3 away from integer boundaries
+# vs ulp ≈ 5e-7), and every assignment / ADC
 # distance is an exact int64 (bounded by 4·(2·UGRID·LATTICE)² ≈
 # 2.8e14 per subspace, Σ over M ≈ 4.5e15 < 2^53) — so argmins,
 # shortlists, and the emitted approx_dist carry ZERO float ambiguity

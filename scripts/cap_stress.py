@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -81,8 +82,12 @@ def main() -> None:
     )
 
     def run(cap: int, dedupe: str = "first_band") -> tuple[float, int, int]:
-        best, n, n_real = None, 0, 0
-        for _ in range(2):  # min-of-2: exclude codegen/warmup noise
+        # median-of-3, matching the rest of the r7+ measurement stack
+        # (min-of-reps let one lucky rep contradict the driver —
+        # advisor r7; bench.py / heaps_sweep / scale_rehearsal all
+        # moved already)
+        runs, n, n_real = [], 0, 0
+        for _ in range(3):
             t0 = time.perf_counter()
             cands = D.lsh_candidate_pairs(
                 sigs, size_ratio=(9, 10), max_bucket=cap, dedupe=dedupe
@@ -93,10 +98,9 @@ def main() -> None:
                     F.when(F.col("doc_a") < REALISTIC_MAX_ID, F.lit(1))
                 ).alias("n_real"),
             ).collect()[0]
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.perf_counter() - t0)
             n, n_real = int(agg["n"]), int(agg["n_real"])
-        return best, n, n_real
+        return statistics.median(runs), n, n_real
 
     t_un, n_un, nr_un = run(cap=1 << 40)
     t_cap, n_cap, nr_cap = run(cap=CAP)
@@ -104,6 +108,11 @@ def main() -> None:
     # find the identical pair set; its timing is the measured cost of
     # trading the carried-array formulation for map-free capping
     t_gb, n_gb, nr_gb = run(cap=CAP, dedupe="group_by")
+    # r9 adaptive mode: 5 capped keys/band is far below the measured
+    # crossover, so the probe must stay on first_band here and find
+    # the identical pair set; its timing includes the probe job,
+    # i.e. the real cost of not choosing manually
+    t_auto, n_auto, nr_auto = run(cap=CAP, dedupe="auto")
 
     # every pair INVOLVING a realistic doc must be identical with and
     # without the cap (doc ids sort real < boiler, so doc_a < M covers
@@ -175,6 +184,57 @@ def main() -> None:
         .collect()[0]
     )
 
+    # r9 crossover sweep: the quantity first_band's per-row map scan
+    # is linear in is capped keys per band (= template count here);
+    # sweep it with everything else fixed to place dedupe="auto"'s
+    # threshold on measurement. Boilerplate-only corpora (40 copies
+    # per template, cap 30 → every template caps every core band).
+    crossover = {}
+    for n_templates in (5, 50, 200, 600):
+        xrows, nid = [], 0
+        for t in range(n_templates):
+            template = [
+                vocab[int(i)] for i in rng.integers(0, 2000, size=50)
+            ]
+            for _ in range(40):
+                copy = list(template)
+                copy[int(rng.integers(0, 50))] = vocab[
+                    int(rng.integers(0, 2000))
+                ]
+                xrows.append((nid, " ".join(copy)))
+                nid += 1
+        xdocs = spark.createDataFrame(
+            xrows, "doc_id bigint, text string"
+        ).localCheckpoint(eager=True)
+        xnw = xdocs.select(
+            "doc_id",
+            F.size(F.array_distinct(F.split("text", " "))).alias("nw"),
+        )
+        xsigs = (
+            D.minhash_signatures(xdocs).join(xnw, "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        entry = {}
+        for mode in ("first_band", "group_by"):
+            runs = []
+            n_pairs = 0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n_pairs = D.lsh_candidate_pairs(
+                    xsigs, size_ratio=(9, 10), max_bucket=30, dedupe=mode
+                ).count()
+                runs.append(time.perf_counter() - t0)
+            entry[mode] = {
+                "sec": round(statistics.median(runs), 2), "pairs": n_pairs
+            }
+        entry["same_pairs"] = (
+            entry["first_band"]["pairs"] == entry["group_by"]["pairs"]
+        )
+        crossover[f"capped_keys_per_band_{n_templates}"] = entry
+        print(
+            f"crossover {n_templates}: {entry}", file=sys.stderr,
+        )
+
     out = {
         "corpus": {
             "realistic_docs": real.count(),
@@ -190,9 +250,14 @@ def main() -> None:
                                  "realistic_pairs": nr_gb,
                                  "same_pairs_as_first_band":
                                      n_gb == n_cap and nr_gb == nr_cap},
+        "capped_auto_mode": {"sec": round(t_auto, 2), "pairs": n_auto,
+                             "realistic_pairs": nr_auto,
+                             "same_pairs_as_first_band":
+                                 n_auto == n_cap and nr_auto == nr_cap},
         "realistic_sets_identical": same_real,
         "boiler_pairs_under_cap": int(recovered["n"]),
         "boiler_pairs_first_raw_band_capped": int(recovered["n_rec"]),
+        "crossover": crossover,
     }
     path = os.path.join(os.path.dirname(__file__), "..", "CAP_STRESS.json")
     with open(path, "w") as fh:

@@ -106,8 +106,14 @@ def main() -> None:
         )
 
     def marginal(a: str, b: str, key: str, lo: int, hi: int) -> float:
+        # a zero/negative operand means the measurement itself broke
+        # (empty candidate set, clock error) — fail loudly instead of
+        # masking it into a plausible-looking exponent (advisor r7)
+        assert results[a][key] > 0 and results[b][key] > 0, (
+            key, results[a][key], results[b][key],
+        )
         return round(
-            math.log(results[b][key] / max(results[a][key], 1e-9))
+            math.log(results[b][key] / results[a][key])
             / math.log(hi / lo),
             2,
         )

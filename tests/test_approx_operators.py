@@ -1006,6 +1006,21 @@ def test_bmp_decode_kernel_matches_reference(spark):
         decode_bmp_gray(b"PNG not a bmp")
     with _pytest.raises(ValueError):  # zero-width header (review find)
         decode_bmp_gray(encode_bmp_gray(0, 4, []))
+    # truncated header: contractual ValueError, never struct.error
+    # (advisor note r7 — a 33-byte 'BM' payload used to escape the
+    # ValueError contract)
+    with _pytest.raises(ValueError, match="truncated BMP header"):
+        decode_bmp_gray(b"BM" + b"\x00" * 31)
+    # colormapped (non-identity) palette must refuse to decode as
+    # grayscale instead of silently emitting palette indices
+    colormapped = bytearray(encode_bmp_gray(w, h, pixels))
+    colormapped[14 + 40 + 4 * 7] ^= 0xFF  # corrupt entry 7's blue
+    with _pytest.raises(ValueError, match="palette"):
+        decode_bmp_gray(bytes(colormapped))
+    # truncated palette (header claims 256 entries, payload stops
+    # mid-palette)
+    with _pytest.raises(ValueError, match="palette"):
+        decode_bmp_gray(bytes(encode_bmp_gray(w, h, pixels)[: 14 + 40 + 64]))
 
 
 def test_lsh_capped_path_matches_surviving_band_model(spark):
@@ -1078,3 +1093,60 @@ def test_lsh_capped_path_matches_surviving_band_model(spark):
         ).collect()
     }
     assert got_gb == want
+
+
+def test_lsh_auto_mode_picks_winner_and_matches_both(spark):
+    """dedupe="auto" (r9): output-identical to both explicit modes on
+    BOTH sides of the crossover, and the probe thresholds on the
+    worst band's capped-key count — group_by (anti-join plan) past
+    ``auto_capped_keys_per_band``, first_band (skeys plan, no
+    anti-join) at or below it, first_band when nothing caps."""
+    from omop_dump_to_parquet_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)]
+    rows += [
+        (i, f"u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(12, 30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+
+    def pairs(**kw):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in lsh_candidate_pairs(sigs, **kw).collect()
+        }
+
+    def plan(**kw):
+        return lsh_candidate_pairs(
+            sigs, **kw
+        )._jdf.queryExecution().toString()
+
+    # capped regime, threshold 0: the 12-doc identical cluster blows
+    # the cap (≥1 capped key per core band > 0) → group_by
+    cap = 8
+    assert "LeftAnti" in plan(
+        max_bucket=cap, dedupe="auto", auto_capped_keys_per_band=0
+    )
+    assert (
+        pairs(max_bucket=cap, dedupe="auto", auto_capped_keys_per_band=0)
+        == pairs(max_bucket=cap, dedupe="first_band")
+        == pairs(max_bucket=cap, dedupe="group_by")
+    )
+
+    # capped regime, DEFAULT threshold: one template's worth of
+    # capped keys per band is far below the measured crossover, so
+    # auto must stay on first_band despite the cap firing
+    assert "LeftAnti" not in plan(max_bucket=cap, dedupe="auto")
+    assert pairs(max_bucket=cap, dedupe="auto") == pairs(
+        max_bucket=cap, dedupe="first_band"
+    )
+
+    # uncapped regime: no bucket caps → first_band plan (no anti-join)
+    assert "LeftAnti" not in plan(max_bucket=10**9, dedupe="auto")
+    got_auto = pairs(max_bucket=10**9, dedupe="auto")
+    assert got_auto == pairs(max_bucket=10**9, dedupe="first_band")
+    assert got_auto == pairs(max_bucket=10**9, dedupe="group_by")
+    assert got_auto  # the identical cluster must collide somewhere
