@@ -222,8 +222,11 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M04 — image resize (honest stub for the CODEC, differentially
-# checked for everything else — r6). Payloads carry (width, height)
+# M04 — image resize over RAW (container-less) frames: the
+# metadata-carrying variant of the resample. The CODEC-complete
+# variant is m09 (r9), which runs the real BMP decoder in the kernel
+# — m04 keeps the raw-frame API (`resize_frames`) for payloads that
+# are already decoded planes. Payloads carry (width, height)
 # metadata; the "image" is a deterministic fake (row-major bytes).
 # Resize = nearest-neighbor index sampling — a real decoder+resampler
 # (PIL/cv2) drops into the kernel unchanged; the Spark-side shape
@@ -464,6 +467,111 @@ def resize_bmp(payloads: DataFrame) -> DataFrame:
             "doc_id long, src_w int, src_h int, out_w int, out_h int, "
             "resized binary"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M09 — the REAL container decode as a first-class catalog id (r9;
+# previously `resize_bmp` was unit/property-tested but the registered
+# m04 ran only the stub arithmetic). End-to-end: build genuine 8bpp
+# BI_RGB BMP payloads from the fixture text in one Arrow stage (an
+# in-plan fixture ENCODER — bottom-up row order, 4-byte stride
+# padding, identity grayscale palette: every decoder obligation is
+# physically present in the bytes), then run the production
+# `resize_bmp` kernel (header parse → palette validation → stride
+# strip → row flip → nearest-neighbor resample) in a second stage.
+# The oracle recomputes the expected OUTPUT directly from the text
+# via the m04 substr arithmetic — it never sees the container — so
+# the driver's value hash gates the whole encode∘decode∘resample
+# roundtrip: mishandle the stride, forget the bottom-up flip, or
+# misread the palette and the pixels land in the wrong cells.
+#
+# Scale shape: identical to m04 (binary in/out through Arrow, dims
+# as typed columns, decisions JVM-side); in production the BMP bytes
+# come from storage and the encoder stage simply isn't there.
+# ---------------------------------------------------------------------------
+
+BMP_W = 13  # odd on purpose: stride pads 13 → 16, so padding is live
+
+M09_ORACLE = f"""
+SELECT doc_id,
+       CAST({BMP_W} AS INT) AS src_w,
+       CAST(length(text) // {BMP_W} AS INT) AS src_h,
+       CAST({TARGET_W} AS INT) AS out_w,
+       CAST({TARGET_H} AS INT) AS out_h,
+       hex(encode(list_aggregate(
+         list_transform(range(0, {TARGET_W * TARGET_H}), k ->
+           substr(text,
+                  CAST(((k // {TARGET_W}) * (length(text) // {BMP_W})
+                         // {TARGET_H}) * {BMP_W}
+                       + ((k % {TARGET_W}) * {BMP_W} // {TARGET_W})
+                       + 1 AS INT),
+                  1)),
+         'string_agg', ''))) AS resized_hex
+FROM documents
+WHERE length(text) // {BMP_W} >= 1
+"""
+
+
+def encode_bmp_frames(docs: DataFrame) -> DataFrame:
+    """``(doc_id, payload: raw bytes)`` → ``(doc_id, payload: real
+    8bpp BI_RGB BMP)``, width ``BMP_W`` × height ``len//BMP_W``
+    (payloads shorter than one row are dropped, mirroring the m04
+    convention). Fixture-encoder role: rows are written BOTTOM-UP
+    with stride padding and a 256-entry identity palette, so the
+    downstream decoder must do real work to get the pixels back."""
+    w = BMP_W
+
+    def run(batches):
+        import struct as _struct
+
+        import pandas as _pd
+
+        palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+        data_off = 14 + 40 + len(palette)
+        stride = (w + 3) & ~3
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                h = len(b) // w
+                if h < 1:
+                    continue
+                px = b"".join(
+                    b[y * w : (y + 1) * w] + b"\x00" * (stride - w)
+                    for y in range(h - 1, -1, -1)  # bottom-up file order
+                )
+                hdr = (
+                    b"BM"
+                    + _struct.pack(
+                        "<IHHI", data_off + len(px), 0, 0, data_off
+                    )
+                    + _struct.pack(
+                        "<IiiHHIIiiII",
+                        40, w, h, 1, 8, 0, len(px), 2835, 2835, 256, 0,
+                    )
+                )
+                rows.append((int(doc_id), hdr + palette + px))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+@query("m09_bmp_decode_resize", oracle=M09_ORACLE)
+def m09_bmp_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    # metadata-driven routing stays JVM-side (the m04 doctrine): drop
+    # sub-row payloads before any Python stage runs
+    docs = docs.filter(F.length("payload") >= BMP_W)
+    return resize_bmp(encode_bmp_frames(docs)).select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        "out_w",
+        "out_h",
+        F.hex(F.col("resized")).alias("resized_hex"),
     )
 
 

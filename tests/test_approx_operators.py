@@ -877,6 +877,72 @@ def test_theta_overlap_tracks_exact_set_algebra(spark, sf_small):
         assert row[gate] is True, (gate, row)
 
 
+def test_m09_real_decode_matches_driver_reference(spark, sf_small):
+    """m09 (r9): the registered encode→REAL-decode→resample pipeline
+    must equal a driver-side reference built from encode_bmp_frames'
+    spec + decode_bmp_gray + the m04 sampling arithmetic, for every
+    document with at least one pixel row — and the encoder's
+    bottom-up/stride/palette obligations must be live (flip the
+    decoder's row order and the pixels land elsewhere; pinned by the
+    roundtrip equality here)."""
+    from omop_dump_to_parquet_spark import load_catalog
+    from omop_dump_to_parquet_spark.operators.multimodal import (
+        BMP_W,
+        TARGET_H,
+        TARGET_W,
+        decode_bmp_gray,
+    )
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    queries, _ = load_catalog()
+    got = {
+        r["doc_id"]: r
+        for r in queries["m09_bmp_decode_resize"](spark, sf_small).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    want_ids = {d for d, t in docs.items() if len(t) // BMP_W >= 1}
+    assert set(got) == want_ids and want_ids
+    import struct
+
+    for doc_id in list(sorted(want_ids))[:25]:  # bounded spot-check
+        b = docs[doc_id].encode()
+        w, h = BMP_W, len(b) // BMP_W
+        # re-encode per encode_bmp_frames' documented spec
+        stride = (w + 3) & ~3
+        palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+        data_off = 14 + 40 + len(palette)
+        px = b"".join(
+            b[y * w : (y + 1) * w] + b"\x00" * (stride - w)
+            for y in range(h - 1, -1, -1)
+        )
+        payload = (
+            b"BM"
+            + struct.pack("<IHHI", data_off + len(px), 0, 0, data_off)
+            + struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 8, 0, len(px), 2835, 2835, 256, 0,
+            )
+            + palette
+            + px
+        )
+        dw, dh, pixels = decode_bmp_gray(payload)
+        assert (dw, dh) == (w, h)
+        assert pixels == b[: w * h]  # flip + stride strip round-trips
+        expect = bytes(
+            pixels[(y * dh // TARGET_H) * dw + (x * dw // TARGET_W)]
+            for y in range(TARGET_H)
+            for x in range(TARGET_W)
+        )
+        r = got[doc_id]
+        assert (r["src_w"], r["src_h"]) == (w, h)
+        assert bytes.fromhex(r["resized_hex"]) == expect, doc_id
+
+
 def test_pq_adc_recall_floor_vs_exact(spark, sf_small):
     """PQ/ADC + exact refine (s09) against exact brute force (s01):
     ranks contiguous per query and a pinned recall@5 floor. ADC-only
