@@ -13,8 +13,12 @@ batching, partitioning, UDF signature) is real and tested.
 M01 exercises binary construction + metadata extraction with pure
 built-ins; M02 exercises the Arrow decode path end-to-end with a
 deterministic kernel that DuckDB can mirror (so even the Python stage
-gets a differential oracle); M03 is the honest stub: frame sampling
-over fake video payloads, rows-only checked.
+gets a differential oracle); M03/M04 are the honest stubs (byte
+slicing in codec position, differentially checked); M09 (8bpp BMP)
+and M10 (RIFF/WAV PCM) are REAL container decoders — pure-bytes
+formats need no codec library — registered as catalog ids whose
+oracles recompute the expected output straight from the source text,
+gating the full encode∘decode∘feature roundtrip.
 """
 
 from __future__ import annotations
@@ -1016,3 +1020,240 @@ def m08_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy long, peak int, mean_crossings int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# M10 — the second REAL container decode (r9): WAV/RIFF → 16-bit PCM
+# samples → overlapping frame features, differentially gated end to
+# end with the m09 recipe. One Arrow stage builds genuine WAV files
+# from the fixture text (RIFF size header, `fmt ` chunk, an
+# odd-sized junk LIST chunk WITH its RIFF pad byte between fmt and
+# data — so the decoder must walk chunks by id+size+padding, not
+# assume fixed offsets), a second stage runs the production decoder:
+# chunk walk → PCM/mono/16-bit validation → little-endian signed
+# sample recovery → 50%-overlap framing (the m08 layout, over
+# SAMPLES instead of raw bytes) with integer features (peak |s|,
+# Σ|s|, Σs², strict-sign zero crossings). The oracle recomputes
+# every value straight from the text ((ascii−96)·256 per sample — a
+# mapping chosen so ASCII text yields mixed-sign samples and the
+# zero-crossing feature is live), so an endianness, signedness,
+# chunk-offset, or pad-rule bug hash-fails.
+#
+# Scale shape: identical to m08 — one mapInPandas pass per stage,
+# NumPy-vectorized framing (stride index matrix, no per-sample
+# Python), typed integer output; in production the WAV bytes come
+# from storage and the encoder stage isn't there.
+# ---------------------------------------------------------------------------
+
+WAV_FRAME = 64
+WAV_HOP = 32
+
+M10_ORACLE = f"""
+WITH fr AS (
+  SELECT doc_id, CAST(o AS INT) AS frame_idx, text
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, 4096)) AS o)
+  WHERE o * {WAV_HOP} + {WAV_FRAME} <= length(text)
+), s AS (
+  SELECT doc_id, frame_idx,
+         list_transform(range(1, {WAV_FRAME + 1}), j ->
+           (ord(substr(text, CAST(frame_idx * {WAV_HOP} + j AS INT), 1))
+            - 96) * 256) AS sm
+  FROM fr
+)
+SELECT doc_id, frame_idx,
+       CAST({WAV_FRAME} AS INT) AS n_samples,
+       CAST(list_max(list_transform(sm, x -> abs(x))) AS INT) AS peak_abs,
+       CAST(list_sum(list_transform(sm, x -> abs(x))) AS BIGINT) AS sum_abs,
+       CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS energy,
+       CAST(coalesce(list_sum(list_transform(range(1, {WAV_FRAME}), j ->
+         CASE WHEN sm[CAST(j AS INT)] * sm[CAST(j + 1 AS INT)] < 0
+              THEN 1 ELSE 0 END)), 0) AS INT) AS zero_crossings
+FROM s
+"""
+
+
+def decode_wav_pcm16(b: bytes) -> list[int]:
+    """REAL container decode: RIFF/WAVE, uncompressed mono 16-bit
+    PCM → list of signed samples. Walks chunks by (id, size) with
+    the RIFF odd-size pad rule — fixed offsets would break on any
+    file with an extra chunk (the in-plan encoder plants one).
+    Driver-side reference twin of the ``wav_frame_features`` kernel's
+    inlined copy (closure-local kernel rule);
+    ``test_wav_decode_kernel_matches_reference`` pins them together.
+    """
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated RIFF chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # odd chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated fmt chunk")
+    audio_fmt, n_ch = struct.unpack_from("<HH", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or n_ch != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV variant (fmt={audio_fmt} ch={n_ch} "
+            f"bits={bits})"
+        )
+    if len(data) % 2:
+        raise ValueError("odd PCM data length")
+    return list(struct.unpack(f"<{len(data) // 2}h", data))
+
+
+def encode_wav_frames(docs: DataFrame) -> DataFrame:
+    """``(doc_id, payload: raw bytes)`` → ``(doc_id, payload: real
+    mono 16-bit PCM WAV)``; sample i = (byte_i − 96)·256 (mixed-sign
+    over ASCII so sign-sensitive features are live). Fixture-encoder
+    role: plants an odd-sized LIST chunk (plus its pad byte) between
+    fmt and data so the decoder's chunk walk is exercised."""
+
+    def run(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        junk = b"junkdat"  # 7 bytes: odd size forces the pad rule
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                pcm = (
+                    (raw.astype(_np.int64) - 96) * 256
+                ).astype("<i2").tobytes()
+                chunks = (
+                    b"fmt "
+                    + len(fmt).to_bytes(4, "little")
+                    + fmt
+                    + b"LIST"
+                    + len(junk).to_bytes(4, "little")
+                    + junk
+                    + b"\x00"  # RIFF pad byte for the odd chunk
+                    + b"data"
+                    + len(pcm).to_bytes(4, "little")
+                    + pcm
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        b"RIFF"
+                        + (4 + len(chunks)).to_bytes(4, "little")
+                        + b"WAVE"
+                        + chunks,
+                    )
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def wav_frame_features(payloads: DataFrame) -> DataFrame:
+    """``(doc_id, payload: binary WAV)`` → per-frame integer features
+    over decoded samples (frame ``WAV_FRAME``, hop ``WAV_HOP``, full
+    frames only). The production kernel: real RIFF walk + PCM decode
+    inlined (closure-local), NumPy stride-index framing."""
+    n, hop = WAV_FRAME, WAV_HOP
+
+    def run(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _decode(b: bytes):
+            # inlined decode_wav_pcm16 (closure-local kernel rule)
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            fmt = data = None
+            pos = 12
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                body = b[pos + 8 : pos + 8 + size]
+                if len(body) != size:
+                    raise ValueError("truncated RIFF chunk")
+                if cid == b"fmt ":
+                    fmt = body
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if fmt is None or data is None:
+                raise ValueError("missing fmt /data chunk")
+            if len(fmt) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, n_ch = _struct.unpack_from("<HH", fmt, 0)
+            bits = _struct.unpack_from("<H", fmt, 14)[0]
+            if audio_fmt != 1 or n_ch != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant")
+            if len(data) % 2:
+                raise ValueError("odd PCM data length")
+            return _np.frombuffer(data, dtype="<i2").astype(_np.int64)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = _decode(bytes(payload))
+                if s.size < n:
+                    continue
+                n_frames = (s.size - n) // hop + 1
+                idx = (
+                    _np.arange(n)[None, :]
+                    + hop * _np.arange(n_frames)[:, None]
+                )
+                fr = s[idx]
+                a = _np.abs(fr)
+                zc = ((fr[:, :-1] * fr[:, 1:]) < 0).sum(axis=1)
+                for i in range(n_frames):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            n,
+                            int(a[i].max()),
+                            int(a[i].sum()),
+                            int((fr[i] * fr[i]).sum()),
+                            int(zc[i]),
+                        )
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_samples",
+                    "peak_abs", "sum_abs", "energy", "zero_crossings",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, frame_idx int, n_samples int, peak_abs int, "
+            "sum_abs long, energy long, zero_crossings int"
+        ),
+    )
+
+
+@query("m10_wav_decode_features", oracle=M10_ORACLE)
+def m10_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    # JVM-side routing (the m04/m09 doctrine): payloads that cannot
+    # fill one frame never reach a Python stage
+    docs = docs.filter(F.length("payload") >= WAV_FRAME)
+    return wav_frame_features(encode_wav_frames(docs))

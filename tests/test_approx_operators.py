@@ -943,6 +943,63 @@ def test_m09_real_decode_matches_driver_reference(spark, sf_small):
         assert bytes.fromhex(r["resized_hex"]) == expect, doc_id
 
 
+def test_wav_decode_kernel_matches_reference(spark):
+    """m10 (r9): the WAV kernel's inlined decoder must match
+    decode_wav_pcm16 on genuine RIFF payloads — including one with
+    an extra odd-sized chunk (the pad-rule trap) — and malformed
+    payloads must raise the contractual ValueError."""
+    import struct
+
+    import pytest
+
+    from omop_dump_to_parquet_spark.operators.multimodal import (
+        WAV_FRAME,
+        WAV_HOP,
+        decode_wav_pcm16,
+        encode_wav_frames,
+        wav_frame_features,
+    )
+
+    text = bytes((37 * i + 11) % 128 for i in range(150))
+    df = spark.createDataFrame([(7, text)], "doc_id long, payload binary")
+    payload = bytes(encode_wav_frames(df).collect()[0]["payload"])
+    samples = decode_wav_pcm16(payload)
+    assert samples == [(b - 96) * 256 for b in text]
+
+    rows = {
+        r["frame_idx"]: r
+        for r in wav_frame_features(encode_wav_frames(df)).collect()
+    }
+    n_frames = (len(samples) - WAV_FRAME) // WAV_HOP + 1
+    assert set(rows) == set(range(n_frames))
+    for i in range(n_frames):
+        fr = samples[i * WAV_HOP : i * WAV_HOP + WAV_FRAME]
+        r = rows[i]
+        assert r["peak_abs"] == max(abs(s) for s in fr)
+        assert r["sum_abs"] == sum(abs(s) for s in fr)
+        assert r["energy"] == sum(s * s for s in fr)
+        assert r["zero_crossings"] == sum(
+            1 for a, b in zip(fr, fr[1:]) if a * b < 0
+        )
+
+    # the encoder really plants an odd junk chunk (walk exercised)
+    assert b"LIST" in payload and payload.index(b"LIST") < payload.index(
+        b"data"
+    )
+    # malformed payloads: contractual ValueError, never struct.error
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"OGG not a wav")
+    with pytest.raises(ValueError, match="truncated RIFF chunk"):
+        decode_wav_pcm16(payload[:-3])
+    stereo = bytearray(payload)
+    fmt_off = payload.index(b"fmt ") + 8
+    struct.pack_into("<H", stereo, fmt_off + 2, 2)  # channels = 2
+    with pytest.raises(ValueError, match="unsupported WAV variant"):
+        decode_wav_pcm16(bytes(stereo))
+    with pytest.raises(ValueError, match="missing fmt /data chunk"):
+        decode_wav_pcm16(payload[:12])
+
+
 def test_pq_adc_recall_floor_vs_exact(spark, sf_small):
     """PQ/ADC + exact refine (s09) against exact brute force (s01):
     ranks contiguous per query and a pinned recall@5 floor. ADC-only
