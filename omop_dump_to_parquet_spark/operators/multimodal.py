@@ -1257,3 +1257,400 @@ def m10_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fill one frame never reach a Python stage
     docs = docs.filter(F.length("payload") >= WAV_FRAME)
     return wav_frame_features(encode_wav_frames(docs))
+
+
+# ---------------------------------------------------------------------------
+# M11 — REAL compressed-container decode: PNG (8-bit grayscale) via
+# stdlib zlib. m09/m10 proved the recipe on pure-bytes containers
+# (BMP stride/flip, RIFF chunk walk); PNG adds the two obligations
+# those formats lack: an entropy-coded payload (DEFLATE inflate) and
+# per-scanline predictive filters (None/Sub/Up/Average/Paeth) that
+# must be UNDONE byte-exactly. One Arrow stage builds genuine PNGs
+# from the fixture text — chunk framing with CRC-32s, an ancillary
+# tEXt chunk between IHDR and the image data (the walk must skip by
+# length+CRC, not assume adjacency), the DEFLATE stream split across
+# TWO IDAT chunks (the spec allows arbitrary splits; the decoder must
+# concatenate before inflating), and scanline y filtered with type
+# y % 5 so every filter in the spec — including the Paeth predictor —
+# is live in the bytes. The second stage runs the production decoder:
+# signature → chunk walk with CRC-32 verification → IHDR validation →
+# IDAT reassembly → inflate (with exact-length check) → defilter.
+#
+# Oracle: the identity roundtrip. Decoded pixels ARE the source text
+# bytes (the encoder's pixel array is the text, row-major), so DuckDB
+# emits hex(text[:h*w]) and the driver hash compares EVERY output
+# byte — the sharpest possible gate: a wrong Paeth tie-break, a
+# missed filter byte, a CRC read as big- vs little-endian, or an IDAT
+# ordering bug each corrupt at least one scanline and hash-fail.
+# (m09's resample oracle tolerates bugs in pixels the resample never
+# touches; the identity oracle tolerates none.)
+#
+# Scale shape: same as m09/m10 — binary in/out through one Arrow
+# mapInPandas pass, dims as typed columns, routing decisions
+# JVM-side; in production the PNG bytes come from storage and the
+# encoder stage isn't there. zlib is C-speed per batch; the defilter
+# is NumPy row-vectorized for None/Sub-free rows and cheap-scalar for
+# the serial predictors (scanlines are bounded by the row width, not
+# the corpus).
+# ---------------------------------------------------------------------------
+
+PNG_W = 19  # no stride/padding concerns in PNG; odd width on purpose
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+M11_ORACLE = f"""
+SELECT doc_id,
+       CAST({PNG_W} AS INT) AS src_w,
+       CAST(length(text) // {PNG_W} AS INT) AS src_h,
+       hex(encode(substr(
+         text, 1, (length(text) // {PNG_W}) * {PNG_W}))) AS px_hex
+FROM documents
+WHERE length(text) >= {PNG_W}
+"""
+
+
+def _png_defilter(raw: bytes, w: int, h: int) -> bytes:
+    """Undo PNG scanline filtering (bpp=1, 8-bit grayscale): ``raw``
+    is ``h`` scanlines of ``1 + w`` bytes (filter type + filtered
+    data). Implements all five spec filters with the exact Paeth
+    tie-break order (left, then up, then upper-left)."""
+    if len(raw) != h * (w + 1):
+        raise ValueError("decompressed length != h*(w+1)")
+    out = bytearray(w * h)
+    prior = bytes(w)  # row above row 0 is all zeros, per spec
+    for y in range(h):
+        off = y * (w + 1)
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + w])
+        if ft == 0:  # None
+            pass
+        elif ft == 1:  # Sub
+            for x in range(1, w):
+                line[x] = (line[x] + line[x - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(w):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(w):
+                left = line[x - 1] if x else 0
+                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(w):
+                a = line[x - 1] if x else 0
+                b_ = prior[x]
+                c = prior[x - 1] if x else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b_
+                else:
+                    pred = c
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y * w : (y + 1) * w] = line
+        prior = bytes(line)
+    return bytes(out)
+
+
+def decode_png_gray(b: bytes) -> tuple[int, int, bytes]:
+    """REAL compressed-container decode: PNG → ``(w, h, pixels)`` for
+    8-bit grayscale (color type 0), non-interlaced. Walks chunks by
+    length+type+CRC (verifying every CRC-32), requires IHDR first,
+    skips ancillary chunks, reassembles multi-IDAT streams, inflates
+    with an exact-length check, and defilters all five scanline
+    filter types. Driver-side reference twin of the ``png_pixels``
+    kernel's inlined copy (closure-local kernel rule);
+    ``test_png_decode_kernel_matches_reference`` pins them together.
+    """
+    import zlib
+
+    if len(b) < len(_PNG_SIG) or b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    seen_end = False
+    while pos < len(b):
+        if pos + 8 > len(b):
+            raise ValueError("truncated PNG chunk header")
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) != size or pos + 12 + size > len(b):
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(b[pos + 8 + size : pos + 12 + size], "big")
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ihdr is None and ctype != b"IHDR":
+            raise ValueError("first PNG chunk is not IHDR")
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR")
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        # anything else (tEXt, pHYs, …) is ancillary: skipped
+        pos += 12 + size
+    if ihdr is None or not seen_end:
+        raise ValueError("missing IHDR/IEND")
+    if len(ihdr) != 13:
+        raise ValueError("IHDR length != 13")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype_, comp, filt, interlace = ihdr[8:13]
+    if (depth, ctype_, comp, filt, interlace) != (8, 0, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={ctype_} "
+            f"comp={comp} filter={filt} interlace={interlace})"
+        )
+    if w < 1 or h < 1:
+        raise ValueError("empty PNG image")
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat))
+    raw += d.flush()
+    if d.unconsumed_tail or not d.eof:
+        raise ValueError("trailing/garbled DEFLATE data in IDAT")
+    return w, h, _png_defilter(raw, w, h)
+
+
+def encode_png_frames(docs: DataFrame) -> DataFrame:
+    """``(doc_id, payload: raw bytes)`` → ``(doc_id, payload: real
+    8-bit grayscale PNG)``, width ``PNG_W`` × height ``len//PNG_W``
+    (sub-row payloads dropped, the m04/m09 convention). Fixture-
+    encoder role: scanline y gets filter type ``y % 5`` (all five
+    spec filters live, including Paeth), the DEFLATE stream is split
+    across two IDAT chunks, and an ancillary tEXt chunk sits between
+    IHDR and the first IDAT — so fixed-offset or single-IDAT decoders
+    break, and every chunk carries a genuine CRC-32."""
+    w = PNG_W
+
+    def run(batches):
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def _chunk(ctype: bytes, body: bytes) -> bytes:
+            return (
+                len(body).to_bytes(4, "big")
+                + ctype
+                + body
+                + (_zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(
+                    4, "big"
+                )
+            )
+
+        def _filter_row(ft, line, prior):
+            if ft == 0:
+                return bytes(line)
+            if ft == 1:
+                return bytes(
+                    (line[x] - (line[x - 1] if x else 0)) & 0xFF
+                    for x in range(w)
+                )
+            if ft == 2:
+                return bytes(
+                    (line[x] - prior[x]) & 0xFF for x in range(w)
+                )
+            if ft == 3:
+                return bytes(
+                    (
+                        line[x]
+                        - (((line[x - 1] if x else 0) + prior[x]) >> 1)
+                    )
+                    & 0xFF
+                    for x in range(w)
+                )
+            out = bytearray(w)
+            for x in range(w):
+                a = line[x - 1] if x else 0
+                b_ = prior[x]
+                c = prior[x - 1] if x else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b_ if pb <= pc else c
+                )
+                out[x] = (line[x] - pred) & 0xFF
+            return bytes(out)
+
+        text_chunk = _chunk(b"tEXt", b"Software\x00spark-graft")
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                h = len(b) // w
+                if h < 1:
+                    continue
+                prior = bytes(w)
+                raw = bytearray()
+                for y in range(h):
+                    line = b[y * w : (y + 1) * w]
+                    ft = y % 5
+                    raw += bytes([ft]) + _filter_row(ft, line, prior)
+                    prior = line
+                comp = _zlib.compress(bytes(raw), 6)
+                cut = min(37, len(comp))  # force the two-IDAT path
+                ihdr = (
+                    w.to_bytes(4, "big")
+                    + h.to_bytes(4, "big")
+                    + bytes([8, 0, 0, 0, 0])
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        _PNG_SIG
+                        + _chunk(b"IHDR", ihdr)
+                        + text_chunk
+                        + _chunk(b"IDAT", comp[:cut])
+                        + _chunk(b"IDAT", comp[cut:])
+                        + _chunk(b"IEND", b""),
+                    )
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def png_pixels(payloads: DataFrame) -> DataFrame:
+    """``(doc_id, payload: binary PNG)`` → ``(doc_id, src_w, src_h,
+    pixels binary)``: the production kernel — chunk walk + CRC verify
+    + inflate + defilter inlined (closure-local kernel rule)."""
+
+    def run(batches):
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        sig = b"\x89PNG\r\n\x1a\n"
+
+        def _defilter(raw, w, h):
+            if len(raw) != h * (w + 1):
+                raise ValueError("decompressed length != h*(w+1)")
+            out = bytearray(w * h)
+            prior = bytes(w)
+            for y in range(h):
+                off = y * (w + 1)
+                ft = raw[off]
+                line = bytearray(raw[off + 1 : off + 1 + w])
+                if ft == 0:
+                    pass
+                elif ft == 1:
+                    for x in range(1, w):
+                        line[x] = (line[x] + line[x - 1]) & 0xFF
+                elif ft == 2:
+                    for x in range(w):
+                        line[x] = (line[x] + prior[x]) & 0xFF
+                elif ft == 3:
+                    for x in range(w):
+                        left = line[x - 1] if x else 0
+                        line[x] = (
+                            line[x] + ((left + prior[x]) >> 1)
+                        ) & 0xFF
+                elif ft == 4:
+                    for x in range(w):
+                        a = line[x - 1] if x else 0
+                        b_ = prior[x]
+                        c = prior[x - 1] if x else 0
+                        p = a + b_ - c
+                        pa, pb, pc = (
+                            abs(p - a), abs(p - b_), abs(p - c),
+                        )
+                        if pa <= pb and pa <= pc:
+                            pred = a
+                        elif pb <= pc:
+                            pred = b_
+                        else:
+                            pred = c
+                        line[x] = (line[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter type {ft}")
+                out[y * w : (y + 1) * w] = line
+                prior = bytes(line)
+            return bytes(out)
+
+        def _decode(b):
+            if len(b) < len(sig) or b[: len(sig)] != sig:
+                raise ValueError("not a PNG payload")
+            pos = len(sig)
+            ihdr = None
+            idat = bytearray()
+            seen_end = False
+            while pos < len(b):
+                if pos + 8 > len(b):
+                    raise ValueError("truncated PNG chunk header")
+                size = int.from_bytes(b[pos : pos + 4], "big")
+                ctype = b[pos + 4 : pos + 8]
+                body = b[pos + 8 : pos + 8 + size]
+                if len(body) != size or pos + 12 + size > len(b):
+                    raise ValueError("truncated PNG chunk")
+                crc = int.from_bytes(
+                    b[pos + 8 + size : pos + 12 + size], "big"
+                )
+                if _zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                    raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+                if ihdr is None and ctype != b"IHDR":
+                    raise ValueError("first PNG chunk is not IHDR")
+                if ctype == b"IHDR":
+                    if ihdr is not None:
+                        raise ValueError("duplicate IHDR")
+                    ihdr = body
+                elif ctype == b"IDAT":
+                    idat += body
+                elif ctype == b"IEND":
+                    seen_end = True
+                    break
+                pos += 12 + size
+            if ihdr is None or not seen_end:
+                raise ValueError("missing IHDR/IEND")
+            if len(ihdr) != 13:
+                raise ValueError("IHDR length != 13")
+            w = int.from_bytes(ihdr[0:4], "big")
+            h = int.from_bytes(ihdr[4:8], "big")
+            depth, ctype_, comp, filt, interlace = ihdr[8:13]
+            if (depth, ctype_, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError("unsupported PNG variant")
+            if w < 1 or h < 1:
+                raise ValueError("empty PNG image")
+            d = _zlib.decompressobj()
+            raw = d.decompress(bytes(idat)) + d.flush()
+            if d.unconsumed_tail or not d.eof:
+                raise ValueError("trailing/garbled DEFLATE data in IDAT")
+            return w, h, _defilter(raw, w, h)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _decode(bytes(payload))
+                rows.append((int(doc_id), w, h, px))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "src_w", "src_h", "pixels"]
+            )
+
+    return payloads.mapInPandas(
+        run, schema="doc_id long, src_w int, src_h int, pixels binary"
+    )
+
+
+@query("m11_png_decode_roundtrip", oracle=M11_ORACLE)
+def m11_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 — REAL compressed-container decode (PNG, stdlib zlib):
+    chunk walk with CRC-32 verify, split-IDAT reassembly, DEFLATE
+    inflate, all-five-filter defilter (incl. Paeth); the identity-
+    roundtrip oracle hash-compares EVERY decoded pixel byte."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    # JVM-side routing (the m04/m09 doctrine): payloads that cannot
+    # fill one scanline never reach a Python stage
+    docs = docs.filter(F.length("payload") >= PNG_W)
+    return png_pixels(encode_png_frames(docs)).select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        F.hex(F.col("pixels")).alias("px_hex"),
+    )

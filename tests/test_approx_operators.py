@@ -1273,3 +1273,140 @@ def test_lsh_auto_mode_picks_winner_and_matches_both(spark):
     assert got_auto == pairs(max_bucket=10**9, dedupe="first_band")
     assert got_auto == pairs(max_bucket=10**9, dedupe="group_by")
     assert got_auto  # the identical cluster must collide somewhere
+
+
+def test_png_decode_kernel_matches_reference(spark):
+    """m11 (r9): the PNG kernel's inlined decoder must match
+    decode_png_gray on genuine payloads whose bytes carry every
+    decoder obligation — all five scanline filters, a split IDAT
+    stream, an ancillary tEXt chunk, real CRC-32s — and malformed
+    payloads must raise the contractual ValueError."""
+    import zlib
+
+    import pytest
+
+    from omop_dump_to_parquet_spark.operators.multimodal import (
+        PNG_W,
+        decode_png_gray,
+        encode_png_frames,
+        png_pixels,
+    )
+
+    # ≥5 scanlines so filter types 0..4 are all live in the file
+    text = bytes((41 * i + 3) % 251 for i in range(PNG_W * 7 + 5))
+    df = spark.createDataFrame([(9, text)], "doc_id long, payload binary")
+    payload = bytes(encode_png_frames(df).collect()[0]["payload"])
+
+    w, h, px = decode_png_gray(payload)
+    assert (w, h) == (PNG_W, 7)
+    assert px == text[: PNG_W * 7]  # identity roundtrip, every byte
+
+    r = png_pixels(encode_png_frames(df)).collect()[0]
+    assert (r["src_w"], r["src_h"]) == (PNG_W, 7)
+    assert bytes(r["pixels"]) == text[: PNG_W * 7]
+
+    # the encoder really splits IDAT and plants the ancillary chunk
+    assert payload.count(b"IDAT") == 2
+    assert b"tEXt" in payload and payload.index(b"tEXt") < payload.index(
+        b"IDAT"
+    )
+
+    # malformed payloads: contractual ValueError, specific causes
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_gray(b"GIF89a not a png")
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png_gray(payload[:-3])
+    corrupt = bytearray(payload)
+    corrupt[payload.index(b"IDAT") + 10] ^= 0xFF  # flip one IDAT byte
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png_gray(bytes(corrupt))
+    rgb = bytearray(payload)
+    rgb[8 + 8 + 9] = 2  # IHDR color type 0 → 2 (truecolor)...
+    body = bytes(rgb[16 : 16 + 13])
+    rgb[16 + 13 : 16 + 17] = (  # ...with a re-valid CRC so only the
+        zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF  # variant check fires
+    ).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png_gray(bytes(rgb))
+    # IHDR-first rule: signature followed by a valid non-IHDR chunk
+    text_chunk = (
+        len(b"k\x00v").to_bytes(4, "big")
+        + b"tEXt"
+        + b"k\x00v"
+        + (zlib.crc32(b"tEXtk\x00v") & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+    with pytest.raises(ValueError, match="first PNG chunk is not IHDR"):
+        decode_png_gray(payload[:8] + text_chunk + payload[8:])
+
+
+def test_png_roundtrip_property():
+    """Property: encode∘decode is the identity on arbitrary byte
+    content (NOT just ASCII) for every height 1..12 — heights below 5
+    exercise the partial filter cycle, larger ones repeat it. Uses
+    the driver-side reference pair directly (no Spark needed)."""
+    import random
+    import zlib
+
+    from omop_dump_to_parquet_spark.operators.multimodal import (
+        PNG_W,
+        _PNG_SIG,
+        _png_defilter,
+        decode_png_gray,
+    )
+
+    rng = random.Random(0xC0FFEE)
+
+    def _chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    for h in range(1, 13):
+        px = bytes(rng.randrange(256) for _ in range(PNG_W * h))
+        # encode with the same filter schedule as encode_png_frames,
+        # via the spec equations inverted against _png_defilter
+        prior = bytes(PNG_W)
+        raw = bytearray()
+        for y in range(h):
+            line = px[y * PNG_W : (y + 1) * PNG_W]
+            ft = y % 5
+            raw.append(ft)
+            filt = bytearray(PNG_W)
+            for x in range(PNG_W):
+                a = line[x - 1] if x else 0
+                b_ = prior[x]
+                c = prior[x - 1] if x else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b_
+                elif ft == 3:
+                    pred = (a + b_) >> 1
+                else:
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc)
+                        else (b_ if pb <= pc else c)
+                    )
+                filt[x] = (line[x] - pred) & 0xFF
+            raw += filt
+            prior = line
+        assert _png_defilter(bytes(raw), PNG_W, h) == px
+        ihdr = (
+            PNG_W.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes([8, 0, 0, 0, 0])
+        )
+        payload = (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        assert decode_png_gray(payload) == (PNG_W, h, px)
