@@ -16,6 +16,16 @@ engine with the streaming surface a continuously-ingested lake needs:
 Scale: windowed-agg state is bounded by the watermark horizon;
 session-window state by open sessions per key. Both shuffle once on
 the grouping key.
+
+API-coverage note (r9): Spark 4's ``transformWithStateInPandas`` (the
+successor arbitrary-stateful API — multiple named state variables,
+timers, TTL) is deliberately NOT a catalog id in this build: its
+driver-side runner requires ``google.protobuf``, which this container
+does not ship (verified: the stream fails at runner init with
+``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`` / ImportError, not
+at plan time — so an id registered on it could never pass a driver
+window). The prior-generation ``applyInPandasWithState`` covers the
+custom-stateful surface (st03) with zero extra dependencies.
 """
 
 from __future__ import annotations

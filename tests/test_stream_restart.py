@@ -71,8 +71,31 @@ def _run_until_stable(build_df, out_dir: str, cp_dir: str, spark) -> None:
         q.stop()
 
 
-def test_windowed_agg_survives_checkpoint_restart(spark, sf_small, tmp_path):
+@pytest.mark.parametrize("layout", ["native", "int64_nanos"])
+def test_windowed_agg_survives_checkpoint_restart(
+    spark, sf_small, tmp_path, layout
+):
     src = os.path.join(sf_small, "events.parquet")
+    if layout == "int64_nanos":
+        # Re-materialize the fixture in the TIMESTAMP(NANOS)-as-int64
+        # physical layout the driver has shipped in past rounds, so
+        # build()'s bigint branch is permanently exercised instead of
+        # dormant until the next fixture drift. Fixture ts is µs
+        # precision, so ns = µs·1000 is lossless.
+        import pyarrow.compute as pc
+
+        t = pq.read_table(src)
+        if not pa.types.is_timestamp(t.schema.field("ts").type):
+            pytest.skip("fixture already ships a non-timestamp ts")
+        ns = pc.multiply(
+            t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            pa.scalar(1000, type=pa.int64()),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", ns.cast(pa.int64())
+        )
+        src = str(tmp_path / "events_ns.parquet")
+        pq.write_table(t, src)
     full = pq.read_table(src)
     ts = full.column("ts")
     # Time-ordered split so run-2 data is never behind run-1's
@@ -95,8 +118,15 @@ def test_windowed_agg_survives_checkpoint_restart(spark, sf_small, tmp_path):
 
     def build():
         stream = clone.readStream.schema(schema).parquet(str(stage))
-        if dict(clone.read.parquet(src).dtypes).get("ts") == "timestamp_ntz":
+        # mirror table()'s layout canonicalization (sources/parquet.py)
+        # so the test is layout-agnostic across driver fixture drift
+        ts_dtype = dict(clone.read.parquet(src).dtypes).get("ts")
+        if ts_dtype == "timestamp_ntz":
             stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_dtype == "bigint":  # TIMESTAMP(NANOS) as int64 nanos
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
         return (
             stream.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -118,11 +148,10 @@ def test_windowed_agg_survives_checkpoint_restart(spark, sf_small, tmp_path):
                 str(stage / "half2.parquet"))
     max_ts = pc.max(ts).as_py()
     one = full.slice(0, 1)
-    if not isinstance(max_ts, dt.datetime):
-        # build() only normalizes timestamp layouts; a bigint-nanos ts
-        # would fail its withWatermark long before the sentinel matters
-        pytest.skip("restart test targets timestamp ts layouts")
-    flush_val = max_ts + dt.timedelta(hours=2)
+    if isinstance(max_ts, dt.datetime):
+        flush_val = max_ts + dt.timedelta(hours=2)
+    else:  # TIMESTAMP(NANOS) stored as int64 — nanoseconds since epoch
+        flush_val = int(max_ts) + 2 * 3600 * 1_000_000_000
     sentinel = one.set_column(
         one.schema.get_field_index("ts"),
         "ts",
