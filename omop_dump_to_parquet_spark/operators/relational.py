@@ -2018,3 +2018,66 @@ def q52_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(r"regexp_extract_all(text, 'qu[a-z]+', 0)")
         ).alias("qu_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q53 — ordered string aggregation (LISTAGG ... WITHIN GROUP, SQL:2016;
+# Spark 4.0's native listagg, DuckDB's string_agg ORDER BY): per order
+# priority, the top-5 orders by value rendered as a comma-joined key
+# list — the report/export shape where row ORDER inside a group is
+# part of the VALUE, which plain collect_list + array_join cannot
+# guarantee (aggregation input order is partition-dependent; WITHIN
+# GROUP pins it in the operator itself). The top-5 pre-filter is a
+# rank window, so the id composes window top-k with ordered
+# aggregation.
+#
+# Determinism: the WITHIN GROUP ordering carries the same
+# (o_totalprice DESC, o_orderkey) tie-break as the rank window —
+# identical strings on any engine, any partitioning.
+#
+# Scale shape: rank prunes to 5 rows per group BEFORE the listagg, so
+# the ordered aggregation touches O(groups·k) rows; the window itself
+# is one shuffle on the group key (same plan family as q13/w01). On a
+# 100 TB fact table the rank's partial top-k (WindowGroupLimit pushes
+# rn <= 5 below the shuffle since Spark 3.5) keeps the exchange
+# bounded.
+# ---------------------------------------------------------------------------
+
+Q53_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+SELECT o_orderpriority,
+       string_agg(CAST(o_orderkey AS VARCHAR),
+                  ',' ORDER BY o_totalprice DESC, o_orderkey) AS top_keys,
+       count(*) AS n_in_list
+FROM ranked WHERE rn <= 5
+GROUP BY o_orderpriority
+"""
+
+
+@query("q53_listagg_ordered", oracle=Q53_ORACLE)
+def q53_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q53 — LISTAGG ... WITHIN GROUP (ordered string aggregation):
+    top-5 orders per priority as a comma-joined key list; group-internal
+    order is part of the value and pinned by the WITHIN GROUP clause."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q53_orders")
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC,
+                                             o_orderkey) AS rn
+          FROM q53_orders)
+        SELECT o_orderpriority,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)
+                 AS top_keys,
+               count(*) AS n_in_list
+        FROM ranked WHERE rn <= 5
+        GROUP BY o_orderpriority
+        """
+    )
