@@ -1503,3 +1503,73 @@ def d12_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nv").alias("n_variants"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D13 — blocked edit-distance entity resolution (record linkage):
+# within-brand part-name pairs at Levenshtein distance ≤ 2 — the
+# classic blocking + pairwise-comparison linkage step (Fellegi-Sunter
+# shape), and the CHARACTER-level fuzzy-match family member the
+# token-set ops (d03/d07 Jaccard) cannot express: a one-letter typo
+# is invisible to word-set similarity but is exactly edit distance 1.
+#
+# Scale shape: the self-join is an equi hash join on the BLOCKING key
+# (brand), so candidate pairs are Σ_block n_b² — bounded by the
+# largest block, never corpus-quadratic (the d03 blocking argument,
+# here with a categorical key whose cardinality is known). Per-pair
+# cost is bounded too: Spark's 3-arg levenshtein(l, r, THRESHOLD)
+# early-exits the DP once distance must exceed the bound (returns -1),
+# turning O(|s|·|t|) per pair into O(threshold·min(|s|,|t|)) — the
+# bounded-distance band optimization; the filter keeps only real
+# matches. JVM codegen end to end, zero Python.
+#
+# Determinism: edit distance is integer-exact and symmetric;
+# key_a < key_b emits each unordered pair exactly once.
+# ---------------------------------------------------------------------------
+
+D13_MAX_EDIT = 2
+
+D13_ORACLE = f"""
+SELECT a.p_brand AS brand,
+       a.p_partkey AS key_a,
+       b.p_partkey AS key_b,
+       a.p_name AS name_a,
+       b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {D13_MAX_EDIT}
+"""
+
+
+@query("d13_edit_distance_linkage", oracle=D13_ORACLE)
+def d13_edit_distance_linkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D13 — blocked edit-distance entity resolution: within-brand
+    part-name pairs at Levenshtein ≤ 2, via the threshold (banded-DP)
+    variant so per-pair cost is bounded; blocking keeps the self-join
+    non-quadratic."""
+    p = table(spark, sf_dir, "part")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn(
+            "edit_dist",
+            F.expr(f"levenshtein(a.p_name, b.p_name, {D13_MAX_EDIT})"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("edit_dist").cast("int").alias("edit_dist"),
+        )
+    )
