@@ -2081,3 +2081,54 @@ def q53_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q54 — NOT IN over a NULLABLE key: three-valued-logic anti-join, the
+# classic SQL trap q06 (hash anti) and q35 (NOT EXISTS) do NOT
+# exhibit. `x NOT IN (S)` is NULL — i.e. filters the row out — when x
+# is NULL and S is non-empty, and when S contains a NULL it filters
+# out EVERY row; a plain LeftAnti on the equi-key keeps NULL-key rows
+# instead. Spark plans this as BroadcastHashJoin LeftAnti with the
+# isNullAwareAntiJoin flag (NAAJ, visible as the trailing `true` in
+# the join node; asserted in tests/test_plans_physical.py) — the
+# dedicated physical path that checks the build side for NULLs before
+# deciding whether anything survives.
+#
+# Shape: events keyed by a NULLIF-manufactured nullable uid, minus
+# users with any high-value error event. Thresholds chosen so BOTH
+# fixture scales keep the exclusion AND the NULL-drop live (sf0.001:
+# 8 survivors of 15 users; sf0.01: 74 of 150 — subquery non-empty at
+# both, so every NULL-uid row is dropped by 3VL, which the oracle
+# reproduces by running the very same SQL).
+#
+# Scale shape: the subquery aggregates to distinct keys and
+# broadcasts; the probe side streams map-side (no shuffle before the
+# final group-by). On a 100 TB fact table the build side is bounded
+# by distinct offending keys, the standard NAAJ deployment.
+# ---------------------------------------------------------------------------
+
+Q54_SQL = """
+WITH e AS (
+  SELECT event_id, NULLIF(user_id, 3) AS uid, event_type, value
+  FROM {events}
+)
+SELECT uid, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM e
+WHERE uid NOT IN (SELECT user_id FROM {events}
+                  WHERE event_type = 'error' AND value > 150)
+GROUP BY uid
+"""
+
+Q54_ORACLE = Q54_SQL.format(events="events")
+
+
+@query("q54_not_in_null_aware", oracle=Q54_ORACLE)
+def q54_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q54 — NOT IN over a nullable key (3VL null-aware anti-join,
+    planned as Spark's NAAJ BroadcastHashJoin): per-user event rollup
+    excluding users with any high-value error AND — by three-valued
+    logic — every NULL-key row, which a plain anti join would keep."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("q54_events")
+    return spark.sql(Q54_SQL.format(events="q54_events"))

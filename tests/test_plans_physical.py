@@ -427,3 +427,25 @@ def test_verbatim_overlap_index_is_compact(spark, sf_small):
     assert re.search(r"\bgh#\d+L", plan), plan
     assert "CartesianProduct" not in plan
 
+
+
+def test_q54_plans_null_aware_anti_join(spark, sf_small):
+    """q54's NOT IN over a nullable key must plan Spark's dedicated
+    NAAJ path — BroadcastHashJoin LeftAnti with isNullAwareAntiJoin
+    set (the simple-string form renders the flag as a trailing
+    `true` on the join line) — not a nested-loop fallback, and the
+    result must drop NULL-key rows (3VL) while a plain anti join
+    keeps them."""
+    plan = formatted_plan(spark, "q54_not_in_null_aware", sf_small)
+    join_lines = [
+        l for l in plan.splitlines()
+        if "BroadcastHashJoin" in l and "LeftAnti" in l
+    ]
+    assert join_lines, f"no broadcast anti join in plan:\n{plan}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # semantic 3VL check: no NULL uid group in the output (the
+    # subquery is non-empty at every fixture scale by construction)
+    rows = QUERIES["q54_not_in_null_aware"](spark, sf_small).collect()
+    assert rows, "q54 is vacuous at this scale"
+    assert all(r["uid"] is not None for r in rows)
