@@ -1594,3 +1594,220 @@ def s12_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= S12_TOP)
         .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf")
     )
+
+
+# ---------------------------------------------------------------------------
+# S13 — MMR diversified re-ranking (Maximal Marginal Relevance,
+# Carbonell & Goldstein 1998): the production RAG/search step BETWEEN
+# retrieval and the context window — from each query's top-M cosine
+# shortlist, greedily select K items maximizing
+#   0.7·rel(d) − 0.3·max_{s∈Selected} sim(d, s)
+# so the context is relevant AND non-redundant (a shortlist of
+# near-duplicates wastes the whole window; s01's pure top-k happily
+# returns one).
+#
+# Execution (zero Python): the greedy is K unrolled steps of
+# higher-order ARRAY expressions over the per-query candidate array —
+# each step scores the remaining candidates with transform()
+# (pairwise cosines via zip_with/aggregate folds), picks the argmax
+# with array_sort under an explicit (mmr DESC, id) comparator, and
+# shrinks the remainder with filter(). All JVM codegen; per-query
+# work is O(K·M·dim), data volume after the shortlist is
+# O(queries·M·dim) — the iterative selection never touches the
+# corpus again.
+#
+# Determinism/differential recipe: rel and every pairwise sim are
+# rounded to 6dp FIRST (the s01 contract — absorbs fold-order ulp),
+# the 0.7/0.3 combination is then plain IEEE double arithmetic on
+# identical inputs, ties break on id, and step 1's empty-selection
+# max-sim coalesces to 0.0 (pure relevance) on both engines. The
+# oracle unrolls the same K greedy iterations as MATERIALIZED CTEs
+# (pick_i = per-query argmax via row_number, sel_i = union of picks;
+# MATERIALIZED per the DuckDB diamond-CTE rule) — a differential-
+# checked ITERATIVE op in the g01/s07 tradition. The OUTPUT score is
+# rounded at 7dp, not 6: mmr = 0.7·rel − 0.3·maxsim over two 6dp
+# inputs lies (in exact arithmetic) ON a 7dp grid point, so a 6dp
+# round sits exactly on the half boundary whenever rel's 6th digit
+# is odd — where Spark (HALF_UP) and DuckDB (nearbyint, half-even)
+# disagree (hit once at sf0.01: 0.2600395 → 0.26004 vs 0.260039).
+# At 7dp the computed double is within a few ulp of the grid point
+# and ~1e9 ulp away from any boundary — both engines snap identically.
+# ---------------------------------------------------------------------------
+
+MMR_M = 10        # cosine shortlist depth per query
+MMR_K = 5         # diversified picks per query
+MMR_LAMBDA = 0.7  # relevance weight; 1-λ weights redundancy
+
+
+def _mmr_oracle(nq: int, m: int, k: int) -> str:
+    lam, one_m = MMR_LAMBDA, round(1.0 - MMR_LAMBDA, 6)
+    sql = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < {nq}),
+sc AS (
+  SELECT q.query_id, v.vec_id AS id,
+         round(list_dot_product(q.qemb, v.emb)
+               / (sqrt(list_dot_product(q.qemb, q.qemb))
+                  * sqrt(list_dot_product(v.emb, v.emb))), 6) AS rel,
+         v.emb AS emb
+  FROM q, v WHERE v.vec_id <> q.query_id
+),
+cand AS MATERIALIZED (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY rel DESC, id) AS rk
+                 FROM sc)
+  WHERE rk <= {m}
+)"""
+    prev_sel = None
+    steps = []
+    for i in range(1, k + 1):
+        if prev_sel is None:
+            mmr = f"{lam}*c.rel - {one_m}*0.0"
+            notin = ""
+        else:
+            mmr = (
+                f"{lam}*c.rel - {one_m}*("
+                "SELECT max(round(list_dot_product(c.emb, s.emb)"
+                "/(sqrt(list_dot_product(c.emb, c.emb))"
+                f"*sqrt(list_dot_product(s.emb, s.emb))),6)) "
+                f"FROM {prev_sel} s WHERE s.query_id = c.query_id)"
+            )
+            notin = (
+                f" AND NOT EXISTS (SELECT 1 FROM {prev_sel} s2 "
+                "WHERE s2.query_id = c.query_id AND s2.id = c.id)"
+            )
+        union = " UNION ALL ".join(
+            f"SELECT query_id, id, rel, emb, position, mmr FROM pick{j}"
+            for j in range(1, i + 1)
+        )
+        steps.append(f"""
+pick{i} AS MATERIALIZED (
+  SELECT query_id, id, rel, emb, {i} AS position, mmr FROM (
+    SELECT c.*, {mmr} AS mmr,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY {mmr} DESC, c.id) AS prn
+    FROM cand c WHERE TRUE{notin}
+  ) WHERE prn = 1
+),
+sel{i} AS MATERIALIZED ({union})""")
+        prev_sel = f"sel{i}"
+    sql += "," + ",".join(steps)
+    sql += (
+        f"\nSELECT query_id, position, id AS neighbor_id, rel, "
+        f"round(mmr, 7) AS mmr_score FROM sel{k}\n"
+    )
+    return sql
+
+
+S13_ORACLE = _mmr_oracle(N_QUERIES, MMR_M, MMR_K)
+
+
+@query("s13_mmr_diversified", oracle=S13_ORACLE)
+def s13_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — MMR diversified re-ranking over the per-query cosine
+    shortlist: K greedy argmax steps unrolled as JVM higher-order
+    array expressions (transform/array_sort/filter), zero Python;
+    oracle unrolls the identical greedy as MATERIALIZED CTEs."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_d(F.col("qemb"), F.col("emb")), 6).alias("rel"),
+            "emb",
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_M)
+        .groupBy("query_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("neighbor_id").alias("id"),
+                    F.col("rel").alias("rel"),
+                    F.col("emb").alias("emb"),
+                )
+            ).alias("rem")
+        )
+    )
+    # collect_list order is partition-dependent, but every step below
+    # is an argmax under a TOTAL order (mmr DESC, id) — the result is
+    # array-order-independent by construction.
+
+    def pairsim(r, s):
+        return F.round(
+            dot_d(r["emb"], s["emb"])
+            / (l2norm_d(r["emb"]) * l2norm_d(s["emb"])),
+            6,
+        )
+
+    def mmr_of(r, sel):
+        maxsim = F.coalesce(
+            F.array_max(F.transform(sel, lambda s: pairsim(r, s))),
+            F.lit(0.0),
+        )
+        return (
+            F.lit(MMR_LAMBDA) * r["rel"]
+            - F.lit(round(1.0 - MMR_LAMBDA, 6)) * maxsim
+        )
+
+    def by_mmr_then_id(a, b):
+        return (
+            F.when(a["mmr"] > b["mmr"], F.lit(-1))
+            .when(a["mmr"] < b["mmr"], F.lit(1))
+            .when(a["id"] < b["id"], F.lit(-1))
+            .when(a["id"] > b["id"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    df = cands.withColumn(
+        "sel",
+        F.expr("array()").cast(
+            "array<struct<id:bigint,mmr:double,rel:double,"
+            "emb:array<double>>>"
+        ),
+    )
+    for _step in range(MMR_K):
+        scored_rem = F.transform(
+            F.col("rem"),
+            lambda r: F.struct(
+                r["id"].alias("id"),
+                mmr_of(r, F.col("sel")).alias("mmr"),
+                r["rel"].alias("rel"),
+                r["emb"].alias("emb"),
+            ),
+        )
+        best = F.element_at(F.array_sort(scored_rem, by_mmr_then_id), 1)
+        df = (
+            df.withColumn("best", best)
+            .withColumn("sel", F.concat("sel", F.array("best")))
+            .withColumn(
+                "rem",
+                F.filter(
+                    F.col("rem"),
+                    lambda r: r["id"] != F.col("best")["id"],
+                ),
+            )
+            .drop("best")
+        )
+    return (
+        df.select("query_id", F.posexplode("sel").alias("pos0", "s"))
+        .select(
+            "query_id",
+            (F.col("pos0") + 1).alias("position"),
+            F.col("s.id").alias("neighbor_id"),
+            F.col("s.rel").alias("rel"),
+            F.round(F.col("s.mmr"), 7).alias("mmr_score"),
+        )
+    )

@@ -1410,3 +1410,90 @@ def test_png_roundtrip_property():
             + _chunk(b"IEND", b"")
         )
         assert decode_png_gray(payload) == (PNG_W, h, px)
+
+
+def test_s13_mmr_matches_python_reference_greedy(spark, sf_small):
+    """s13: the unrolled array-expression greedy must equal a plain
+    Python reference MMR (same shortlist, same rounding contract),
+    and diversity must actually reorder at least one query's picks
+    relative to pure relevance (else the id is vacuous)."""
+    import math
+
+    from omop_dump_to_parquet_spark import load_catalog
+    from omop_dump_to_parquet_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_M,
+        N_QUERIES,
+    )
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    def r6(x: float) -> float:
+        # SQL round: half away from zero (Python round is banker's)
+        return math.copysign(
+            math.floor(abs(x) * 1e6 + 0.5) / 1e6, x
+        )
+
+    def r7(x: float) -> float:
+        return math.copysign(
+            math.floor(abs(x) * 1e7 + 0.5) / 1e7, x
+        )
+
+    emb = {
+        r["vec_id"]: [float(v) for v in r["embedding"]]
+        for r in table(spark, sf_small, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return r6(dot / (na * nb))
+
+    expect = {}
+    for q in range(N_QUERIES):
+        scored = sorted(
+            ((cos(emb[q], v), -i) for i, v in emb.items() if i != q),
+            reverse=True,
+        )
+        shortlist = [(-ni, rel) for rel, ni in scored[:MMR_M]]
+        sel: list[tuple[int, float, float]] = []
+        rem = dict(shortlist)
+        for pos in range(1, MMR_K + 1):
+            best = None
+            for cid, rel in rem.items():
+                red = max(
+                    (cos(emb[cid], emb[s]) for s, _, _ in sel),
+                    default=0.0,
+                )
+                mmr = MMR_LAMBDA * rel - round(1 - MMR_LAMBDA, 6) * red
+                key = (-mmr, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, rel, mmr)
+            _, cid, rel, mmr = best
+            sel.append((cid, rel, mmr))
+            del rem[cid]
+            expect[(q, pos)] = (cid, r6(rel), r7(mmr))
+
+    queries, _ = load_catalog()
+    got = {
+        (r["query_id"], r["position"]): (
+            r["neighbor_id"], r["rel"], r["mmr_score"],
+        )
+        for r in queries["s13_mmr_diversified"](spark, sf_small).collect()
+    }
+    assert got == expect
+
+    # diversity is live: some query's pick order differs from pure rel
+    reordered = any(
+        [got[(q, p)][0] for p in range(1, MMR_K + 1)]
+        != [
+            c for c, _, _ in sorted(
+                ((got_c, got[(q, p)][1], p) for p in range(1, MMR_K + 1)
+                 for got_c in [got[(q, p)][0]]),
+                key=lambda t: (-t[1], t[0]),
+            )
+        ]
+        for q in range(N_QUERIES)
+    )
+    assert reordered, "MMR never deviated from pure relevance order"
