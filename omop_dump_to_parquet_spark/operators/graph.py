@@ -507,3 +507,124 @@ def g02_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n2").alias("node"), "community")
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# G03 — exact triangle counting over the d03 similarity graph, with
+# DEGREE-ORDERED ORIENTATION (the Latapy/forward-algorithm trick, and
+# the MapReduce-era Suri-Vassilvitskii formulation): every undirected
+# edge {u, v} is directed from the (degree, id)-SMALLER endpoint to
+# the larger, turning each triangle into exactly one directed path
+# pair — e(u,v), e(v,w) closed by e(u,w) — found with two self-joins.
+# Per-node triangle participation is the clustering-coefficient
+# numerator: inside a near-dup family it separates core boilerplate
+# (every pair similar → many triangles) from chance pairwise hits
+# (zero triangles), a signal the pairwise ops and even CC components
+# (d06 — connectivity, not density) cannot give.
+#
+# Why orientation matters at 100 TB: the naive a<b-by-id orientation
+# makes the join cost Σ_v out(v)·in(v), which a single high-degree
+# hub with small ids blows up quadratically. Ordering by (deg, id)
+# bounds every out-degree by O(√E), so the path-enumeration join is
+# O(E^1.5) WORST CASE regardless of skew — the difference between a
+# bounded shuffle and a hub-squared explosion on a power-law corpus.
+# Both joins are equi hash joins on node keys; output is integral.
+#
+# Differential: the oracle reproduces the same orientation with SQL
+# row-value comparison (deg, node) < (deg, node) — ids and degrees
+# are integers, so orientation, paths, and counts are all exact.
+# ---------------------------------------------------------------------------
+
+G03_ORACLE = (
+    f"WITH {_D03_CTES},\n"
+    f"pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_D03_SELECT}) t),\n"
+    "gdeg AS MATERIALIZED (\n"
+    "  SELECT node, COUNT(*) AS deg FROM (\n"
+    "    SELECT doc_a AS node FROM pairs\n"
+    "    UNION ALL SELECT doc_b FROM pairs) u GROUP BY node),\n"
+    "ori AS MATERIALIZED (\n"
+    "  SELECT CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)\n"
+    "              THEN p.doc_a ELSE p.doc_b END AS src,\n"
+    "         CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)\n"
+    "              THEN p.doc_b ELSE p.doc_a END AS dst\n"
+    "  FROM pairs p\n"
+    "  JOIN gdeg da ON da.node = p.doc_a\n"
+    "  JOIN gdeg db ON db.node = p.doc_b),\n"
+    "tri AS MATERIALIZED (\n"
+    "  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z\n"
+    "  FROM ori e1\n"
+    "  JOIN ori e2 ON e2.src = e1.dst\n"
+    "  JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst)\n"
+    "SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (\n"
+    "  SELECT x AS node FROM tri\n"
+    "  UNION ALL SELECT y FROM tri\n"
+    "  UNION ALL SELECT z FROM tri) n GROUP BY node"
+)
+
+
+@query("g03_triangle_count", oracle=G03_ORACLE)
+def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G03 — exact per-node triangle counts over the d03 similarity
+    graph via degree-ordered orientation (out-degree ≤ O(√E) ⇒ the
+    two path-joins are O(E^1.5) skew-proof); clustering-coefficient
+    numerator separating dense boilerplate cores from chance pairs."""
+    from fractions import Fraction
+
+    docs = table(spark, sf_dir, "documents")
+    ratio = Fraction(str(JACCARD_THRESHOLD))
+    candidates = prefix_filter_candidates(
+        docs, ratio.numerator, ratio.denominator, "lang", "source"
+    )
+    pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from the (deg, id)-smaller endpoint; struct
+    # comparison gives the same total order as the oracle's row-value
+    # comparison, and the edge table is materialized once so the two
+    # path-joins below never re-run the pair generation
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ori = (
+        pairs.join(deg.withColumnRenamed("node", "doc_a")
+                   .withColumnRenamed("deg", "deg_a"), "doc_a")
+        .join(deg.withColumnRenamed("node", "doc_b")
+              .withColumnRenamed("deg", "deg_b"), "doc_b")
+        .select(
+            F.when(
+                F.struct(F.col("deg_a"), F.col("doc_a"))
+                < F.struct(F.col("deg_b"), F.col("doc_b")),
+                F.col("doc_a"),
+            ).otherwise(F.col("doc_b")).alias("src"),
+            F.when(
+                F.struct(F.col("deg_a"), F.col("doc_a"))
+                < F.struct(F.col("deg_b"), F.col("doc_b")),
+                F.col("doc_b"),
+            ).otherwise(F.col("doc_a")).alias("dst"),
+        )
+        .repartition(n_shuffle, "src")
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = ori.alias("e1"), ori.alias("e2"), ori.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("x"),
+            F.col("e1.dst").alias("y"),
+            F.col("e2.dst").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
