@@ -1289,9 +1289,9 @@ def m10_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mapInPandas pass, dims as typed columns, routing decisions
 # JVM-side; in production the PNG bytes come from storage and the
 # encoder stage isn't there. zlib is C-speed per batch; the defilter
-# is NumPy row-vectorized for None/Sub-free rows and cheap-scalar for
-# the serial predictors (scanlines are bounded by the row width, not
-# the corpus).
+# is a per-byte Python loop, honestly bounded: cost is O(w·h) per
+# image inside the already-Python Arrow stage, and scanline width —
+# not corpus size — bounds the serial inner loop.
 # ---------------------------------------------------------------------------
 
 PNG_W = 19  # no stride/padding concerns in PNG; odd width on purpose
@@ -1413,7 +1413,9 @@ def decode_png_gray(b: bytes) -> tuple[int, int, bytes]:
     d = zlib.decompressobj()
     raw = d.decompress(bytes(idat))
     raw += d.flush()
-    if d.unconsumed_tail or not d.eof:
+    # trailing bytes past the DEFLATE stream land in unused_data
+    # (unconsumed_tail stays empty without a max_length arg)
+    if d.unused_data or not d.eof:
         raise ValueError("trailing/garbled DEFLATE data in IDAT")
     return w, h, _png_defilter(raw, w, h)
 
@@ -1618,7 +1620,7 @@ def png_pixels(payloads: DataFrame) -> DataFrame:
                 raise ValueError("empty PNG image")
             d = _zlib.decompressobj()
             raw = d.decompress(bytes(idat)) + d.flush()
-            if d.unconsumed_tail or not d.eof:
+            if d.unused_data or not d.eof:
                 raise ValueError("trailing/garbled DEFLATE data in IDAT")
             return w, h, _defilter(raw, w, h)
 

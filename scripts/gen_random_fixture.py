@@ -254,15 +254,27 @@ def gen_all(out_dir: str, seed: int) -> dict[str, int]:
     )
     gaps_us = rng.integers(1, 120 * 1_000_000, size=n_ev)
     ts_us = base_us + np.cumsum(gaps_us)
+    # The donor's ts physical layout drifts round to round (µs
+    # timestamp, ns timestamp, int64-nanos — FIXTURES.md). pa.array
+    # interprets raw ints in the TARGET type's unit, so convert the
+    # µs epoch values to whatever unit the donor ships; writing µs
+    # ints into a ns-typed column would silently compress every gap
+    # 1000× (and a plain int64 ts means nanos, per the observed
+    # driver layout).
+    donor_ts_type = donor_events.schema.field("ts").type
+    if pa.types.is_timestamp(donor_ts_type):
+        _scale = {"s": 1 / 1_000_000, "ms": 1 / 1_000,
+                  "us": 1, "ns": 1_000}[donor_ts_type.unit]
+    else:  # int64 column ⇒ nanoseconds since epoch
+        _scale = 1_000
+    ts_vals = (ts_us * _scale).astype(np.int64)
     values = np.round(rng.uniform(0.01, 400.0, n_ev), 2)
     null_mask = rng.random(n_ev) < 0.02
     type_w = rng.dirichlet(np.ones(len(etypes)))
     events = pa.table(
         {
             "event_id": pa.array(range(n_ev), pa.int64()),
-            "ts": pa.array(
-                ts_us, donor_events.schema.field("ts").type
-            ),
+            "ts": pa.array(ts_vals, donor_ts_type),
             "user_id": pa.array(
                 rng.integers(0, n_users, size=n_ev), pa.int64()
             ),

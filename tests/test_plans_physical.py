@@ -436,12 +436,20 @@ def test_q54_plans_null_aware_anti_join(spark, sf_small):
     `true` on the join line) — not a nested-loop fallback, and the
     result must drop NULL-key rows (3VL) while a plain anti join
     keeps them."""
-    plan = formatted_plan(spark, "q54_not_in_null_aware", sf_small)
+    # the isNullAwareAntiJoin flag renders only in the SIMPLE explain
+    # form (trailing `true` on the join line); formatted mode's node
+    # detail omits it entirely
+    df = QUERIES["q54_not_in_null_aware"](spark, sf_small)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
     join_lines = [
         l for l in plan.splitlines()
         if "BroadcastHashJoin" in l and "LeftAnti" in l
+        and l.rstrip().endswith("true")  # the isNullAwareAntiJoin flag
     ]
-    assert join_lines, f"no broadcast anti join in plan:\n{plan}"
+    assert join_lines, f"no NULL-AWARE broadcast anti join in plan:\n{plan}"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # semantic 3VL check: no NULL uid group in the output (the
