@@ -79,8 +79,18 @@ def main() -> int:
 
     out = os.path.join(os.path.dirname(__file__), "..",
                        "RANDOMIZED_DIFF.json")
+    # merge with prior runs so sweeping one extra seed never discards
+    # the committed history of earlier seeds
+    merged: dict[str, dict] = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as fh:
+                merged = json.load(fh).get("seeds", {})
+        except (OSError, ValueError):
+            merged = {}
+    merged.update(report)
     with open(out, "w") as fh:
-        json.dump({"seeds": report}, fh, indent=2, sort_keys=True)
+        json.dump({"seeds": merged}, fh, indent=2, sort_keys=True)
         fh.write("\n")
     print(f"-> {os.path.abspath(out)}")
     return rc
