@@ -1,15 +1,17 @@
 #!/usr/bin/env python
-"""Partitioning-determinism sweep (committed in r9; run ad hoc since
-r5): every catalog query executed twice — once at 32 shuffle
-partitions, once at 7 — and the results compared Spark-vs-Spark.
+"""Partitioning/AQE-determinism sweep (committed in r9; run ad hoc
+since r5): every catalog query executed at 32 vs 7 shuffle partitions,
+then at AQE-on vs AQE-off, results compared Spark-vs-Spark each time.
 
-Pass = results are independent of partitioning/summation order, the
-property that makes 1000-executor runs reproducible run-to-run (and
-the same property the exact-DECIMAL accumulation + explicit
-tie-breaks exist to provide). A float sum routed through a plain
-double accumulator, or a window ordered on a non-unique key, shows up
-here as a 32-vs-7 mismatch even when both runs individually look
-plausible. Results land in PARTITION_DETERMINISM.json.
+Pass = results are independent of partitioning/summation order AND of
+adaptive runtime re-planning (coalesced partitions, runtime join-
+strategy switches, skew splits) — the properties that make
+1000-executor runs reproducible run-to-run (and the same properties
+the exact-DECIMAL accumulation + explicit tie-breaks exist to
+provide). A float sum routed through a plain double accumulator, or a
+window ordered on a non-unique key, shows up here as a mismatch even
+when both runs individually look plausible. Results land in
+PARTITION_DETERMINISM.json.
 
 Usage:  python scripts/partition_determinism_sweep.py [sf_dir]
 """
@@ -42,46 +44,51 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = load_catalog()
 
-    sessions = {}
-    for width in (WIDE, NARROW):
+    def session(width: str, aqe: str) -> object:
         s = spark.newSession()
         apply_runtime_confs(s)
         s.conf.set("spark.sql.shuffle.partitions", width)
-        sessions[width] = s
+        s.conf.set("spark.sql.adaptive.enabled", aqe)
+        return s
 
-    fails: list[str] = []
-    t0 = time.time()
-    for qid, fn in queries.items():
-        try:
-            wide = normalize(fn(sessions[WIDE], sf_dir).toPandas())
-            narrow = normalize(fn(sessions[NARROW], sf_dir).toPandas())
-            pd.testing.assert_frame_equal(wide, narrow, check_dtype=False)
-        except Exception as ex:  # noqa: BLE001 — sweep reports
-            fails.append(qid)
-            print(f"UNSTABLE {qid}: {str(ex)[:200]}", flush=True)
-    wall = round(time.time() - t0, 1)
-    n = len(queries)
-    print(f"{n - len(fails)}/{n} stable at {WIDE}-vs-{NARROW} shuffle "
-          f"partitions in {wall}s; unstable: {fails}")
+    def sweep(label: str, sess_a, sess_b) -> dict:
+        fails: list[str] = []
+        t0 = time.time()
+        for qid, fn in queries.items():
+            try:
+                a = normalize(fn(sess_a, sf_dir).toPandas())
+                b = normalize(fn(sess_b, sf_dir).toPandas())
+                pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            except Exception as ex:  # noqa: BLE001 — sweep reports
+                fails.append(qid)
+                print(f"UNSTABLE [{label}] {qid}: {str(ex)[:200]}",
+                      flush=True)
+        wall = round(time.time() - t0, 1)
+        n = len(queries)
+        print(f"[{label}] {n - len(fails)}/{n} stable in {wall}s; "
+              f"unstable: {fails}", flush=True)
+        return {"stable": n - len(fails), "total": n,
+                "unstable": fails, "wall_s": wall}
+
+    results = {
+        f"partitions_{WIDE}_vs_{NARROW}": sweep(
+            f"{WIDE}-vs-{NARROW} partitions",
+            session(WIDE, "true"), session(NARROW, "true"),
+        ),
+        "aqe_on_vs_off": sweep(
+            "AQE on-vs-off",
+            session(WIDE, "true"), session(WIDE, "false"),
+        ),
+    }
     spark.stop()
 
     out = os.path.join(os.path.dirname(__file__), "..",
                        "PARTITION_DETERMINISM.json")
     with open(out, "w") as fh:
-        json.dump(
-            {
-                "widths": [int(WIDE), int(NARROW)],
-                "sf_dir": sf_dir,
-                "stable": n - len(fails),
-                "total": n,
-                "unstable": fails,
-                "wall_s": wall,
-            },
-            fh, indent=2,
-        )
+        json.dump({"sf_dir": sf_dir, "sweeps": results}, fh, indent=2)
         fh.write("\n")
     print(f"-> {os.path.abspath(out)}")
-    return 1 if fails else 0
+    return 1 if any(r["unstable"] for r in results.values()) else 0
 
 
 if __name__ == "__main__":
