@@ -327,3 +327,93 @@ def p04_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_ts",
         "last_ts",
     )
+
+
+# ---------------------------------------------------------------------------
+# P05 — CDC merge-apply (the lakehouse MERGE INTO row-level contract):
+# a change batch of inserts/updates/deletes applied to a snapshot,
+# proven row-exact against a from-scratch recompute. p02 covers
+# insert-only dedup and p04 re-aggregable state; this id is the
+# remaining mutation surface — keyed UPDATE and DELETE — expressed as
+# the standard shuffle-join MERGE plan: one LEFT ANTI join removes
+# matched keys (updates' old versions + deletes), then the updated
+# and inserted rows union back in. `plans/upsert.py` is the
+# write-path twin (partition-pruned rewrite + atomic swap); this id
+# pins the SEMANTICS the rewrite must preserve.
+#
+# The change batch is derived deterministically from the fixture so
+# DuckDB reproduces it exactly: doc_id % 13 == 0 → DELETE (wins over
+# update by explicit precedence), else doc_id % 11 == 0 → UPDATE
+# (canonicalized text, re-derived n_chars), and every doc_id % 17 ==
+# 0 spawns an INSERT under a fresh key (max_id-safe offset). Output
+# is the merged snapshot keyed by digest-stable columns.
+#
+# Scale: one shuffle on doc_id for the anti join (changes side is
+# |batch|, broadcastable when small — exactly MERGE INTO's physical
+# plan on a 100 TB lake with AQE picking the strategy); the unions
+# are metadata-only. No window, no global sort.
+# ---------------------------------------------------------------------------
+
+P05_INS_OFFSET = 10_000_000  # far above any fixture doc_id
+
+P05_ORACLE = f"""
+WITH dels AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0),
+upds AS (
+  SELECT doc_id, upper(text) AS text, lang, source,
+         CAST(length(upper(text)) AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0
+),
+ins AS (
+  SELECT doc_id + {P05_INS_OFFSET} AS doc_id,
+         'new ' || text AS text, lang, source,
+         CAST(length('new ' || text) AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 17 = 0
+),
+kept AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+  FROM documents d
+  WHERE d.doc_id % 13 <> 0 AND d.doc_id % 11 <> 0
+)
+SELECT * FROM kept
+UNION ALL SELECT * FROM upds
+UNION ALL SELECT * FROM ins
+"""
+
+
+@query("p05_cdc_merge_apply", oracle=P05_ORACLE)
+def p05_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P05 — CDC merge-apply: a deterministic insert/update/delete
+    change batch applied to the documents snapshot via the standard
+    MERGE plan (anti-join out matched keys, union in new versions);
+    the oracle recomputes the merged snapshot from scratch."""
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    dels = base.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    upds = (
+        base.filter((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 13 != 0))
+        .select(
+            "doc_id",
+            F.upper("text").alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    ins = (
+        base.filter(F.col("doc_id") % 17 == 0)
+        .select(
+            (F.col("doc_id") + F.lit(P05_INS_OFFSET)).alias("doc_id"),
+            F.concat(F.lit("new "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    # the MERGE plan: matched keys (updates' old rows + deletes) leave
+    # via ONE anti join, then new versions union back in
+    matched_keys = dels.union(upds.select("doc_id")).distinct()
+    kept = base.join(matched_keys, "doc_id", "left_anti")
+    return kept.unionByName(upds).unionByName(ins)
