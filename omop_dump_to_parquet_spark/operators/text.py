@@ -16,7 +16,7 @@ profiling pass. No Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -1139,4 +1139,64 @@ def t19_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(davg(F.col("nll"), 38, 18), 6).alias("avg_nll"),
             F.count(F.lit(1)).alias("n_bigrams"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T20 — Zipf-law fit of the corpus token-frequency distribution via
+# the SQL:2023 linear-regression aggregates (regr_slope /
+# regr_intercept / regr_r2 — the aggregate-family member q34's
+# corr/covar does not cover): slope of ln(freq) on ln(rank), the
+# dataset-card statistic that says HOW head-heavy a corpus is (a
+# natural-language corpus fits ≈ −1; this fixture's 31-word soup fits
+# r² ≈ 0.06 — honestly not Zipfian, the same dup-dense pathology the
+# scaling playbook documents). Per-token degenerate-fit traps
+# (single-point regressions) don't arise: the fit is ONE global
+# regression over the vocabulary.
+#
+# Scale: the frequency aggregate is map-side-partial over corpus
+# tokens; the rank window then sorts |vocabulary| rows — Heaps-
+# sublinear in corpus size, NOT corpus rows — in one partition, and
+# the regression is a scalar aggregate. ln/round-6 is the t13/t14
+# float-determinism contract.
+# ---------------------------------------------------------------------------
+
+T20_ORACLE = """
+WITH f AS (
+  SELECT w, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+), r AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rank FROM f
+)
+SELECT round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+       round(regr_intercept(ln(n), ln(rank)), 6) AS zipf_intercept,
+       round(regr_r2(ln(n), ln(rank)), 6) AS zipf_r2,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM r
+"""
+
+
+@query("t20_zipf_fit", oracle=T20_ORACLE)
+def t20_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20 — Zipf-law fit (regr_slope/intercept/r2 over ln-ln
+    rank-frequency): one global regression over the vocabulary; the
+    rank window sorts |vocab| rows (Heaps-sublinear), never corpus
+    rows."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("n").desc(), F.col("w"))),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(F.regr_intercept(F.log("n"), F.log("rank")), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(F.regr_r2(F.log("n"), F.log("rank")), 6).alias("zipf_r2"),
+        F.count(F.lit(1)).alias("n_terms"),
     )
