@@ -562,22 +562,13 @@ G03_ORACLE = (
 )
 
 
-@query("g03_triangle_count", oracle=G03_ORACLE)
-def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G03 — exact per-node triangle counts over the d03 similarity
-    graph via degree-ordered orientation (out-degree ≤ O(√E) ⇒ the
-    two path-joins are O(E^1.5) skew-proof); clustering-coefficient
-    numerator separating dense boilerplate cores from chance pairs."""
-    from fractions import Fraction
-
-    docs = table(spark, sf_dir, "documents")
-    ratio = Fraction(str(JACCARD_THRESHOLD))
-    candidates = prefix_filter_candidates(
-        docs, ratio.numerator, ratio.denominator, "lang", "source"
-    )
-    pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b"
-    )
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """``(doc_a, doc_b)`` undirected canonical edges (each unordered
+    pair once) → ``(node, n_triangles)``: the degree-ordered-
+    orientation core of g03, factored out so the graph-agnostic
+    algorithm is property-testable against brute-force triple
+    enumeration on arbitrary graphs."""
+    spark = pairs.sparkSession
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .union(pairs.select(F.col("doc_b").alias("node")))
@@ -628,3 +619,22 @@ def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@query("g03_triangle_count", oracle=G03_ORACLE)
+def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G03 — exact per-node triangle counts over the d03 similarity
+    graph via degree-ordered orientation (out-degree ≤ O(√E) ⇒ the
+    two path-joins are O(E^1.5) skew-proof); clustering-coefficient
+    numerator separating dense boilerplate cores from chance pairs."""
+    from fractions import Fraction
+
+    docs = table(spark, sf_dir, "documents")
+    ratio = Fraction(str(JACCARD_THRESHOLD))
+    candidates = prefix_filter_candidates(
+        docs, ratio.numerator, ratio.denominator, "lang", "source"
+    )
+    pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    return triangle_counts(pairs)

@@ -1497,3 +1497,66 @@ def test_s13_mmr_matches_python_reference_greedy(spark, sf_small):
         for q in range(N_QUERIES)
     )
     assert reordered, "MMR never deviated from pure relevance order"
+
+
+def test_d13_banded_levenshtein_matches_reference_dp(spark):
+    """d13 relies on Spark's 3-arg levenshtein(l, r, threshold)
+    (banded DP, -1 past the bound). Pin it against a plain-Python
+    Wagner-Fischer reference on random string pairs — including pairs
+    engineered to straddle the threshold — so an engine-side semantic
+    change (e.g. bytes-vs-chars, or an off-by-one in the band) fails
+    here, not in a silent recall drop."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.operators.dedup import D13_MAX_EDIT
+
+    def dp(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                ))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(0xD13)
+    alphabet = "abcdexyz "
+    pairs = []
+    for _ in range(60):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        # half the pairs: small random edits of a (straddle the bound)
+        if rng.random() < 0.5:
+            b = list(a)
+            for _e in range(rng.randint(0, 4)):
+                op = rng.random()
+                pos = rng.randrange(len(b) + 1)
+                if op < 0.34 and b:
+                    del b[min(pos, len(b) - 1)]
+                elif op < 0.67:
+                    b.insert(pos, rng.choice(alphabet))
+                elif b:
+                    b[min(pos, len(b) - 1)] = rng.choice(alphabet)
+            b = "".join(b)
+        else:
+            b = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(0, 12))
+            )
+        pairs.append((a, b))
+
+    df = spark.createDataFrame(pairs, "a string, b string").select(
+        "a", "b",
+        F.expr(f"levenshtein(a, b, {D13_MAX_EDIT})").alias("banded"),
+        F.expr("levenshtein(a, b)").alias("full"),
+    )
+    for r in df.collect():
+        want = dp(r["a"], r["b"])
+        assert r["full"] == want, (r["a"], r["b"])
+        assert r["banded"] == (want if want <= D13_MAX_EDIT else -1), (
+            r["a"], r["b"],
+        )

@@ -120,3 +120,52 @@ def test_g02_lpa_separates_planted_families(spark, tmp_path):
     b_labels = {out[n] for n in (10, 11, 12)}
     assert len(a_labels) == 1 and len(b_labels) == 1
     assert a_labels != b_labels
+
+
+def test_triangle_counts_matches_bruteforce_on_random_graphs(spark):
+    """g03's degree-ordered-orientation core must equal brute-force
+    triple enumeration on arbitrary graphs — including a hub-heavy
+    one (star + clique), the shape the orientation exists to survive.
+    The fixture-bound catalog id inherits this via triangle_counts."""
+    import itertools
+    import random
+
+    from omop_dump_to_parquet_spark.operators.graph import triangle_counts
+
+    def brute(edges: set[tuple[int, int]]) -> dict[int, int]:
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        counts: dict[int, int] = {}
+        for u, v, w in itertools.combinations(sorted(adj), 3):
+            if v in adj[u] and w in adj[u] and w in adj[v]:
+                for n in (u, v, w):
+                    counts[n] = counts.get(n, 0) + 1
+        return counts
+
+    rng = random.Random(0xBEEF)
+    cases = []
+    for trial in range(4):  # Erdős–Rényi G(20, 0.25)
+        edges = {
+            (a, b)
+            for a, b in itertools.combinations(range(20), 2)
+            if rng.random() < 0.25
+        }
+        cases.append(edges)
+    # hub-heavy adversary: node 0 connected to everything (a star
+    # contributes no triangles by itself) PLUS a 6-clique among 1..6
+    hub = {(0, i) for i in range(1, 16)}
+    clique = {(a, b) for a, b in itertools.combinations(range(1, 7), 2)}
+    cases.append(hub | clique)
+
+    for edges in cases:
+        expect = brute(edges)
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "doc_a long, doc_b long"
+        )
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(pairs).collect()
+        }
+        assert got == expect, f"mismatch on {len(edges)}-edge graph"
