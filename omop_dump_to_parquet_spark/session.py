@@ -49,6 +49,17 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def shuffle_partitions(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    cluster parallelism when the conf is non-numeric — some managed
+    runtimes set it to ``"auto"``, and a bare ``int()`` would raise
+    ``ValueError`` at plan-build time (advisor note r9)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def get_spark(
     app_name: str = "omop_dump_to_parquet_spark",
     cores: int | None = None,

@@ -1560,3 +1560,103 @@ def test_d13_banded_levenshtein_matches_reference_dp(spark):
         assert r["banded"] == (want if want <= D13_MAX_EDIT else -1), (
             r["a"], r["b"],
         )
+
+
+# ---------------------------------------------------------------------------
+# d13 core (r10): length-band blocked bounded-Levenshtein linkage
+# ---------------------------------------------------------------------------
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    """Plain DP reference (test-local, O(|a|·|b|))."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """The banding lemma end to end: the (block, length-band) blocked
+    join with adjacent-band union must emit EXACTLY the brute-force
+    pair set — no pair lost to banding (completeness: lev ≤ k ⇒
+    |Δlen| ≤ k < W ⇒ |Δband| ≤ 1) and no pair duplicated by the
+    3-way explode (each pair meets only at the probe side's own
+    band). Lengths are drawn to straddle band boundaries on purpose."""
+    import random
+
+    from omop_dump_to_parquet_spark.operators import dedup as D
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(150):
+        # lengths cluster at band edges (W=4: 3|4, 7|8, 11|12, 15|16)
+        n = rng.choice([1, 2, 3, 4, 5, 7, 8, 9, 11, 12, 13, 15, 16, 17])
+        rows.append(
+            (i, rng.choice(["X", "Y"]),
+             "".join(rng.choice("abcd") for _ in range(n)))
+        )
+    df = spark.createDataFrame(rows, "id long, blk string, name string")
+    got = sorted(
+        (r["blk"], r["key_a"], r["key_b"], r["edit_dist"])
+        for r in D.edit_distance_pairs(
+            df, "id", "name", "blk", max_edit=2
+        ).collect()
+    )
+    expect = sorted(
+        (ba, ia, ib, _py_levenshtein(na, nb))
+        for ia, ba, na in rows
+        for ib, bb, nb in rows
+        if ia < ib and ba == bb and _py_levenshtein(na, nb) <= 2
+    )
+    assert got == expect and len(got) > 50
+
+
+def test_edit_distance_pairs_guard_fires_on_oversized_block(spark):
+    """d13 carries the d03 bounded-block contract (the r9 verdict's
+    weak-component fix): a (block, band) population above
+    ``max_block_docs`` must raise AT EXECUTION TIME instead of
+    silently running the quadratic in-block sweep."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    from omop_dump_to_parquet_spark.operators import dedup as D
+
+    # ten same-length same-block names: one (blk, band) block of 10
+    rows = [(i, "X", f"abcde{i % 3}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, blk string, name string")
+    blocked = D.edit_distance_pairs(
+        df, "id", "name", "blk", max_block_docs=3
+    )
+    with pytest.raises(
+        (Py4JJavaError, PySparkRuntimeError, Exception),
+        match="max_block_docs=3",
+    ):
+        blocked.collect()
+    ok = D.edit_distance_pairs(
+        df, "id", "name", "blk", max_block_docs=100
+    ).collect()
+    assert len(ok) > 0
+
+
+def test_edit_distance_pairs_rejects_too_narrow_band():
+    """len_band ≤ max_edit breaks the adjacent-band completeness
+    lemma — must be rejected at plan-build time, not silently lose
+    recall."""
+    import pytest
+
+    from omop_dump_to_parquet_spark.operators import dedup as D
+
+    with pytest.raises(ValueError, match="len_band"):
+        D.edit_distance_pairs(
+            None, "id", "name", max_edit=2, len_band=2
+        )

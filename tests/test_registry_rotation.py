@@ -53,8 +53,10 @@ def test_ordering_is_deterministic():
 
 
 def test_history_ignores_real_failures(tmp_path, monkeypatch):
-    """A run with a genuine err must NOT count as evidence (the query
-    stays in the window until it passes); no_oracle runs do count."""
+    """Only a clean full run (err null) counts as evidence: a genuine
+    err keeps the query in the window until it passes, and historic
+    rows-only ``no_oracle`` runs are discounted as weaker checks (r10
+    cleanup — zero rows-only ids remain in the catalog)."""
     import json
 
     import omop_dump_to_parquet_spark.registry as registry
@@ -76,5 +78,5 @@ def test_history_ignores_real_failures(tmp_path, monkeypatch):
     )
     history = registry._driver_check_history()
     assert history["ok_query"] == (1, 7)
-    assert history["rows_only_query"] == (1, 7)
+    assert "rows_only_query" not in history
     assert "broken_query" not in history
