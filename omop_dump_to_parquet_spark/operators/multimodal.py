@@ -173,7 +173,14 @@ WITH f AS (
          encode(substr(text, CAST(i * {FRAME_BYTES} + 1 AS INT),
                        {FRAME_BYTES})) AS frame
   FROM documents
-  CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
+  -- frame-index range derived from the corpus itself (advisor r9:
+  -- a fixed literal cap silently drops frames past it on longer
+  -- documents, producing a differential failure that looks like an
+  -- operator bug)
+  CROSS JOIN (SELECT unnest(range(0, (
+    SELECT CAST(coalesce(greatest(0,
+      floor((max(length(text)) - 1) / {FRAME_BYTES}) + 1), 0) AS BIGINT)
+    FROM documents))) AS i)
   WHERE i * {FRAME_BYTES} < length(text) AND i % {FRAME_STRIDE} = 0
 )
 SELECT doc_id, frame_idx,
@@ -387,7 +394,16 @@ def decode_bmp_gray(b: bytes) -> tuple[int, int, bytes]:
         if len(row) != w:
             raise ValueError("truncated BMP pixel array")
         rows.append(row)
-    return w, h_abs, b"".join(rows)
+    data = b"".join(rows)
+    # pixels are palette INDICES: with a short palette (clr_used <
+    # 256) an index >= clr_used points past the table — decoding it
+    # as luminance would be out-of-palette garbage (advisor note r9)
+    if n_colors < 256 and data and max(data) >= n_colors:
+        raise ValueError(
+            f"BMP pixel index >= clr_used={n_colors} "
+            "(out-of-palette reference)"
+        )
+    return w, h_abs, data
 
 
 def resize_bmp(payloads: DataFrame) -> DataFrame:
@@ -446,7 +462,10 @@ def resize_bmp(payloads: DataFrame) -> DataFrame:
                 if len(row) != w:
                     raise ValueError("truncated BMP pixel array")
                 rows_.append(row)
-            return w, h_abs, b"".join(rows_)
+            data = b"".join(rows_)
+            if n_colors < 256 and data and max(data) >= n_colors:
+                raise ValueError("BMP pixel index out of palette")
+            return w, h_abs, data
 
         for pdf in batches:
             rows = []
@@ -950,7 +969,11 @@ WITH fr AS (
          CAST(o * {M08_HOP} AS INT) AS off,
          substr(text, CAST(o * {M08_HOP} + 1 AS INT), {M08_FRAME}) AS chunk
   FROM documents
-  CROSS JOIN (SELECT unnest(range(0, 512)) AS o)
+  -- derived bound, not a literal cap (see M03_ORACLE note)
+  CROSS JOIN (SELECT unnest(range(0, (
+    SELECT CAST(coalesce(greatest(0,
+      floor((max(length(text)) - 1) / {M08_HOP}) + 1), 0) AS BIGINT)
+    FROM documents))) AS o)
   WHERE o * {M08_HOP} < length(text)
 ), b AS (
   SELECT doc_id, frame_idx, off,
@@ -1052,7 +1075,12 @@ M10_ORACLE = f"""
 WITH fr AS (
   SELECT doc_id, CAST(o AS INT) AS frame_idx, text
   FROM documents
-  CROSS JOIN (SELECT unnest(range(0, 4096)) AS o)
+  -- derived bound, not a literal cap (see M03_ORACLE note)
+  CROSS JOIN (SELECT unnest(range(0, (
+    SELECT CAST(coalesce(greatest(0,
+      floor((max(length(text)) - {WAV_FRAME}) / {WAV_HOP}) + 1), 0)
+      AS BIGINT)
+    FROM documents))) AS o)
   WHERE o * {WAV_HOP} + {WAV_FRAME} <= length(text)
 ), s AS (
   SELECT doc_id, frame_idx,

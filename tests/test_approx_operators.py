@@ -1660,3 +1660,121 @@ def test_edit_distance_pairs_rejects_too_narrow_band():
         D.edit_distance_pairs(
             None, "id", "name", max_edit=2, len_band=2
         )
+
+
+def test_decoder_adversarial_inputs_rejected():
+    """r10 hardening (verdict task 4): each remaining undefended
+    malformed-container path must raise the contractual ValueError —
+    m11 interlaced PNG and truncated IDAT stream, m10 non-PCM format
+    tag and odd PCM data length, m09 out-of-palette pixel index."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from omop_dump_to_parquet_spark.operators.multimodal import (
+        decode_bmp_gray,
+        decode_png_gray,
+        decode_wav_pcm16,
+    )
+
+    # -- build one valid specimen of each container, no Spark needed --
+    def png_gray(pixels: bytes, w: int, h: int) -> bytes:
+        def chunk(ctype, body):
+            return (
+                len(body).to_bytes(4, "big") + ctype + body
+                + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 0, 0, 0, 0])
+        )
+        raw = b"".join(
+            b"\x00" + pixels[y * w : (y + 1) * w] for y in range(h)
+        )
+        z = zlib.compress(raw)
+        # split IDAT so chunk-drop surgery below leaves valid CRCs
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", z[: len(z) // 2])
+            + chunk(b"IDAT", z[len(z) // 2 :])
+            + chunk(b"IEND", b"")
+        )
+
+    def wav_pcm16(samples: list[int]) -> bytes:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (
+            b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    def bmp8(w: int, h: int, pixels: bytes, clr_used: int = 0) -> bytes:
+        n_colors = clr_used or 256
+        pal = b"".join(bytes([i, i, i, 0]) for i in range(n_colors))
+        stride = (w + 3) & ~3
+        px = b"".join(
+            pixels[(h - 1 - y) * w : (h - y) * w].ljust(stride, b"\x00")
+            for y in range(h)
+        )
+        data_off = 14 + 40 + len(pal)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(px),
+            2835, 2835, clr_used, 0,
+        )
+        hdr = b"BM" + struct.pack(
+            "<IHHI", data_off + len(px), 0, 0, data_off
+        )
+        return hdr + info + pal + px
+
+    # specimens decode cleanly before each corruption (test validity)
+    px = bytes((41 * i + 3) % 251 for i in range(8 * 4))
+    png = png_gray(px, 8, 4)
+    assert decode_png_gray(png) == (8, 4, px)
+    wav = wav_pcm16([(37 * i + 11) % 128 * 256 - 12800 for i in range(50)])
+    assert len(decode_wav_pcm16(wav)) == 50
+
+    # m11: interlace flag set (Adam7), CRC re-validated so ONLY the
+    # variant check can fire
+    inter = bytearray(png)
+    inter[16 + 12] = 1  # IHDR body byte 12 = interlace method
+    inter[16 + 13 : 16 + 17] = (
+        zlib.crc32(b"IHDR" + bytes(inter[16 : 16 + 13])) & 0xFFFFFFFF
+    ).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png_gray(bytes(inter))
+
+    # m11: truncated IDAT STREAM with intact chunk framing — drop the
+    # second IDAT chunk entirely (CRCs all still valid), so only the
+    # DEFLATE-completeness check can catch it
+    second = png.index(b"IDAT", png.index(b"IDAT") + 4) - 4
+    size2 = int.from_bytes(png[second : second + 4], "big")
+    cut = png[:second] + png[second + 12 + size2 :]
+    with pytest.raises(
+        ValueError, match="DEFLATE|decompressed length"
+    ):
+        decode_png_gray(cut)
+
+    # m10: non-PCM format tag (3 = IEEE float), everything else valid
+    nonpcm = bytearray(wav)
+    struct.pack_into("<H", nonpcm, wav.index(b"fmt ") + 8, 3)
+    with pytest.raises(ValueError, match="unsupported WAV variant"):
+        decode_wav_pcm16(bytes(nonpcm))
+
+    # m10: odd data-chunk length (declared size shrunk by one byte)
+    odd = bytearray(wav)
+    doff = wav.index(b"data") + 4
+    struct.pack_into(
+        "<I", odd, doff, int.from_bytes(wav[doff : doff + 4], "little") - 1
+    )
+    with pytest.raises(ValueError, match="odd PCM data length"):
+        decode_wav_pcm16(bytes(odd))
+
+    # m09: short palette accepted while every pixel indexes inside it…
+    small = bytes(i % 16 for i in range(8 * 4))
+    assert decode_bmp_gray(bmp8(8, 4, small, clr_used=16))[2] == small
+    # …but an index past clr_used is an out-of-palette reference
+    bad = bytes([0, 1, 2, 200] + [0] * 28)
+    with pytest.raises(ValueError, match="out-of-palette"):
+        decode_bmp_gray(bmp8(8, 4, bad, clr_used=16))
