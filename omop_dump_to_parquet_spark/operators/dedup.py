@@ -1531,19 +1531,24 @@ def d12_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brands), so block populations grow LINEARLY with corpus size and
 # candidate pairs Σ_block n_b² grow QUADRATICALLY — at 100× data
 # that is ~10,000× the pairwise work, on 25 under-parallelized join
-# keys. Fix: a second, completeness-preserving blocking key derived
-# from the edit bound itself. Levenshtein ≤ k implies
-# |len(a) − len(b)| ≤ k (each edit changes length by at most 1), so
-# with band(x) = floor(length(x) / W) and W > k, any qualifying pair
-# sits in the same or ADJACENT bands (two values ≤ k < W apart can
-# straddle at most one band boundary). One side therefore emits its
-# row under {band−1, band, band+1} via explode, the other under its
-# own band only; the equi-join on (brand, band_key) then meets every
-# qualifying pair EXACTLY ONCE (at the key equal to the probe side's
-# own band) — no dedup pass, no recall loss, deterministic. Blocking
-# cardinality becomes brand × length-band and block population is
-# bounded by the length distribution, not the corpus; the
-# d03-style `_guard_block_population` enforces that bound in-plan.
+# keys. And this is true of ANY data-independent blocking key: a
+# length band (Levenshtein ≤ k ⇒ |Δlen| ≤ k, so band width W > k
+# with adjacent-band union is completeness-preserving — kept as
+# `edit_distance_pairs`, the simple core, still the small-string
+# path) multiplies the block count by a CONSTANT (~8 populated
+# bands over part-name lengths) without changing the Θ(n²/B)
+# asymptote. The production path is therefore PassJoin segment
+# blocking (`passjoin_pairs`): partition the index-side name into
+# k+1 segments — k edits leave at least one untouched (pigeonhole),
+# so it appears verbatim in the other name within a ±k start
+# displacement — and equi-join on the SEGMENT STRING itself. Key
+# cardinality now grows with the corpus (keys are data), so
+# per-key populations are governed by name-collision rates, not
+# corpus size, and candidate volume tracks genuine similarity:
+# measured sub-quadratic at ×10 (SCALE_REHEARSAL.json) where the
+# banded scheme is quadratic by construction. The d03-style
+# `_guard_block_population` enforces the bounded-block contract
+# in-plan on the segment index either way.
 #
 # Per-pair cost is bounded too: Spark's 3-arg
 # levenshtein(l, r, THRESHOLD) early-exits the DP once distance must
@@ -1645,22 +1650,241 @@ def edit_distance_pairs(
     )
 
 
+def _passjoin_seg_geometry(df: DataFrame, lcol: str, p: int) -> DataFrame:
+    """Even-partition segment geometry for a source string of length
+    ``lcol`` split into ``p`` segments, given a segment index column
+    ``j``: with q = ⌊l/p⌋ and r = l mod p, the first p−r segments
+    have length q and the last r have q+1 (the PassJoin partition
+    scheme — Li, Deng & Feng, VLDB 2011, a public algorithm).
+    Adds ``_start`` (0-based char offset) and ``_slen``."""
+    q = F.floor(F.col(lcol) / F.lit(p))
+    r = F.col(lcol) % F.lit(p)
+    return df.withColumn(
+        "_start",
+        F.col("j") * q + F.greatest(F.lit(0), F.col("j") - (F.lit(p) - r)),
+    ).withColumn(
+        "_slen",
+        q + F.when(F.col("j") >= F.lit(p) - r, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def passjoin_small_len(max_edit: int) -> int:
+    """Strings at or below this length take the banded small-string
+    path: PassJoin needs every one of its max_edit+1 segments
+    non-empty, and below ~2 segments' worth of characters the
+    segment keys are too short to block on anyway."""
+    return 2 * (max_edit + 1)
+
+
+def _passjoin_candidates(
+    records: DataFrame,
+    key_col: str,
+    name_col: str,
+    *block_cols: str,
+    max_edit: int = D13_MAX_EDIT,
+    max_block_docs: int | None = DEFAULT_MAX_BLOCK_DOCS,
+) -> DataFrame:
+    """PassJoin segment-blocked candidate pairs: every unordered
+    record pair with both names LONGER than ``passjoin_small_len``
+    and Levenshtein ≤ ``max_edit`` is emitted exactly once
+    (``key_a < key_b``), as ``(*block_cols, key_a, key_b, name_a,
+    name_b)``; pairs beyond the edit bound may also appear (the
+    caller verifies with the 3-arg bounded ``levenshtein``).
+
+    Completeness (pigeonhole, PassJoin / Ed-Join family): k = max_edit
+    edits touch at most k of the k+1 index-side segments, so at least
+    one segment of r survives untouched in s, as a contiguous
+    substring whose start is displaced by the net insert/delete count
+    before it — at most k positions. Probing every substring of s
+    whose (source-length, segment-index, start±k) geometry matches
+    therefore meets every qualifying pair; ``distinct()`` collapses
+    the multiplicity (a pair can match on several segments and in
+    both index/probe roles).
+
+    Scale shape — why this exists instead of a fixed blocking key:
+    the join key is ``(block, source_len, segment_index, segment
+    STRING)``, whose cardinality grows WITH the corpus (names are
+    data), so per-key populations are bounded by name-collision
+    rates, not corpus size: candidate volume tracks the number of
+    genuinely similar pairs plus segment collisions, both ~linear for
+    realistic (Heaps-law) name diversity — measured in
+    SCALE_REHEARSAL.json — where any fixed-cardinality scheme
+    (brand, length band, …) is Θ(n²/B). Per-record fan-out is a
+    constant: k+1 index rows, ≤ (2k+1)·(k+1)·(2k+1) probe substrings.
+    ``_guard_block_population`` on the index side still converts a
+    pathological hot segment (all-identical names) into a fail-fast.
+    """
+    p = max_edit + 1
+    small = passjoin_small_len(max_edit)
+    base = records.select(
+        *block_cols, key_col, name_col
+    ).withColumn("_len", F.length(F.col(name_col)))
+    big = base.filter(F.col("_len") > small)
+
+    jseq = F.explode(F.sequence(F.lit(0), F.lit(max_edit))).alias("j")
+
+    idx = _passjoin_seg_geometry(big.select("*", jseq), "_len", p)
+    idx = idx.withColumn(
+        "_seg", F.expr(f"substring({name_col}, _start + 1, _slen)")
+    )
+    idx = _guard_block_population(
+        idx, (*block_cols, "_len", "j", "_seg"), max_block_docs
+    )
+    idx = idx.select(
+        *block_cols,
+        F.col(key_col).alias("_ikey"),
+        F.col(name_col).alias("_iname"),
+        F.col("_len").alias("_ilen"),
+        "j",
+        "_seg",
+    ).alias("i")
+
+    # probe side: for each candidate INDEX length l within ±k of this
+    # record's own length (only l past the small-string threshold —
+    # shorter partners are covered by the banded path), enumerate the
+    # ≤ 2k+1 substrings whose start lies within the displacement
+    # window of that (l, j) segment.
+    probe = big.withColumn(
+        "l",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_len") - F.lit(max_edit), F.lit(small + 1)),
+                F.col("_len") + F.lit(max_edit),
+            )
+        ),
+    ).select("*", jseq)
+    probe = _passjoin_seg_geometry(probe, "l", p)
+    probe = (
+        probe.withColumn(
+            "_lo", F.greatest(F.lit(0), F.col("_start") - F.lit(max_edit))
+        )
+        .withColumn(
+            "_hi",
+            F.least(
+                F.col("_len") - F.col("_slen"),
+                F.col("_start") + F.lit(max_edit),
+            ),
+        )
+        .filter(F.col("_lo") <= F.col("_hi"))
+        .withColumn("s", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))))
+        .withColumn(
+            "_sub", F.expr(f"substring({name_col}, s + 1, _slen)")
+        )
+    )
+    probe = probe.select(
+        *block_cols,
+        F.col(key_col).alias("_pkey"),
+        F.col(name_col).alias("_pname"),
+        "l",
+        "j",
+        "_sub",
+    ).alias("p")
+
+    cond = (
+        (F.col("i._ilen") == F.col("p.l"))
+        & (F.col("i.j") == F.col("p.j"))
+        & (F.col("i._seg") == F.col("p._sub"))
+        & (F.col("i._ikey") != F.col("p._pkey"))
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"i.{c}") == F.col(f"p.{c}"))
+    a_first = F.col("i._ikey") < F.col("p._pkey")
+    return (
+        probe.join(idx, cond)
+        .select(
+            *[F.col(f"i.{c}") for c in block_cols],
+            F.when(a_first, F.col("i._ikey"))
+            .otherwise(F.col("p._pkey"))
+            .alias("key_a"),
+            F.when(a_first, F.col("p._pkey"))
+            .otherwise(F.col("i._ikey"))
+            .alias("key_b"),
+            F.when(a_first, F.col("i._iname"))
+            .otherwise(F.col("p._pname"))
+            .alias("name_a"),
+            F.when(a_first, F.col("p._pname"))
+            .otherwise(F.col("i._iname"))
+            .alias("name_b"),
+        )
+        .distinct()
+    )
+
+
+def passjoin_pairs(
+    records: DataFrame,
+    key_col: str,
+    name_col: str,
+    *block_cols: str,
+    max_edit: int = D13_MAX_EDIT,
+    max_block_docs: int | None = DEFAULT_MAX_BLOCK_DOCS,
+) -> DataFrame:
+    """Bounded-Levenshtein record linkage with PassJoin segment
+    blocking — same contract and output schema as
+    ``edit_distance_pairs`` (every unordered same-block pair at
+    ``levenshtein ≤ max_edit``, exactly once, ``key_a < key_b``),
+    but with DATA-DEPENDENT candidate keys so candidate volume
+    scales with name similarity, not corpus size squared.
+
+    The pair space is partitioned exactly in two by the small-string
+    threshold T = ``passjoin_small_len``:
+    - both names longer than T → PassJoin segment candidates
+      (``_passjoin_candidates``), then bounded-DP verify;
+    - min(len) ≤ T → the banded path over the ``len ≤ T + max_edit``
+      subset (any partner of a ≤T-length name is within max_edit of
+      it in length), filtered to min-side ≤ T so no pair is emitted
+      by both paths.
+    """
+    small = passjoin_small_len(max_edit)
+    cand = _passjoin_candidates(
+        records,
+        key_col,
+        name_col,
+        *block_cols,
+        max_edit=max_edit,
+        max_block_docs=max_block_docs,
+    )
+    big_pairs = (
+        cand.withColumn(
+            "edit_dist",
+            F.expr(f"levenshtein(name_a, name_b, {max_edit})"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .withColumn("edit_dist", F.col("edit_dist").cast("int"))
+    )
+    small_side = records.filter(
+        F.length(F.col(name_col)) <= small + max_edit
+    )
+    small_pairs = edit_distance_pairs(
+        small_side,
+        key_col,
+        name_col,
+        *block_cols,
+        max_edit=max_edit,
+        max_block_docs=max_block_docs,
+    ).filter(
+        F.least(F.length("name_a"), F.length("name_b")) <= F.lit(small)
+    )
+    return big_pairs.unionByName(small_pairs)
+
+
 @query("d13_edit_distance_linkage", oracle=D13_ORACLE)
 def d13_edit_distance_linkage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """D13 — blocked edit-distance entity resolution: within-brand
     part-name pairs at Levenshtein ≤ 2, via the threshold (banded-DP)
-    variant so per-pair cost is bounded. Blocking key is
-    (brand, length-band) with adjacent-band union (r10): brand alone
-    is fixed-cardinality, so its block populations — and the
-    Σn_b² candidate volume — would grow quadratically with corpus
-    size; the length band keeps blocks bounded by the length
-    distribution at zero recall cost (lemma in
-    ``edit_distance_pairs``), with `_guard_block_population`
-    enforcing the bound in-plan exactly as d03 does."""
+    variant so per-pair cost is bounded. Candidate generation is
+    PassJoin segment blocking (``passjoin_pairs``, r10): ANY
+    fixed-cardinality blocking key — brand alone (~25 values), even
+    brand × length-band (~200) — has block populations that grow
+    linearly with the corpus and Σn_b² candidates that grow
+    quadratically; PassJoin's keys are substrings of the names
+    themselves, so key cardinality grows with the data and candidate
+    volume tracks actual name similarity (measured sub-quadratic in
+    SCALE_REHEARSAL.json), with `_guard_block_population` turning a
+    pathological hot segment into a fail-fast exactly as d03 does."""
     p = table(spark, sf_dir, "part")
-    pairs = edit_distance_pairs(p, "p_partkey", "p_name", "p_brand")
+    pairs = passjoin_pairs(p, "p_partkey", "p_name", "p_brand")
     return pairs.select(
         F.col("p_brand").alias("brand"),
         "key_a",

@@ -116,6 +116,79 @@ def gen_documents(
     )
 
 
+BASE_PARTS = 20_000        # sf0.1's part row count
+PART_NAME_WORDS = 5        # TPC-H p_name shape: 5 words
+PART_NAME_VOCAB = 2_000    # ×√scale (Heaps β ≈ 0.5), like --heaps docs
+PART_TWIN_FRACTION = 0.015  # planted typo twins, linear in n
+N_BRANDS = 25              # TPC-H Brand#11..Brand#55
+
+
+def gen_part(
+    n_parts: int, rng: np.random.Generator, scale: int
+) -> pa.Table:
+    """Scaled ``part`` fixture for the d13 linkage rehearsal
+    (r10 verdict task 3: measured candidate-pair growth).
+
+    Key-shifted replication of the sf0.1 table would be WRONG here:
+    each copy repeats every p_name verbatim, so cross-copy
+    distance-0 pairs make even the *true answer* quadratic by
+    construction — a fixture artifact, not engine behavior. Instead
+    names are drawn fresh, TPC-H-shaped (5 words), from a vocabulary
+    that grows ∝ √n (Heaps' law, β ≈ 0.5 — the same
+    realistic-corpus regime the --heaps documents variant and
+    HEAPS_SWEEP.json use): bigger part catalogs name more distinct
+    things. Under that regime random distance-≤2 collisions stay
+    negligible and segment-sharing collisions grow ~linearly, so
+    the measured quantity is the ENGINE's candidate discipline.
+    ~1.5% of parts are planted typo twins (1-2 char edits of an
+    earlier same-brand name, Levenshtein ≤ 2 by construction), so
+    the true match count grows LINEARLY with the corpus."""
+    vocab_size = int(PART_NAME_VOCAB * scale**0.5)
+    alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    lens = rng.integers(4, 9, size=vocab_size)
+    vocab = np.array(
+        ["".join(rng.choice(alphabet, size=n)) for n in lens]
+    )
+    brands = np.array(
+        [f"Brand#{i}{j}" for i in range(1, 6) for j in range(1, 6)]
+    )
+    assert len(brands) == N_BRANDS
+
+    n_twins = int(n_parts * PART_TWIN_FRACTION)
+    names: list[str] = []
+    brand_col: list[str] = []
+    for _ in range(n_parts - n_twins):
+        words = vocab[rng.integers(0, vocab_size, size=PART_NAME_WORDS)]
+        names.append(" ".join(words))
+        brand_col.append(str(brands[rng.integers(0, N_BRANDS)]))
+    for _ in range(n_twins):
+        i = int(rng.integers(0, len(names)))
+        name = list(names[i])
+        for _ in range(int(rng.integers(1, 3))):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(0, len(name)))
+            ch = str(rng.choice(alphabet))
+            if op == 0:
+                name[pos] = ch          # substitute
+            elif op == 1 and len(name) > 1:
+                del name[pos]           # delete
+            else:
+                name.insert(pos, ch)    # insert
+        names.append("".join(name))
+        brand_col.append(brand_col[i])  # twin shares the brand block
+
+    order = rng.permutation(n_parts)
+    return pa.table(
+        {
+            "p_partkey": pa.array(range(n_parts), pa.int64()),
+            "p_name": pa.array([names[i] for i in order], pa.string()),
+            "p_brand": pa.array(
+                [brand_col[i] for i in order], pa.string()
+            ),
+        }
+    )
+
+
 def gen_embeddings(n_emb: int, rng: np.random.Generator) -> pa.Table:
     centers = rng.normal(0.0, 1.0, size=(N_LABELS, EMB_DIM))
     labels = rng.integers(0, N_LABELS, size=n_emb)
@@ -158,9 +231,17 @@ def main(
         emb = gen_embeddings(BASE_EMB * scale, rng)
         pq.write_table(docs, os.path.join(out, "documents.parquet"))
         pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+        # part: independent RNG stream so the r6/r7 docs+embeddings
+        # fixtures above stay byte-identical to their committed
+        # measurements regardless of this r10 addition
+        part = gen_part(
+            BASE_PARTS * scale, np.random.default_rng([SEED, scale, 2]),
+            scale,
+        )
+        pq.write_table(part, os.path.join(out, "part.parquet"))
         print(
             f"x{scale}: {docs.num_rows} docs (vocab {vocab_size}), "
-            f"{emb.num_rows} embeddings -> {out}"
+            f"{emb.num_rows} embeddings, {part.num_rows} parts -> {out}"
         )
 
 

@@ -42,8 +42,61 @@ OPS = (
     "s05_ann_ivf",
     "d10_semdedup",
     "d08_embedding_dedup_clusters",
+    # r10 additions (verdict task 3): the round-9 ids without prior
+    # ×10 rows, plus the PassJoin-rewritten d13 (part fixture:
+    # x1/x3/x10 = 20k/60k/200k rows, Heaps-scaled name vocabulary,
+    # linear planted twins — gen_scale_fixture.gen_part)
+    "d13_edit_distance_linkage",
+    "g03_triangle_count",
+    "s13_mmr_diversified",
+    "t20_zipf_fit",
+    "p05_cdc_merge_apply",
+    "m09_bmp_decode_resize",
+    "m10_wav_decode_features",
+    "m11_png_decode_roundtrip",
 )
 SCALES = (1, 3, 10)
+
+
+def _d13_candidate_counts(spark, sf_dir: str) -> dict:
+    """Measured PassJoin candidates vs the analytic candidate counts
+    of the two fixed-cardinality blocking schemes on the same data —
+    the r10 verdict's 'sub-quadratic candidate growth' evidence.
+    Banded/brand-only counts are computed from per-block populations
+    (Σ C(n,2) + Σ n_i·n_{i+1}), not materialized: at x10 the banded
+    scheme's ~10⁸ candidates are exactly what d13 no longer builds."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.operators import dedup as D
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    cand_passjoin = D._passjoin_candidates(
+        part, "p_partkey", "p_name", "p_brand"
+    ).count()
+    pops = (
+        part.withColumn(
+            "_band", F.floor(F.length("p_name") / F.lit(D.D13_LEN_BAND))
+        )
+        .groupBy("p_brand", "_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_brand: dict[str, dict[int, int]] = collections.defaultdict(dict)
+    for r in pops:
+        by_brand[r["p_brand"]][int(r["_band"])] = int(r["n"])
+    banded = brand_only = 0
+    for bmap in by_brand.values():
+        tot = sum(bmap.values())
+        brand_only += tot * (tot - 1) // 2
+        for b, n in bmap.items():
+            banded += n * (n - 1) // 2 + n * bmap.get(b + 1, 0)
+    return {
+        "cand_passjoin": cand_passjoin,
+        "cand_banded_analytic": banded,
+        "cand_brand_only_analytic": brand_only,
+    }
 
 
 def main() -> None:
@@ -68,11 +121,18 @@ def main() -> None:
                 runs.append(round(time.perf_counter() - t0, 3))
                 if op == "d06_dedup_clusters" and LAST_CC_STATS:
                     extra = dict(LAST_CC_STATS)
+            if op == "d13_edit_distance_linkage":
+                extra = _d13_candidate_counts(spark, sf_dir)
+            extra_key = (
+                "candidates"
+                if op == "d13_edit_distance_linkage"
+                else "cc_stats"
+            )
             results[op]["scales"][f"x{scale}"] = {
                 "sec": round(statistics.median(runs), 3),
                 "raw": runs,
                 "rows_out": rows,
-                **({"cc_stats": extra} if extra else {}),
+                **({extra_key: extra} if extra else {}),
             }
             print(
                 f"x{scale} {op}: median {statistics.median(runs):.2f}s "
@@ -99,6 +159,26 @@ def main() -> None:
         results[op]["rows_alpha"] = (
             round(math.log(max(r10, 1) / max(r1, 1)) / math.log(10), 3)
         )
+
+    # d13 candidate-growth exponents: the engine's measured PassJoin
+    # candidates vs what the two fixed-cardinality blocking schemes
+    # WOULD have generated on identical data (x1 → x10 log-slope;
+    # 2.0 = quadratic, 1.0 = linear)
+    if "d13_edit_distance_linkage" in results:
+        sc = results["d13_edit_distance_linkage"]["scales"]
+        alphas = {}
+        for k in (
+            "cand_passjoin",
+            "cand_banded_analytic",
+            "cand_brand_only_analytic",
+        ):
+            c1 = sc["x1"]["candidates"][k]
+            c10 = sc["x10"]["candidates"][k]
+            alphas[k + "_alpha"] = round(
+                math.log(c10 / c1) / math.log(10), 3
+            )
+        results["d13_edit_distance_linkage"]["candidate_alphas"] = alphas
+        print(f"d13 candidate growth exponents: {alphas}", file=sys.stderr)
 
     out = os.path.join(os.path.dirname(__file__), "..", "SCALE_REHEARSAL.json")
     with open(out, "w") as fh:

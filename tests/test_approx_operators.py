@@ -1648,6 +1648,69 @@ def test_edit_distance_pairs_guard_fires_on_oversized_block(spark):
     assert len(ok) > 0
 
 
+def test_passjoin_pairs_matches_bruteforce(spark):
+    """PassJoin end to end: segment-blocked candidates + bounded-DP
+    verify, unioned with the banded small-string path, must emit
+    EXACTLY the brute-force pair set. Lengths are drawn to cover the
+    small path (≤ T=6), the boundary band (7..8, where a small×big
+    pair crosses the path split), and the PassJoin path (> 8), over
+    a 3-letter alphabet so distance-≤2 pairs are plentiful."""
+    import random
+
+    from omop_dump_to_parquet_spark.operators import dedup as D
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(140):
+        n = rng.choice([0, 1, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 15, 18])
+        rows.append(
+            (i, rng.choice(["X", "Y"]),
+             "".join(rng.choice("abc") for _ in range(n)))
+        )
+    df = spark.createDataFrame(rows, "id long, blk string, name string")
+    got = sorted(
+        (r["blk"], r["key_a"], r["key_b"], r["edit_dist"])
+        for r in D.passjoin_pairs(
+            df, "id", "name", "blk", max_edit=2
+        ).collect()
+    )
+    expect = sorted(
+        (ba, ia, ib, _py_levenshtein(na, nb))
+        for ia, ba, na in rows
+        for ib, bb, nb in rows
+        if ia < ib and ba == bb and _py_levenshtein(na, nb) <= 2
+    )
+    assert got == expect and len(got) > 50
+    # both paths genuinely exercised, including the cross-boundary
+    # band: pairs with min-len ≤ 6 (banded path) AND pairs with both
+    # lens > 6 (PassJoin path) are present in the expectation
+    lens = {i: len(n) for i, _, n in rows}
+    assert any(min(lens[a], lens[b]) <= 6 for _, a, b, _ in expect)
+    assert any(min(lens[a], lens[b]) > 6 for _, a, b, _ in expect)
+
+
+def test_passjoin_guard_fires_on_hot_segment(spark):
+    """The bounded-block contract carries over to PassJoin: a
+    pathological segment group (here: many identical long names, so
+    one (len, j, seg) index block holds them all) must raise at
+    execution time instead of silently sweeping the quadratic."""
+    import pytest
+
+    from omop_dump_to_parquet_spark.operators import dedup as D
+
+    rows = [(i, "X", "abcdefghijklmnop") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, blk string, name string")
+    blocked = D.passjoin_pairs(
+        df, "id", "name", "blk", max_block_docs=3
+    )
+    with pytest.raises(Exception, match="max_block_docs=3"):
+        blocked.collect()
+    ok = D.passjoin_pairs(
+        df, "id", "name", "blk", max_block_docs=100
+    ).collect()
+    assert len(ok) == 45  # all C(10,2) identical-name pairs, dist 0
+
+
 def test_edit_distance_pairs_rejects_too_narrow_band():
     """len_band ≤ max_edit breaks the adjacent-band completeness
     lemma — must be rejected at plan-build time, not silently lose
