@@ -276,7 +276,15 @@ def _guard_block_population(
         )
     else:
         bsz = docs.agg(n)
-    ok = F.col("_block_docs") <= F.lit(max_block_docs)
+    # NULL max means EMPTY input (max over zero groups) and must pass
+    # explicitly: the assert filter below references only the scalar
+    # side's column, so Catalyst is free to push it BELOW the join
+    # onto the one-row bsz relation, where it evaluates even when
+    # docs has no rows (found by the r10 ×10 rehearsal — d13's
+    # empty small-string path raised "population null exceeds").
+    ok = F.coalesce(
+        F.col("_block_docs") <= F.lit(max_block_docs), F.lit(True)
+    )
     msg = F.format_string(
         "prefix_filter_candidates: max block population %s exceeds "
         f"max_block_docs={max_block_docs}; exact AllPairs candidate "
@@ -286,8 +294,6 @@ def _guard_block_population(
         "whole-corpus dedup",
         F.col("_block_docs"),
     )
-    # empty input: the scalar row's max is NULL, but 0 docs rows ×
-    # 1 scalar row = 0 rows, so the assert filter never evaluates
     checked = docs.crossJoin(F.broadcast(bsz))
     # assert_true returns NULL when ok (every row passes the filter)
     # and raises with msg otherwise; as a FILTER it cannot be pruned

@@ -1711,6 +1711,31 @@ def test_passjoin_guard_fires_on_hot_segment(spark):
     assert len(ok) == 45  # all C(10,2) identical-name pairs, dist 0
 
 
+def test_block_guard_passes_on_runtime_empty_input(spark):
+    """Regression (found by the r10 ×10 rehearsal): the guard's
+    assert filter references only the broadcast scalar side, so
+    Catalyst pushes it below the crossJoin — where it evaluates even
+    when the guarded input has zero rows and the scalar max is NULL
+    (max over no groups). A runtime-empty subset (here: a filter no
+    row satisfies, so the emptiness is invisible at plan time) must
+    pass the guard, not raise 'population null exceeds'."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.operators import dedup as D
+
+    rows = [(i, "X", "abcdefghijklmnop") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "id long, blk string, name string"
+    ).filter(F.length("name") > 100)
+    out = D._guard_block_population(df, ("blk",), max_block_docs=1)
+    assert out.count() == 0
+    # and end to end: passjoin on all-long names leaves the banded
+    # small-string subset runtime-empty — must not raise either
+    full = spark.createDataFrame(rows, "id long, blk string, name string")
+    got = D.passjoin_pairs(full, "id", "name", "blk").collect()
+    assert len(got) == 10  # C(5,2) identical-name pairs
+
+
 def test_edit_distance_pairs_rejects_too_narrow_band():
     """len_band ≤ max_edit breaks the adjacent-band completeness
     lemma — must be rejected at plan-build time, not silently lose
