@@ -383,3 +383,123 @@ def test_pq_lattice_and_train_invariants(n, seed):
     assert np.array_equal(C1, C2), "training must be deterministic"
     # centroids are means of u-vectors scaled by the lattice: bounded
     assert np.abs(C1).max() <= (PQ_UGRID + 1) * PQ_LATTICE
+
+
+def _passjoin_geometry_model(length: int, p: int) -> list[tuple[int, int]]:
+    """Pure-Python reference of ``dedup._passjoin_seg_geometry``: the
+    even PassJoin partition of a string of ``length`` chars into
+    ``p`` segments — first p−r segments of q = length // p chars,
+    last r = length % p of q+1 — as (start, slen) per segment j."""
+    q, r = divmod(length, p)
+    return [
+        (j * q + max(0, j - (p - r)), q + (1 if j >= p - r else 0))
+        for j in range(p)
+    ]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.text(alphabet="abc", min_size=7, max_size=24),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # sub/ins/del
+            st.integers(min_value=0, max_value=30),  # position
+            st.sampled_from("abc"),
+        ),
+        min_size=0,
+        max_size=2,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_passjoin_pigeonhole_segment_survives(base, edits):
+    """The completeness lemma `_passjoin_candidates` stands on
+    (PassJoin, Li/Deng/Feng VLDB'11): if lev(r, s) ≤ k then at least
+    one of r's k+1 even-partition segments occurs verbatim in s at a
+    start displaced by at most k from its position in r — which is
+    exactly the (length, j, segment, start-window) join condition.
+    Probes here are adversarial: ≤ k random edits applied to base,
+    checked against the SAME geometry model the Spark expression
+    implements (`_passjoin_seg_geometry`)."""
+    from omop_dump_to_parquet_spark.operators.dedup import (
+        passjoin_small_len,
+    )
+
+    k = 2
+    other = base
+    for op, pos, ch in edits:
+        if op == 0 and other:  # substitute
+            i = pos % len(other)
+            other = other[:i] + ch + other[i + 1:]
+        elif op == 1:  # insert
+            i = pos % (len(other) + 1)
+            other = other[:i] + ch + other[i:]
+        elif other:  # delete
+            i = pos % len(other)
+            other = other[:i] + other[i + 1:]
+    # the production path only routes (both > small) pairs through
+    # PassJoin; the banded path covers the rest (tested elsewhere)
+    small = passjoin_small_len(k)
+    if len(other) <= small or len(base) <= small:
+        return
+    assert _lev(base, other) <= k  # by construction
+    # index side r = other, probe side s = base: some segment j of r
+    # must appear in s within the ±k displacement window the probe
+    # enumerates (clamped to valid substring starts, as in the plan)
+    found = False
+    for j, (start, slen) in enumerate(
+        _passjoin_geometry_model(len(other), k + 1)
+    ):
+        seg = other[start:start + slen]
+        lo = max(0, start - k)
+        hi = min(len(base) - slen, start + k)
+        if any(
+            base[t:t + slen] == seg for t in range(lo, hi + 1)
+        ):
+            found = True
+            break
+    assert found, (
+        f"no surviving segment: r={other!r} s={base!r} "
+        f"lev={_lev(base, other)}"
+    )
+
+
+def test_passjoin_geometry_model_matches_spark_expression(spark):
+    """The pure model above and the Spark column expression
+    `_passjoin_seg_geometry` must agree on (start, slen) for every
+    (length, j) the catalog can produce — otherwise the property
+    test proves the wrong geometry."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.operators.dedup import (
+        _passjoin_seg_geometry,
+    )
+
+    p = 3
+    rows = [(l, j) for l in range(7, 40) for j in range(p)]
+    df = spark.createDataFrame(rows, "len int, j int")
+    got = {
+        (r["len"], r["j"]): (r["_start"], r["_slen"])
+        for r in _passjoin_seg_geometry(df, "len", p).collect()
+    }
+    for l in range(7, 40):
+        segs = _passjoin_geometry_model(l, p)
+        for j in range(p):
+            assert got[(l, j)] == segs[j], (l, j)
+        # and the model itself tiles the string exactly
+        assert segs[0][0] == 0
+        assert all(
+            segs[j][0] + segs[j][1] == segs[j + 1][0]
+            for j in range(p - 1)
+        )
+        assert segs[-1][0] + segs[-1][1] == l
