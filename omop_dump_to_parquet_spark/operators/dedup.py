@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import shuffle_partitions
+from ..session import get_shuffle_partitions
 from ..sources.parquet import table
 
 
@@ -46,7 +46,7 @@ def pin_expansion_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     keeps one conf as the scale knob, and downstream windows/self-joins
     on the same keys reuse the single exchange (ReuseExchange).
     """
-    n = shuffle_partitions(df.sparkSession)
+    n = get_shuffle_partitions(df.sparkSession)
     return df.repartition(n, *keys)
 
 
@@ -1866,6 +1866,12 @@ def passjoin_pairs(
         name_col,
         *block_cols,
         max_edit=max_edit,
+        # the banded path's completeness lemma needs band width >
+        # max_edit; the fixed default only covers max_edit ≤ 3, so
+        # widen with the bound (r10 review: max_edit=4 used to raise
+        # ValueError from this internal call despite PassJoin itself
+        # supporting any bound)
+        len_band=max(D13_LEN_BAND, max_edit + 1),
         max_block_docs=max_block_docs,
     ).filter(
         F.least(F.length("name_a"), F.length("name_b")) <= F.lit(small)

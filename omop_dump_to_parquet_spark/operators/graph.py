@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import shuffle_partitions
+from ..session import get_shuffle_partitions
 from ..sources.parquet import table
 
 
@@ -382,7 +382,7 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join key makes all five iterations read co-located edges.
     # Measured at sf0.1: 1.81s → 0.92s for the PR loop, identical
     # values.
-    n_shuffle = shuffle_partitions(spark)
+    n_shuffle = get_shuffle_partitions(spark)
     und = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -479,7 +479,7 @@ def g02_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD).select(
         "doc_a", "doc_b"
     )
-    n_shuffle = shuffle_partitions(spark)
+    n_shuffle = get_shuffle_partitions(spark)
     und = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -580,7 +580,7 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     # comparison gives the same total order as the oracle's row-value
     # comparison, and the edge table is materialized once so the two
     # path-joins below never re-run the pair generation
-    n_shuffle = shuffle_partitions(spark)
+    n_shuffle = get_shuffle_partitions(spark)
     ori = (
         pairs.join(deg.withColumnRenamed("node", "doc_a")
                    .withColumnRenamed("deg", "deg_a"), "doc_a")

@@ -116,11 +116,15 @@ _WINDOW = 50
 # contract) came back green in CORRECTNESS_r09 — cleared, freeing two
 # window slots so the r6-vintage ids (d03/s04/s07/w08/w09) rotate into
 # the r10 window.
-# r10 pin: d13 — blocking rewritten from brand-only to
-# (brand, length-band) with the population guard threaded through;
-# value-identical by the Levenshtein length lemma (lev ≤ 2 ⇒
-# |Δlen| ≤ 2 < band width ⇒ bands differ by ≤ 1, adjacent-band
-# union preserves every pair) but the plan changed, so the driver
+# r10 pin: d13 — candidate generation rewritten from brand-only
+# blocking to PassJoin segment blocking (dedup.passjoin_pairs:
+# pigeonhole on the k+1 even-partition segments, equi-join on the
+# segment string, so key cardinality grows with the data); names at
+# or below the small-string threshold take the length-banded path
+# (lev ≤ k ⇒ |Δlen| ≤ k < band width ⇒ adjacent-band union is
+# complete). Value-identical — property-tested against brute force
+# and the pigeonhole lemma (test_approx_operators /
+# test_cli_and_properties) — but the plan changed, so the driver
 # must re-verify before anything else rotates in.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d13_edit_distance_linkage",

@@ -174,8 +174,13 @@ def main() -> None:
         ):
             c1 = sc["x1"]["candidates"][k]
             c10 = sc["x10"]["candidates"][k]
-            alphas[k + "_alpha"] = round(
-                math.log(c10 / c1) / math.log(10), 3
+            # a zero count at x1 (e.g. a twin-free regenerated
+            # fixture) must not throw away the whole rehearsal at
+            # the very last step — record the slope as undefined
+            alphas[k + "_alpha"] = (
+                round(math.log(c10 / c1) / math.log(10), 3)
+                if c1 > 0 and c10 > 0
+                else None
             )
         results["d13_edit_distance_linkage"]["candidate_alphas"] = alphas
         print(f"d13 candidate growth exponents: {alphas}", file=sys.stderr)

@@ -1866,3 +1866,41 @@ def test_decoder_adversarial_inputs_rejected():
     bad = bytes([0, 1, 2, 200] + [0] * 28)
     with pytest.raises(ValueError, match="out-of-palette"):
         decode_bmp_gray(bmp8(8, 4, bad, clr_used=16))
+
+
+def test_passjoin_pairs_max_edit_4_matches_bruteforce(spark):
+    """Regression (r10 review): the small-string path used to call
+    edit_distance_pairs with the fixed len_band=4 default, which
+    raises for max_edit >= 4 — the generic API advertises max_edit
+    as free but only <= 3 worked. Now the band widens with the
+    bound; verify end-to-end equality at k=4 with both paths hit
+    (small threshold T = 2*(4+1) = 10)."""
+    import random
+
+    from omop_dump_to_parquet_spark.operators import dedup as D
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(80):
+        n = rng.choice([2, 5, 8, 10, 11, 12, 14, 16, 20])
+        rows.append(
+            (i, "X", "".join(rng.choice("ab") for _ in range(n)))
+        )
+    df = spark.createDataFrame(rows, "id long, blk string, name string")
+    got = sorted(
+        (r["key_a"], r["key_b"], r["edit_dist"])
+        for r in D.passjoin_pairs(
+            df, "id", "name", "blk", max_edit=4
+        ).collect()
+    )
+    expect = sorted(
+        (ia, ib, _py_levenshtein(na, nb))
+        for ia, _, na in rows
+        for ib, _, nb in rows
+        if ia < ib and _py_levenshtein(na, nb) <= 4
+    )
+    assert got == expect and len(got) > 100
+    lens = {i: len(n) for i, _, n in rows}
+    small = D.passjoin_small_len(4)
+    assert any(min(lens[a], lens[b]) <= small for a, b, _ in expect)
+    assert any(min(lens[a], lens[b]) > small for a, b, _ in expect)
