@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from ..sinks import REFERENCE_SIZING
+from ..sinks import REFERENCE_SIZING, write_parquet
 from ..sources.jdbc import normalize
 
 
@@ -57,10 +57,16 @@ def stream_dump(
     stream = normalize(stream, casts or {})
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.write.mode("overwrite")
-            .option("maxRecordsPerFile", str(max_records_per_file))
-            .parquet(f"{output_path}/epoch={epoch_id}")
+        # ONE writer for batch and stream (r10 review): going through
+        # sinks.write_parquet keeps the row-group/page sizing contract
+        # (parquet.block.size / parquet.page.size — the reference's
+        # ~4-row-groups-per-file intent) identical across batch-dumped
+        # and stream-dumped shards of the same lake.
+        write_parquet(
+            batch_df,
+            f"{output_path}/epoch={epoch_id}",
+            mode="overwrite",
+            max_records_per_file=max_records_per_file,
         )
 
     return (

@@ -84,6 +84,24 @@ def upsert_parquet(
     updates = updates.persist()
     try:
         n_updates = updates.count()
+        # Duplicate keys WITHIN the batch would silently land multiple
+        # rows per key in the lake (the anti-join removes the old row,
+        # then the union keeps every batch duplicate) and the
+        # conservation check cannot catch it — it counts the same
+        # duplicates on both sides (r10 review). "Updates win" is only
+        # well-defined for one row per key: fail fast and make the
+        # caller resolve intra-batch order (a CDC batch carries an
+        # ordering column — see operators/pipeline.py p05's
+        # latest-wins window for the recipe).
+        n_keys = updates.select(*key_cols).distinct().count()
+        if n_keys != n_updates:
+            raise ValueError(
+                f"updates batch has {n_updates - n_keys} duplicate "
+                f"key(s) over {key_cols}: keep-latest must be resolved "
+                "BEFORE upsert (window by key, order by the batch's "
+                "sequence column) — silently merging both rows would "
+                "break key uniqueness in the lake"
+            )
         kept = current.join(
             updates.select(*key_cols), on=key_cols, how="left_anti"
         )

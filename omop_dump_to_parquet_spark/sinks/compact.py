@@ -24,6 +24,25 @@ from .parquet_sink import write_parquet
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # one comfortable scan split
 
+_TMP = ".__compact_tmp"
+_OLD = ".__compact_old"
+
+
+def _marker(path: str, suffix: str) -> str:
+    """Crash-recovery staging path for ``path``: a DOT-PREFIXED
+    sibling (``parent/.name<suffix>``). The dot matters (r10 review):
+    when ``path`` is a hive partition leaf, a plain-named sibling
+    (``root/col=1.__compact_tmp``) sits INSIDE the discovered root —
+    a concurrent ``spark.read.parquet(root)`` would pick it up as an
+    extra partition value (corrupting the partition column's type and
+    double-counting the leaf mid-rewrite). Hadoop/Spark's hidden-file
+    filter skips ``.``/``_``-prefixed entries at every listing level,
+    so the staged copy is invisible to readers of the root while
+    remaining visible to our own ``fs.list_entries`` recovery scan."""
+    parent, _, name = path.rstrip("/").rpartition("/")
+    hidden = f".{name}{suffix}"
+    return f"{parent}/{hidden}" if parent else hidden
+
 
 def compact_parquet_dir(
     spark: SparkSession,
@@ -54,28 +73,30 @@ def compact_parquet_dir(
     # partition directories. All listing/rename/delete goes through
     # the Hadoop FileSystem API (fs.py) so the same code serves
     # file:, HDFS and object-store lakes.
-    if not fs.exists(spark, path) and fs.exists(
-        spark, f"{path}.__compact_old"
-    ):
-        fs.rename(spark, f"{path}.__compact_old", path)
-    for stale in (f"{path}.__compact_tmp", f"{path}.__compact_old"):
+    if not fs.exists(spark, path) and fs.exists(spark, _marker(path, _OLD)):
+        fs.rename(spark, _marker(path, _OLD), path)
+    for stale in (_marker(path, _TMP), _marker(path, _OLD)):
         fs.delete(spark, stale)
 
     for e in fs.list_entries(spark, path):
         # stale markers INSIDE a hive root (leaf-level crash): restore
-        # a missing leaf from its .__compact_old, drop everything else
+        # a missing leaf from its .__compact_old, drop everything else.
+        # Marker names are dot-prefixed (``_marker``); strip the dot to
+        # recover the leaf name.
         full = f"{path}/{e.name}"
-        if ".__compact_old" in e.name:
-            leaf = full[: -len(".__compact_old")]
+        if e.name.endswith(_OLD):
+            leaf = f"{path}/{e.name[: -len(_OLD)].lstrip('.')}"
             if not fs.exists(spark, leaf):
                 fs.rename(spark, full, leaf)
             else:
                 fs.delete(spark, full)
-        elif ".__compact_tmp" in e.name:
+        elif e.name.endswith(_TMP):
             fs.delete(spark, full)
     entries = fs.list_entries(spark, path)
     subdirs = [
-        f"{path}/{e.name}" for e in entries if "=" in e.name and e.is_dir
+        f"{path}/{e.name}"
+        for e in entries
+        if "=" in e.name and e.is_dir and not e.name.startswith((".", "_"))
     ]
     total = 0
     if subdirs:  # hive layout: recurse into each partition directory
@@ -107,15 +128,27 @@ def compact_parquet_dir(
 
     df = spark.read.parquet(path)
     expected = df.count()
-    tmp = f"{path}.__compact_tmp"
-    write_parquet(df, tmp, num_files=n_target)
+    tmp = _marker(path, _TMP)
+    # maxRecordsPerFile must not undercut the target (r10 review): the
+    # sink's default (2^19 rows) silently splits each of the n_target
+    # partitions for narrow rows, producing ~4× the intended files and
+    # making every later maintenance run re-rewrite the directory
+    # without converging. Size it from the ACTUAL row count with a
+    # small headroom over round-robin's near-even split.
+    rows_per_file = -(-expected // n_target)  # ceil
+    write_parquet(
+        df,
+        tmp,
+        num_files=n_target,
+        max_records_per_file=rows_per_file + max(64, rows_per_file // 16),
+    )
     actual = spark.read.parquet(tmp).count()
     if actual != expected:  # conservation violated — keep the original
         fs.delete(spark, tmp)
         raise RuntimeError(
             f"compaction row-count mismatch: {actual} != {expected}"
         )
-    old = f"{path}.__compact_old"
+    old = _marker(path, _OLD)
     fs.rename(spark, path, old)
     fs.rename(spark, tmp, path)
     fs.delete(spark, old)

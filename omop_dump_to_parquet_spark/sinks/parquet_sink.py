@@ -89,6 +89,14 @@ def write_parquet(
         raise ValueError(
             "range_partition_on requires num_files (the range split count)"
         )
+    if zorder_on is not None and num_files is None:
+        # same guard as range_partition_on (r10 review): a silent
+        # default file count is wildly wrong at either end of the
+        # size spectrum and destroys the clustering granularity the
+        # caller asked for
+        raise ValueError(
+            "zorder_on requires num_files (the cluster split count)"
+        )
     out = df
     if zorder_on is not None:
         from ..functions.zorder import zorder_key
@@ -96,7 +104,7 @@ def write_parquet(
         zk = "__zorder"
         out = out.withColumn(zk, zorder_key(out, zorder_on))
         out = (
-            out.repartitionByRange(num_files or 32, zk)
+            out.repartitionByRange(num_files, zk)
             .sortWithinPartitions(zk)
             .drop(zk)
         )

@@ -73,16 +73,27 @@ def infer_then_pin(
     ``dump_table.py:128``), then read the FULL path with the pinned
     schema — the production pass does zero inference.
     """
-    import os
+    from .. import fs
 
     read = read_csv if fmt == "csv" else read_json
-    if os.path.isdir(path):
-        names = sorted(
-            f for f in os.listdir(path) if not f.startswith(("_", "."))
-        )
-        sample = [os.path.join(path, f) for f in names[:sample_files]] or [path]
-    else:
-        sample = [path]
+    # The bounding listing goes through the Hadoop FileSystem API, not
+    # os.* (r10 review): driver-side os.path.isdir/os.listdir return
+    # nothing for s3a://, hdfs:// or file:-scheme URIs, so the
+    # inference read would silently scan the FULL landing directory —
+    # the exact extra pass this function exists to avoid.
+    sample = [path]
+    try:
+        entries = fs.list_entries(spark, path)
+    except Exception:
+        entries = []  # glob / missing path: let the full read surface it
+    names = sorted(
+        e.name
+        for e in entries
+        if not e.is_dir and not e.name.startswith(("_", "."))
+    )
+    base = path.rstrip("/").rpartition("/")[2]
+    if names and names != [base]:  # listStatus(file) returns itself
+        sample = [f"{path.rstrip('/')}/{n}" for n in names[:sample_files]]
     schema = read(spark, sample, schema=None, **options).schema
     return schema, read(spark, path, schema=schema, **options)
 

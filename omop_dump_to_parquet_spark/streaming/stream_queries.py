@@ -88,9 +88,37 @@ def _events_footer_max_ts(sf_dir: str):
     md = pf.metadata
     names = [md.schema.column(i).name for i in range(len(md.schema))]
     ts_idx = names.index("ts")
-    return max(
-        md.row_group(i).column(ts_idx).statistics.max
+    stats = [
+        md.row_group(i).column(ts_idx).statistics
         for i in range(md.num_row_groups)
+    ]
+    if not stats or any(s is None for s in stats):
+        # fail HERE with the cause, not three frames deeper with
+        # "max() arg is an empty sequence" / AttributeError from
+        # staging (r10 review): zero row groups or a writer that
+        # skipped column statistics both make sentinel placement
+        # impossible by this fast path.
+        raise ValueError(
+            f"{sf_dir}/events.parquet has no usable ts column "
+            "statistics (zero row groups, or written without stats); "
+            "the flush-sentinel staging needs the footer max — "
+            "rewrite the fixture with statistics enabled"
+        )
+    return max(s.max for s in stats)
+
+
+def _count_data_batches(q) -> int:
+    """Micro-batches that actually carried rows, from the query's
+    progress history — no-data batches (watermark commits, state
+    flushes) report ``numInputRows == 0``. Shared by the
+    ``_run_to_memory`` single-batch assert and st07's multi-batch
+    assert so the counting rule cannot drift between them."""
+    import json
+
+    return sum(
+        1
+        for p in q.recentProgress
+        if json.loads(p.json).get("numInputRows", 0) > 0
     )
 
 
@@ -285,13 +313,7 @@ def _run_to_memory(
                     f"{await_watermark_past}; outer-join state not flushed"
                 )
         if expect_single_batch:
-            import json as _json
-
-            n_data_batches = sum(
-                1
-                for p in q.recentProgress
-                if _json.loads(p.json).get("numInputRows", 0) > 0
-            )
+            n_data_batches = _count_data_batches(q)
             if n_data_batches != 1:
                 raise RuntimeError(
                     f"{prefix}: replay split into {n_data_batches} "
@@ -603,7 +625,14 @@ def st06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exactly-once: the aggregate state lives in the checkpoint, and the
 # upsert is idempotent by key (re-applying a replayed batch writes the
 # same rows), so crash/replay converges to the same lake — the
-# standard foreachBatch idempotence argument. The differential oracle
+# standard foreachBatch idempotence argument. That argument requires
+# an EXPLICIT checkpointLocation (r10 review): without one Spark
+# allocates a temporary checkpoint deleted on stop, and a restarted
+# query would rebuild cumulative state from zero and overwrite
+# correct lake totals with partials. The query below passes one,
+# run-scoped next to the lake because each catalog invocation stages
+# a fresh input; a production deployment keeps checkpoint + lake
+# together on durable storage so restart RESUMES instead. The differential oracle
 # is the BATCH per-user aggregate: after the last micro-batch the lake
 # must equal it exactly (decimal state → exact sums, no ordering
 # sensitivity).
@@ -684,15 +713,12 @@ def st07_stream_foreachbatch_upsert(
     q = (
         agg.writeStream.outputMode("update")
         .foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{os.path.dirname(lake)}/_ckpt")
         .start()
     )
     try:
         q.processAllAvailable()
-        n_batches = sum(
-            1
-            for p in q.recentProgress
-            if __import__("json").loads(p.json).get("numInputRows", 0) > 0
-        )
+        n_batches = _count_data_batches(q)
         if n_batches < 2:
             raise RuntimeError(
                 f"st07: expected a multi-batch replay, got {n_batches} "

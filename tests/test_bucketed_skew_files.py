@@ -126,3 +126,22 @@ def test_json_roundtrip(spark, sf_small, tmp_path):
     back = read_json(spark, path, schema=region.schema)
     assert back.schema == region.schema
     assert back.exceptAll(region).count() == 0
+
+
+def test_infer_then_pin_bounds_sample_on_scheme_uri(spark, tmp_path):
+    """r10 review: the sample bounding used os.path.isdir/os.listdir,
+    which return nothing for scheme-prefixed URIs — inference then
+    scanned the FULL directory. The listing now goes through the
+    Hadoop FileSystem API: with sample_files=1 on a file: URI, the
+    pinned schema must come from the lexicographically FIRST file
+    only (drift in a later file must NOT widen the inferred type)."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "a.csv").write_text("k,v\n1,10\n2,20\n")
+    (d / "b.csv").write_text("k,v\n3,oops\n")  # drift: v not an int
+    schema, df = infer_then_pin(
+        spark, f"file:{d}", fmt="csv", sample_files=1
+    )
+    v_type = dict((f.name, f.dataType.simpleString()) for f in schema)["v"]
+    assert v_type in ("int", "bigint"), v_type  # from a.csv alone
+    assert df.count() == 3  # full read still covers every file

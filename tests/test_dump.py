@@ -396,3 +396,23 @@ def test_lake_additive_schema_evolution(spark, sf_small, tmp_path):
     plain = read_lake(spark, v1_dir)
     assert set(plain.columns) == {"doc_id", "text", "lang"}
     assert plain.count() == n1
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, sf_small, tmp_path):
+    """r10 review: duplicate keys WITHIN an update batch would land
+    multiple rows per key in the lake (anti-join drops the old row,
+    union keeps both new ones) and the conservation check counts the
+    duplicates on both sides — so the merge must fail fast instead."""
+    import pytest
+
+    from omop_dump_to_parquet_spark.plans import upsert_parquet
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    region = table(spark, sf_small, "region")
+    lake = str(tmp_path / "dup_lake")
+    region.write.parquet(lake)
+    dup = region.limit(1).unionByName(region.limit(1))  # same key twice
+    with pytest.raises(ValueError, match="duplicate key"):
+        upsert_parquet(spark, lake, dup, ["r_regionkey"])
+    # lake untouched by the refused merge
+    assert spark.read.parquet(lake).count() == region.count()

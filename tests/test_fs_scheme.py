@@ -55,8 +55,9 @@ def test_compaction_over_file_scheme_uri(spark, sf_small, tmp_path):
     assert n == 1
     assert spark.read.parquet(path).count() == region.count()
     local = f"{tmp_path}/many"
-    assert not os.path.exists(f"{local}.__compact_tmp")
-    assert not os.path.exists(f"{local}.__compact_old")
+    assert not os.path.exists(f"{tmp_path}/.many.__compact_tmp")
+    assert not os.path.exists(f"{tmp_path}/.many.__compact_old")
+    assert os.path.exists(local)
 
 
 def test_upsert_over_file_scheme_uri(spark, sf_small, tmp_path):

@@ -234,16 +234,20 @@ def test_compaction_recovers_from_stale_crash_state(spark, sf_small, tmp_path):
     li = table(spark, sf_small, "lineitem")
     path = str(tmp_path / "frag2")
     li.repartition(20).write.parquet(path)
-    # simulate a prior crash: stale dirs with junk in them
-    for stale in (f"{path}.__compact_tmp", f"{path}.__compact_old"):
+    # simulate a prior crash: stale dirs with junk in them (markers
+    # are dot-prefixed siblings since r10 — hidden from Spark listing)
+    for stale in (
+        f"{tmp_path}/.frag2.__compact_tmp",
+        f"{tmp_path}/.frag2.__compact_old",
+    ):
         os.makedirs(stale)
         with open(os.path.join(stale, "junk.parquet"), "w") as f:
             f.write("not parquet")
     n = compact_parquet_dir(spark, path, target_file_bytes=512 * 1024)
     assert len(glob.glob(f"{path}/*.parquet")) == n < 20
     assert spark.read.parquet(path).count() == li.count()
-    assert not os.path.exists(f"{path}.__compact_tmp")
-    assert not os.path.exists(f"{path}.__compact_old")
+    assert not os.path.exists(f"{tmp_path}/.frag2.__compact_tmp")
+    assert not os.path.exists(f"{tmp_path}/.frag2.__compact_old")
 
 
 def test_upsert_recovers_from_stale_crash_state(spark, sf_small, tmp_path):
@@ -303,3 +307,69 @@ def test_dynamic_partition_pruning_on_join(spark, sf_small, tmp_path):
     keep = {r["d_lang"] for r in dim.collect()}
     expect = docs.filter(F.col("lang").isin(*keep)).count()
     assert j.count() == expect
+
+
+def test_hive_leaf_staging_invisible_to_concurrent_readers(
+    spark, sf_small, tmp_path
+):
+    """r10 review: a leaf rewrite staged as a PLAIN-named sibling
+    (root/lang=en.__compact_tmp) is discovered by concurrent readers
+    of the root as an extra partition value — corrupting the
+    partition column and double-counting the leaf. Markers are now
+    dot-prefixed, which Spark's hidden-file filter skips: a reader of
+    the root mid-rewrite must see exactly the committed data."""
+    import os
+
+    from omop_dump_to_parquet_spark.sinks import compact_parquet_dir
+    from omop_dump_to_parquet_spark.sinks.compact import _TMP, _marker
+
+    docs = table(spark, sf_small, "documents")
+    root = str(tmp_path / "hive_inflight")
+    docs.repartition(4).write.partitionBy("lang").parquet(root)
+    langs = {
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    }
+    leaf = f"{root}/lang={sorted(langs)[0]}"
+    # simulate the mid-rewrite window: the staged copy exists next to
+    # the live leaf, full of real parquet data
+    staged = _marker(leaf, _TMP)
+    spark.read.parquet(leaf).write.parquet(staged)
+    assert os.path.basename(staged).startswith(".")
+    back = spark.read.parquet(root)
+    assert back.count() == docs.count()  # no double count
+    assert {
+        r["lang"] for r in back.select("lang").distinct().collect()
+    } == langs  # no phantom partition value
+    # and the next maintenance run clears the stale staging dir
+    compact_parquet_dir(spark, root, target_file_bytes=4 * 1024 * 1024)
+    assert not os.path.exists(staged)
+    assert spark.read.parquet(root).count() == docs.count()
+
+
+def test_compaction_converges_for_narrow_rows(spark, tmp_path):
+    """r10 review: the sink's default maxRecordsPerFile (2^19) used to
+    split each of the n_target partitions of a narrow-row rewrite into
+    several files — the returned count was wrong and every later run
+    re-rewrote the directory without converging. The rewrite now sizes
+    records-per-file from the actual row count."""
+    import glob
+
+    from omop_dump_to_parquet_spark.sinks import compact_parquet_dir
+
+    # 3M narrow rows (~24 compressed bytes each): well past 2^19 rows
+    # per target file
+    df = spark.range(3_000_000).selectExpr("id", "id % 97 AS v")
+    path = str(tmp_path / "narrow")
+    df.repartition(24).write.parquet(path)
+    total = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(f"{path}/*.parquet")
+    )
+    target = max(1, round(total / 2))  # aim for exactly 2 files
+    n = compact_parquet_dir(spark, path, target_file_bytes=target)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n == 2, (n, len(files))
+    assert spark.read.parquet(path).count() == 3_000_000
+    # converged: a second run is a no-op (already at/below target)
+    assert compact_parquet_dir(spark, path, target_file_bytes=target) == 2
+    assert len(glob.glob(f"{path}/*.parquet")) == 2
