@@ -60,7 +60,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    # Validate EVERY pure argument error before get_spark (r10
+    # review): JVM startup costs seconds and leaves a stray session —
+    # pointless for a usage mistake argparse could have named.
+    for c in args.cast:
+        if "=" not in c:
+            print(
+                f"--cast expects COL=TYPE, got {c!r}", file=sys.stderr
+            )
+            return 2
     casts = dict(c.split("=", 1) for c in args.cast)
+    if not args.source_parquet and not args.table:
+        print("--table is required with --jdbc-url", file=sys.stderr)
+        return 2
 
     from .plans import dump_table
     from .session import get_spark
@@ -70,9 +82,6 @@ def main(argv: list[str] | None = None) -> int:
     if args.source_parquet:
         source = spark.read.parquet(args.source_parquet)
     else:
-        if not args.table:
-            print("--table is required with --jdbc-url", file=sys.stderr)
-            return 2
         source = read_jdbc_table(
             spark,
             args.jdbc_url,

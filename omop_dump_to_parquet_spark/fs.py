@@ -37,9 +37,20 @@ def exists(spark: SparkSession, path: str) -> bool:
 
 def rename(spark: SparkSession, src: str, dst: str) -> None:
     """Rename ``src`` to ``dst``; raises if the filesystem refuses
-    (Hadoop signals e.g. an existing destination by returning false)."""
+    (Hadoop signals e.g. an existing destination FILE by returning
+    false).
+
+    An existing destination DIRECTORY is refused explicitly (r10
+    review): Hadoop's rename would otherwise move ``src`` INSIDE it
+    and return true — a swap step (``rename(tmp, path)``) racing a
+    concurrent re-creation of ``path`` would silently nest the lake
+    at ``path/<tmp-name>/…`` with no error anywhere. The check is
+    best-effort (TOCTOU window remains), but it converts the common
+    failure into a loud one."""
     fs, jsrc = _fs_path(spark, src)
     jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    if fs.exists(jdst):
+        raise OSError(f"rename refused: destination exists: {dst}")
     if not fs.rename(jsrc, jdst):
         raise OSError(f"rename failed: {src} -> {dst}")
 
@@ -103,8 +114,18 @@ def write_text(spark: SparkSession, path: str, payload: str) -> None:
 
 
 def read_text(spark: SparkSession, path: str) -> str:
-    """Read a small text file written by :func:`write_text` — via the
-    engine's own text source (one tiny task; no per-byte py4j round
-    trips)."""
-    rows = spark.read.text(path).collect()
-    return "\n".join(r["value"] for r in rows)
+    """Read a small text file written by :func:`write_text`,
+    byte-faithfully. The earlier ``spark.read.text`` implementation
+    was NOT a faithful inverse (r10 review): Hadoop's line reader
+    strips ``\\n``/``\\r\\n`` terminators, so a payload with a trailing
+    newline read back unequal to what was written. The copy runs
+    JVM-side (one ``byte[]`` transfer, no per-byte py4j round trips)."""
+    fs, jpath = _fs_path(spark, path)
+    jvm = spark._jvm
+    ins = fs.open(jpath)
+    try:
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(ins, out, 8192, False)
+        return bytes(out.toByteArray()).decode("utf-8")
+    finally:
+        ins.close()

@@ -46,7 +46,12 @@ from pyspark.sql import functions as F
 
 
 def dsum(col: Column | str, prec: int = 18, scale: int = 2) -> Column:
-    """Deterministic double-valued SUM via exact DECIMAL accumulation."""
+    """Deterministic double-valued SUM via exact DECIMAL accumulation.
+
+    Overflow posture: this engine runs ANSI mode (session.py), so a
+    value exceeding DECIMAL(prec,scale) THROWS mid-job with the cast's
+    call site — loud, never a silent NULL-drop. Size ``prec`` for the
+    data; the default 18,2 holds ±10^16 cents."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({prec},{scale})")).cast("double")
 

@@ -25,7 +25,14 @@ def to_double_array(col: Column | str) -> Column:
 
 
 def dot_d(a: Column, b: Column) -> Column:
-    """Dot product of two double arrays (sequential fold)."""
+    """Dot product of two double arrays (sequential fold).
+
+    Contract for malformed input: unequal lengths yield NULL (the
+    ``zip_with`` pads the short side with NULL, which poisons the
+    fold) — relational missing-value semantics, NOT an error. A
+    dimension mismatch is an ingest defect; validate dimensions at
+    the ingest boundary (the m01-style metadata checks) rather than
+    paying a per-pair guard in the engine's hottest expression."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -38,4 +45,11 @@ def l2norm_d(a: Column) -> Column:
 
 
 def cosine_d(a: Column, b: Column) -> Column:
-    return dot_d(a, b) / (l2norm_d(a) * l2norm_d(b))
+    """Cosine similarity; a ZERO-NORM side yields NULL in BOTH
+    engines. ``try_divide`` is load-bearing (r10 review): under ANSI
+    mode a plain ``/`` THROWS on the 0.0 divisor an all-zero
+    embedding produces, while the DuckDB oracle returns NULL — so an
+    adversarial row would abort the Spark job where the oracle keeps
+    going. NULL-on-degenerate matches DuckDB and ranks the row
+    nowhere, which is the right answer for a zero vector."""
+    return F.try_divide(dot_d(a, b), l2norm_d(a) * l2norm_d(b))

@@ -15,9 +15,16 @@ single-dimension access pattern plain `range_partition_on` stays
 better.
 
 Pure column expressions (shifts, masks, adds) — whole-stage codegen,
-no UDFs. Quantization bounds come from one metadata-cheap min/max
-aggregation; at 100 TB that one extra pass over footers is noise next
-to the write it optimizes.
+no UDFs. Quantization bounds come from one min/max aggregation —
+honestly, a SECOND EXECUTION of the source plan, not a footer-only
+pass (Spark has no automatic min/max-from-footers rewrite unless
+``parquet.aggregatePushdown`` applies, and it never does for JDBC or
+transformed inputs). For a plain parquet scan that agg is cheap
+column-pruned I/O; for an expensive upstream (JDBC read, heavy
+transform) pass precomputed ``bounds`` to :func:`zorder_key` — also
+the correct move for nondeterministic sources (limit/sample), where
+re-execution could compute bounds from different rows than the ones
+written.
 """
 
 from __future__ import annotations
@@ -29,20 +36,37 @@ DEFAULT_BITS = 16
 
 
 def zorder_key(
-    df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS
+    df: DataFrame,
+    cols: list[str],
+    bits: int = DEFAULT_BITS,
+    bounds: dict[str, tuple[float, float]] | None = None,
 ) -> Column:
     """Morton key over ``cols`` (numeric), quantized to ``bits`` bits
     per dimension via min/max linear scaling.
 
-    One driver-side min/max agg fixes the quantization bounds; the key
-    itself is pure bit arithmetic. ``bits * len(cols)`` must be ≤ 63.
+    Quantization bounds come from ``bounds`` (``{col: (lo, hi)}``)
+    when given — REQUIRED in spirit for expensive or nondeterministic
+    upstreams (module docstring) — else from one min/max aggregation
+    over ``df`` (a second execution of its plan). The key itself is
+    pure bit arithmetic. ``bits * len(cols)`` must be ≤ 63. Bounds
+    need not be exact: out-of-range values clamp to the edge buckets,
+    so a stale-but-close estimate only costs edge-bucket resolution.
     """
     if bits * len(cols) > 63:
         raise ValueError("bits * len(cols) must fit in a signed long")
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
-    ).first()
+    if bounds is not None:
+        missing = [c for c in cols if c not in bounds]
+        if missing:
+            raise ValueError(f"bounds missing for: {missing}")
+        stats = {}
+        for c in cols:
+            lo, hi = bounds[c]
+            stats[f"min_{c}"], stats[f"max_{c}"] = float(lo), float(hi)
+    else:
+        stats = df.agg(
+            *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+        ).first()
     n_dims = len(cols)
     max_q = (1 << bits) - 1
     key = F.lit(0).cast("long")

@@ -62,9 +62,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the catalog is larger than the window, so registration order decides
 # which queries get fresh driver evidence each round.  Rather than a
 # hand-curated rotation, order the catalog STALEST-EVIDENCE-FIRST,
-# computed from the driver's own CORRECTNESS_r*.json artifacts: fewest
-# past checks first, then least-recently-checked, then registration
-# order.  Properties: deterministic (pure function of committed
+# computed from the driver's own CORRECTNESS_r*.json artifacts:
+# least-recently-checked first (never-checked ids sort before all),
+# then fewest past checks, then registration order — the r5 fix; see
+# ``staleness()`` below for why last-round is the primary key.
+# Properties: deterministic (pure function of committed
 # artifacts), self-rotating (each round's check makes those queries
 # "freshest", pushing them behind next round), bounded staleness (a
 # query sits outside the window only while 50 stale-er queries exist),

@@ -46,13 +46,23 @@ def _list_parquet_uris(spark: SparkSession, path: str) -> list[str]:
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
+    # Apply Spark's hidden-file rule to every component BELOW the
+    # root (r10 review): spark.read.parquet never sees files under
+    # `_`/`.`-prefixed entries (e.g. compaction's dot-prefixed
+    # staging dirs, _temporary), so counting them here would fail
+    # verification on a lake that is actually correct.
+    root_uri = fs.makeQualified(jpath).toUri().toString().rstrip("/")
     uris: list[str] = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         f = it.next()
         uri = f.getPath().toUri().toString()
-        if uri.endswith(".parquet"):
-            uris.append(uri)
+        if not uri.endswith(".parquet"):
+            continue
+        rel = uri[len(root_uri):] if uri.startswith(root_uri) else uri
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg):
+            continue
+        uris.append(uri)
     return uris
 
 

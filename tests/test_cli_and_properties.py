@@ -503,3 +503,41 @@ def test_passjoin_geometry_model_matches_spark_expression(spark):
             for j in range(p - 1)
         )
         assert segs[-1][0] + segs[-1][1] == l
+
+
+def test_cli_rejects_malformed_cast_before_jvm(capsys):
+    """r10 review: a --cast without '=' used to crash with an opaque
+    dict-construction ValueError AFTER paying JVM startup; pure
+    argument errors must exit 2 with a usage message first."""
+    rc = main(
+        [
+            "--source-parquet", "/nonexistent",
+            "--output-path", "/tmp/never",
+            "--cast", "PROVIDER_ID",
+        ]
+    )
+    assert rc == 2
+    assert "COL=TYPE" in capsys.readouterr().err
+
+
+def test_cosine_d_zero_norm_is_null_like_duckdb(spark):
+    """r10 review: under ANSI a plain division THROWS on the 0.0
+    divisor an all-zero embedding produces, while the DuckDB oracle
+    yields NULL — cosine_d must yield NULL in both engines."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.functions.vectors import cosine_d
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(cosine_d(F.col("a"), F.col("b")).alias("c")).collect()
+    assert got[0]["c"] is None and got[1]["c"] == 1.0
+    oracle = duckdb.sql(
+        "SELECT list_dot_product([0.0,0.0],[1.0,2.0]) / "
+        "(sqrt(list_dot_product([0.0,0.0],[0.0,0.0])) * "
+        "sqrt(list_dot_product([1.0,2.0],[1.0,2.0])))"
+    ).fetchone()[0]
+    assert oracle is None  # the semantics cosine_d now matches

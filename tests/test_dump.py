@@ -416,3 +416,28 @@ def test_upsert_rejects_duplicate_update_keys(spark, sf_small, tmp_path):
         upsert_parquet(spark, lake, dup, ["r_regionkey"])
     # lake untouched by the refused merge
     assert spark.read.parquet(lake).count() == region.count()
+
+
+def test_verify_ignores_hidden_staging_files(spark, sf_small, tmp_path):
+    """r10 review: verification must apply Spark's hidden-file rule —
+    a dot-prefixed staging dir (compaction's crash-recovery copy)
+    inside a hive root is invisible to spark.read.parquet, so
+    counting its footers would fail a lake that is actually correct."""
+    from omop_dump_to_parquet_spark.sources.parquet import table
+    from omop_dump_to_parquet_spark.verify import verify_parquet
+
+    docs = table(spark, sf_small, "documents")
+    root = str(tmp_path / "vlake")
+    docs.write.partitionBy("lang").parquet(root)
+    # stale hidden staging copy of one leaf, full of real parquet
+    leaf = sorted(
+        d for d in __import__("os").listdir(root) if d.startswith("lang=")
+    )[0]
+    spark.read.parquet(f"{root}/{leaf}").write.parquet(
+        f"{root}/.{leaf}.__compact_old"
+    )
+    for fast in (False, True):
+        rep = verify_parquet(
+            spark, root, expected_count=docs.count(), fast=fast
+        )
+        assert rep.count_matches, (fast, rep.total_rows)

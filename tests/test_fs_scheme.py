@@ -94,3 +94,33 @@ def test_write_read_text_roundtrip_and_rename_commit(spark, tmp_path):
     # marker use case (write-once) never exercises it
     fs.write_text(spark, path, "v2")
     assert fs.read_text(spark, path) == "v2"
+
+
+def test_read_text_is_byte_faithful(spark, tmp_path):
+    """r10 review: the line-based reader stripped trailing newlines
+    (and CRs), so write→read was not an inverse. Payloads with every
+    terminator style must round-trip exactly."""
+    for i, payload in enumerate(
+        ["v1\n", "a\r\nb\r\n", "no-terminator", "trailing-blank\n\n"]
+    ):
+        p = f"file:{tmp_path}/t{i}.txt"
+        fs.write_text(spark, p, payload)
+        assert fs.read_text(spark, p) == payload, repr(payload)
+
+
+def test_rename_refuses_existing_destination_directory(spark, tmp_path):
+    """r10 review: Hadoop rename into an existing directory 'succeeds'
+    by nesting src INSIDE dst — a racing swap step would silently bury
+    the lake. The wrapper must refuse instead."""
+    import os
+
+    import pytest
+
+    src, dst = tmp_path / "src_dir", tmp_path / "dst_dir"
+    src.mkdir()
+    (src / "x").write_text("data")
+    dst.mkdir()
+    with pytest.raises(OSError, match="destination exists"):
+        fs.rename(spark, str(src), str(dst))
+    assert os.path.exists(src / "x")  # src untouched
+    assert not os.path.exists(dst / "src_dir")  # and not nested
