@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.parquet import table
-from .text import QUALITY_SQL, _sample_threshold, quality_expr
+from .text import (
+    QUALITY_SQL,
+    _sample_threshold,
+    quality_expr,
+    sample_bucket_expr,
+    shard_expr_and_window,
+)
 
 #: Quality cutoff ≈ the fixture's median score (0.698 at both gate
 #: scales) so the filter is discriminating, not vacuous.
@@ -92,22 +98,16 @@ def p01_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality")
     )
 
-    bucket = F.substring(
-        F.md5(
-            F.concat(F.col("doc_id").cast("string"), F.lit(f":{P01_SAMPLE_SEED}"))
-        ),
-        1,
-        3,
-    )
+    # the SHARED t06/t12 expressions (r10 review): the manifest must
+    # sample and shard exactly as the standalone operators do, so a
+    # tuning change there cannot silently diverge here
+    bucket = sample_bucket_expr(P01_SAMPLE_SEED)
     sampled = deduped.filter(bucket < F.lit(P01_SAMPLE_THRESHOLD))
 
     sharded = sampled.withColumn(
         "h", F.md5(F.col("doc_id").cast("string"))
     )
-    shard = F.expr(
-        "cast(instr('0123456789abcdef', substr(h, 1, 1)) - 1 as int)"
-    )
-    shard_w = W.partitionBy(F.substring("h", 1, 1)).orderBy("h", "doc_id")
+    shard, shard_w = shard_expr_and_window()
     return sharded.select(
         "doc_id",
         shard.alias("shard"),

@@ -15,9 +15,19 @@ one. Cost: the replicated side shuffles ``n``× its size — so salt the
 side that is large-and-skewed and replicate the smaller one, and keep
 ``n`` near (hot-key rows / target-partition rows).
 
-Salt derivation is ``pmod(hash(<whole row>), n)`` — deterministic for
-a given row (re-runs and retried tasks agree), uniform enough to
-spread a hot key, and requiring no unique-id column.
+Salt derivation is ``pmod(hash(partition_id, <non-map columns>), n)``.
+The partition id term is load-bearing (r10 review): hashing the row
+content alone degenerates to ONE salt per distinct row — and the
+common hot-key shapes (a key-only projection for a semi join, rows
+that are literal duplicates) have exactly one distinct row per hot
+key, so the "spread" silently became a no-op. With the partition id
+mixed in, identical rows arriving from different input partitions
+take different salts, which is precisely the population that needs
+spreading; identical rows WITHIN one input partition share a salt,
+bounded by input-split size. Retried tasks recompute the same
+partition id, so the salt stays stable under recovery; salt values
+never affect join RESULTS, only shuffle routing. Map-typed columns
+are excluded from the hash (Spark's ``hash`` rejects MapType).
 """
 
 from __future__ import annotations
@@ -55,8 +65,18 @@ def salted_join(
             f"salted_join supports {sorted(allowed)}; got {how!r} — "
             "unmatched rows of the replicated side would duplicate"
         )
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        f.name
+        for f in skewed.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
     salted = skewed.withColumn(
-        SALT, F.pmod(F.hash(*skewed.columns), F.lit(n_salts))
+        SALT,
+        F.pmod(
+            F.hash(F.spark_partition_id(), *hashable), F.lit(n_salts)
+        ),
     )
     replicated = other.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

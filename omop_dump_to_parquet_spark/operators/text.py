@@ -265,6 +265,35 @@ def _sample_threshold(frac: float) -> str:
     return "zzz" if frac >= 1.0 else format(int(frac * 4096), "03x")
 
 
+def sample_bucket_expr(seed: int) -> Column:
+    """The ``md5(doc_id ':' seed)`` 3-nibble sampling bucket — ONE
+    definition shared by t06 and p01's manifest (r10 review: the
+    manifest previously duplicated the expression, so a change to the
+    sampling mechanics here would have silently desynchronized it)."""
+    return F.substring(
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}"))
+        ),
+        1,
+        3,
+    )
+
+
+def shard_expr_and_window() -> tuple[Column, "W"]:
+    """Deterministic 16-way shard assignment from the first nibble of
+    an md5 column named ``h``: returns ``(shard, window)`` — the
+    shard id expression and the per-shard position window — shared by
+    t12 and p01 (same r10 single-definition rule; the documented
+    scale path is k nibbles → 16^k shards, changed HERE or nowhere).
+    instr('0123…f', nibble)-1 maps the hex char to 0..15 with the
+    same expression text both engines accept."""
+    shard = F.expr(
+        "cast(instr('0123456789abcdef', substr(h, 1, 1)) - 1 as int)"
+    )
+    w = W.partitionBy(F.substring("h", 1, 1)).orderBy("h", "doc_id")
+    return shard, w
+
+
 def _t06_oracle() -> str:
     cases = " ".join(
         f"WHEN '{lang}' THEN '{_sample_threshold(fr)}'"
@@ -284,15 +313,7 @@ GROUP BY lang
 @query("t06_stratified_sample", oracle=_t06_oracle())
 def t06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    bucket = F.substring(
-        F.md5(
-            F.concat(
-                F.col("doc_id").cast("string"), F.lit(f":{SAMPLE_SEED}")
-            )
-        ),
-        1,
-        3,
-    )
+    bucket = sample_bucket_expr(SAMPLE_SEED)
     thr = F.lit(_sample_threshold(DEFAULT_FRACTION))
     for lang, fr in sorted(SAMPLE_FRACTIONS.items()):
         thr = F.when(
@@ -522,7 +543,6 @@ FROM (
 
 @query("t10_sequence_packing", oracle=T10_ORACLE)
 def t10_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents")
     n_tok = F.size(tokens("text"))
@@ -638,18 +658,12 @@ FROM hashed
 """,
 )
 def t12_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
     )
-    # instr('0123…f', nibble)-1 maps the hex char to 0..15 with the
-    # same expression text both engines accept.
-    shard = F.expr(
-        "cast(instr('0123456789abcdef', substr(h, 1, 1)) - 1 as int)"
-    )
-    w = W.partitionBy(F.substring("h", 1, 1)).orderBy("h", "doc_id")
+    shard, w = shard_expr_and_window()
     return hashed.select(
         "doc_id",
         shard.alias("shard"),
@@ -673,9 +687,14 @@ def t12_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at 100 TB while the fact side never shuffles — the alternative
 # (shuffle both on token) would re-exchange the full exploded corpus.
 # The final per-doc mean is a groupBy on doc_id with partial aggs.
-# Mean-of-logs is rounded at 6 dp: per-term libm drift is ~1 ulp and
-# docs are ~10² tokens, so cross-engine noise is ≤1e-13 — unobservable
-# at 1e-6.
+# Determinism (r10, upgraded to the t19 pattern): per-term log-probs
+# are rounded at 9 dp — quantizing away libm's ~1-ulp ln() drift —
+# and the per-doc mean accumulates through exact DECIMAL (davg), so
+# neither engine differences nor Spark's partition-merge summation
+# order can move the 6-dp result. The previous plain avg(double) of
+# unrounded logs argued the noise was ≤1e-13 — true, but a mean
+# landing within that band of a rounding boundary could still flip
+# the hash; this closes the band to zero.
 # ---------------------------------------------------------------------------
 
 T13_ORACLE = """
@@ -686,12 +705,15 @@ WITH tok AS (
   SELECT w, count(*) AS cnt FROM tok GROUP BY w
 ), total AS (
   SELECT sum(cnt) AS n FROM vocab
+), ll AS (
+  SELECT w, round(ln(CAST(v.cnt AS DOUBLE) / total.n), 9) AS ll
+  FROM vocab v, total
 )
 SELECT t.doc_id,
-       round(avg(ln(CAST(v.cnt AS DOUBLE) / total.n)), 6) AS avg_logprob,
+       round(CAST(SUM(CAST(ll.ll AS DECIMAL(38,18))) AS DOUBLE)
+             / COUNT(ll.ll), 6) AS avg_logprob,
        count(*) AS n_tokens
-FROM tok t, vocab v, total
-WHERE t.w = v.w
+FROM tok t JOIN ll ON t.w = ll.w
 GROUP BY t.doc_id
 """
 
@@ -706,12 +728,17 @@ def t13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joining the 1-row total against the fact side instead would add a
     # (cheap but pointless) nested-loop pass over every token.
     total = vocab.agg(F.sum("cnt").alias("n"))
+    from ..functions.deterministic import davg
+
     logprobs = vocab.crossJoin(total).select(
-        "w", F.log(F.col("cnt").cast("double") / F.col("n")).alias("ll")
+        "w",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("n")), 9
+        ).alias("ll"),
     )
     scored = tok.join(F.broadcast(logprobs), "w").select("doc_id", "ll")
     return scored.groupBy("doc_id").agg(
-        F.round(F.avg("ll"), 6).alias("avg_logprob"),
+        F.round(davg(F.col("ll"), 38, 18), 6).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
 
@@ -764,7 +791,6 @@ SELECT doc_id, token, score, rank FROM (
 
 @query("t14_tfidf_keywords", oracle=T14_ORACLE)
 def t14_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
@@ -842,7 +868,6 @@ FROM per_domain CROSS JOIN tot
 
 @query("t15_domain_mixture", oracle=T15_ORACLE)
 def t15_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents")
     per_domain = docs.groupBy("source", "lang").agg(
@@ -1066,8 +1091,12 @@ T19_ORACLE = """
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), bg AS (
+  -- derived bound, not a literal cap (the m10-oracle rule): a doc
+  -- longer than any fixed constant must not silently truncate the
+  -- oracle's bigram set while Spark computes all of them
   SELECT doc_id, ws[CAST(i - 1 AS INT)] AS w1, ws[CAST(i AS INT)] AS w2
-  FROM tok CROSS JOIN (SELECT unnest(range(2, 4096)) AS i)
+  FROM tok CROSS JOIN (SELECT unnest(range(2, (
+    SELECT CAST(coalesce(max(len(ws)), 1) + 1 AS BIGINT) FROM tok))) AS i)
   WHERE i <= len(ws)
 ), bc AS (
   SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2

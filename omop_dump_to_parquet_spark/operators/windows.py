@@ -21,6 +21,55 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources.parquet import table, ts_us
 
+
+def _asof_last_error(ev: DataFrame) -> DataFrame:
+    """Shared ASOF kernel (w05, w20): union purchases (probes) and
+    errors (references), tag each side, and carry the latest error ts
+    forward per user with ONE running window — the
+    union-and-carry-forward plan (one shuffle + one sort, no join
+    explosion). Ordering ``(ts, is_probe, event_id)`` puts an
+    equal-ts error BEFORE the probe, matching ASOF ``>=`` semantics.
+    Extracted (r10 review) so a tie-break fix can never apply to one
+    ASOF variant and silently miss the other."""
+    tagged = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_probe"),
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("err_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return tagged.withColumn(
+        "last_error_ts", F.last("err_ts", ignorenulls=True).over(w)
+    )
+
+
+def _event_type_islands(ev: DataFrame) -> DataFrame:
+    """Shared gaps-and-islands kernel (w13, w18, w19): per-user
+    change-point flag (null-safe lag comparison) → running sum →
+    ``island_id``. Returns ``(user_id, event_type, ts, island_id)``;
+    callers that don't need ``ts`` let column pruning drop it. The
+    ``(ts, event_id)`` ordering is the unique tie-break that keeps
+    island ids engine-independent — one definition (r10 review), so
+    the w02-family tie-break fix class cannot recur in one copy only."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    return ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(chg)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("island_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # W01 — ranking: top-3 orders per priority class.
 # ---------------------------------------------------------------------------
@@ -192,21 +241,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
 @query("w05_asof_join", oracle=W05_ORACLE)
 def w05_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    tagged = ev.filter(F.col("event_type").isin("purchase", "error")).select(
-        "event_id",
-        "user_id",
-        "ts",
-        (F.col("event_type") == "purchase").cast("int").alias("is_probe"),
-        F.when(F.col("event_type") == "error", F.col("ts")).alias("err_ts"),
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "is_probe", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = tagged.withColumn(
-        "last_error_ts", F.last("err_ts", ignorenulls=True).over(w)
-    )
+    carried = _asof_last_error(ev)
     return carried.filter(F.col("is_probe") == 1).select(
         "event_id", "ts", "last_error_ts"
     )
@@ -575,17 +610,7 @@ FROM runs GROUP BY user_id, event_type
 @query("w13_gaps_and_islands", oracle=W13_ORACLE)
 def w13_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
-    ).otherwise(0)
-    isl = ev.select(
-        "user_id",
-        "event_type",
-        F.sum(chg).over(
-            w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ).alias("island_id"),
-    )
+    isl = _event_type_islands(ev)
     runs = isl.groupBy("user_id", "event_type", "island_id").agg(
         F.count(F.lit(1)).alias("island_len")
     )
@@ -946,18 +971,7 @@ FROM runs
 @query("w18_scd2_intervals", oracle=W18_ORACLE)
 def w18_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
-    ).otherwise(0)
-    isl = ev.select(
-        "user_id",
-        "event_type",
-        "ts",
-        F.sum(chg)
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("island_id"),
-    )
+    isl = _event_type_islands(ev)
     runs = isl.groupBy("user_id", "event_type", "island_id").agg(
         F.min("ts").alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
@@ -1025,18 +1039,7 @@ GROUP BY user_id, event_type
 @query("w19_time_in_state", oracle=W19_ORACLE)
 def w19_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
-    ).otherwise(0)
-    isl = ev.select(
-        "user_id",
-        "event_type",
-        "ts",
-        F.sum(chg)
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("island_id"),
-    )
+    isl = _event_type_islands(ev)
     runs = isl.groupBy("user_id", "event_type", "island_id").agg(
         F.min("ts").alias("valid_from")
     )
@@ -1091,21 +1094,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
 @query("w20_asof_tolerance", oracle=W20_ORACLE)
 def w20_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    tagged = ev.filter(F.col("event_type").isin("purchase", "error")).select(
-        "event_id",
-        "user_id",
-        "ts",
-        (F.col("event_type") == "purchase").cast("int").alias("is_probe"),
-        F.when(F.col("event_type") == "error", F.col("ts")).alias("err_ts"),
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "is_probe", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = tagged.withColumn(
-        "last_error_ts", F.last("err_ts", ignorenulls=True).over(w)
-    )
+    carried = _asof_last_error(ev)
     fresh = (
         ts_us("ts") - ts_us("last_error_ts")
     ) <= ASOF_TOLERANCE_US
@@ -1185,15 +1174,15 @@ def w21_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e",
         F.when(F.col("s") > prev_max_end, 1).otherwise(0).alias("new_island"),
     )
-    # island sum MUST order by the same unique (s, event_id) key as
-    # the flag window: (s, e) can tie (same-ts events share a fixed-
-    # length window), and tied-row order would make island ids
-    # engine-dependent
-    w2 = W.partitionBy("user_id").orderBy("s", "event_id")
+    # island sum reuses w: ordering by the same unique (s, event_id)
+    # key as the flag window is load-bearing — (s, e) can tie
+    # (same-ts events share a fixed-length window), and tied-row
+    # order would make island ids engine-dependent. ONE spec, not a
+    # duplicate, so an ordering edit cannot split the two windows.
     islands = flagged.withColumn(
         "island_id",
         F.sum("new_island").over(
-            w2.rowsBetween(W.unboundedPreceding, W.currentRow)
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
     return islands.groupBy("user_id", "island_id").agg(

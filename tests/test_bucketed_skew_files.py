@@ -145,3 +145,57 @@ def test_infer_then_pin_bounds_sample_on_scheme_uri(spark, tmp_path):
     v_type = dict((f.name, f.dataType.simpleString()) for f in schema)["v"]
     assert v_type in ("int", "bigint"), v_type  # from a.csv alone
     assert df.count() == 3  # full read still covers every file
+
+
+def test_salted_join_spreads_duplicate_keyonly_rows(spark, sf_small):
+    """r10 review: salting from row-content hash alone gave every
+    duplicate of a hot key ONE salt — the exact key-only/semi-join
+    shape the operator exists for degenerated to a no-op spread. With
+    the partition id mixed in, a hot key arriving from several input
+    partitions must take several salts (and results stay identical)."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.operators.skew import SALT, salted_join
+
+    # one hot key, duplicated 400x, key-only projection, 8 partitions
+    hot = (
+        spark.range(400)
+        .select(F.lit(7).alias("k"))
+        .repartition(8)
+    )
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    out = salted_join(hot, dim, on=["k"], n_salts=4)
+    assert out.count() == 400  # semantics preserved
+    # inspect the salt distribution the join would shuffle on
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        f.name for f in hot.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
+    salts = (
+        hot.withColumn(
+            SALT,
+            F.pmod(F.hash(F.spark_partition_id(), *hashable), F.lit(4)),
+        )
+        .select(SALT)
+        .distinct()
+        .count()
+    )
+    assert salts > 1, "hot-key rows still funneled into one salt"
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """Spark's hash() rejects MapType; the salt derivation must
+    exclude map columns instead of failing analysis."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.operators.skew import salted_join
+
+    left = spark.range(20).select(
+        (F.col("id") % 3).alias("k"),
+        F.create_map(F.lit("a"), F.col("id")).alias("props"),
+    )
+    right = spark.range(3).select(F.col("id").alias("k"))
+    out = salted_join(left, right, on=["k"], n_salts=4)
+    assert out.count() == 20
