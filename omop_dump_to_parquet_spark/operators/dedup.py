@@ -1312,12 +1312,35 @@ def semdedup_prune(
             )
         ids = pdf["vec_id"].to_numpy()
         A = _np.stack(pdf["emb"].to_numpy()).astype(_np.float64)
-        nrm = _np.sqrt((A * A).sum(axis=1))
-        S = _np.round((A @ A.T) / _np.outer(nrm, nrm), 6)
-        mask = (S >= tau) & (ids[:, None] < ids[None, :])
+
+        # GEMM-prefilter + sequential-fold exact refine — the same
+        # r10 exactness contract as similarity.cosine_pair_gemm: BLAS
+        # blocked summation differs from the engines' left-to-right
+        # fold by ulps, so the threshold/round-6 decisions are made
+        # on a bit-equal sequential recompute of the margin survivors.
+        def _seq_dot(X, Y):
+            acc = _np.zeros(len(X), dtype=_np.float64)
+            for k in range(X.shape[1]):
+                acc = acc + X[:, k] * Y[:, k]
+            return acc
+
+        nrm = _np.sqrt(_seq_dot(A, A))
+        S = (A @ A.T) / _np.outer(nrm, nrm)
+        mask = (S >= tau - 1e-9) & (ids[:, None] < ids[None, :])
         ii, jj = _np.nonzero(mask)
+        if not len(ii):
+            return _pd.DataFrame(
+                {
+                    "keeper_id": _np.array([], dtype=_np.int64),
+                    "removed_id": _np.array([], dtype=_np.int64),
+                    "cos_sim": _np.array([], dtype=_np.float64),
+                }
+            )
+        cos = _np.round(_seq_dot(A[ii], A[jj]) / (nrm[ii] * nrm[jj]), 6)
+        keep = cos >= tau
+        ii, jj, cos = ii[keep], jj[keep], cos[keep]
         return _pd.DataFrame(
-            {"keeper_id": ids[ii], "removed_id": ids[jj], "cos_sim": S[ii, jj]}
+            {"keeper_id": ids[ii], "removed_id": ids[jj], "cos_sim": cos}
         )
 
     hits = emb.groupBy("bucket").applyInPandas(

@@ -897,11 +897,11 @@ def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q31_ORACLE = """
 SELECT l_orderkey,
-       array_to_string(list_sort(list(CAST(l_quantity AS INTEGER))), ',') AS qty_csv,
+       array_to_string(list_sort(list(CAST(floor(l_quantity) AS INTEGER))), ',') AS qty_csv,
        len(list(l_quantity)) AS n_items,
-       list_contains(list(CAST(l_quantity AS INTEGER)), 1) AS has_single,
-       CAST(list_sum(list(CAST(l_quantity AS INTEGER))) AS BIGINT) AS qty_total,
-       array_to_string(list_slice(list_sort(list(CAST(l_quantity AS INTEGER))), 1, 3), ',') AS first3_csv,
+       list_contains(list(CAST(floor(l_quantity) AS INTEGER)), 1) AS has_single,
+       CAST(list_sum(list(CAST(floor(l_quantity) AS INTEGER))) AS BIGINT) AS qty_total,
+       array_to_string(list_slice(list_sort(list(CAST(floor(l_quantity) AS INTEGER))), 1, 3), ',') AS first3_csv,
        map(['n', 'total'],
            [CAST(len(list(l_quantity)) AS BIGINT),
             CAST(list_sum(list(CAST(l_quantity AS INTEGER))) AS BIGINT)])['total'][1] AS map_total
@@ -913,7 +913,11 @@ GROUP BY l_orderkey
 @query("q31_array_map_funcs", oracle=Q31_ORACLE)
 def q31_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("int")  # TPC-H quantities are integral
+    # explicit floor() on BOTH sides (registry determinism contract,
+    # r10 review): a bare fractional->int cast truncates in Spark but
+    # rounds in DuckDB, so the "quantities are integral" fixture fact
+    # was the only guard against a silent divergence on drift
+    qty = F.floor("l_quantity").cast("int")
     agg = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(qty)).alias("qty_list")
     )
@@ -1298,7 +1302,6 @@ SELECT l_returnflag, 'n_rows' AS measure, n_rows AS value FROM agg
 @query("q40_unpivot", oracle=Q40_ORACLE)
 def q40_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    from ..functions.deterministic import dsum
 
     agg = li.groupBy("l_returnflag").agg(
         dsum("l_quantity").alias("sum_qty"),
@@ -1354,15 +1357,9 @@ GROUP BY week
 def q41_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     week = F.date_trunc("week", "ts").alias("week")
-    daily = ev.groupBy(
-        week, F.date_trunc("day", "ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("day_sketch"))
     # the production path: merge per-day sketch BYTES up to weeks —
-    # this is the rollup under test
-    rolled = daily.groupBy("week").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("day_sketch")).alias("est"),
-        F.count(F.lit(1)).alias("n_days"),
-    )
+    # this is the rollup under test (shared with its q47 companion)
+    rolled = _hll_weekly_rollup(ev)
     # the verification harness: exact distinct, test-SF only
     exact = ev.groupBy(week).agg(
         F.count_distinct("user_id").alias("exact_weekly_users")
@@ -1535,10 +1532,13 @@ FROM per_user
 """
 
 
-@query("q44_theta_overlap", oracle=Q44_ORACLE)
-def q44_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    sketches = ev.groupBy().agg(
+def _theta_purchase_error_sketches(ev: DataFrame) -> DataFrame:
+    """Compact theta sketches of the purchasing / erroring user sets
+    — ONE definition shared by q44 (the set-operation operator) and
+    q48 (its error-bound companion), so the companion always gates
+    exactly the pipeline q44 runs (r10 review: the two blocks were
+    verbatim copies that could drift apart silently)."""
+    return ev.groupBy().agg(
         F.theta_sketch_agg(
             F.when(F.col("event_type") == "purchase", F.col("user_id"))
         ).alias("purchasers"),
@@ -1546,6 +1546,26 @@ def q44_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "error", F.col("user_id"))
         ).alias("erroring"),
     )
+
+
+def _hll_weekly_rollup(ev: DataFrame) -> DataFrame:
+    """Per-day HLL sketches merged to weekly estimates — the rollup
+    under test in q41 and the one its q47 companion bounds; shared
+    for the same no-silent-drift reason as the theta builder."""
+    week = F.date_trunc("week", "ts").alias("week")
+    daily = ev.groupBy(
+        week, F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("day_sketch"))
+    return daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("day_sketch")).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@query("q44_theta_overlap", oracle=Q44_ORACLE)
+def q44_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sketches = _theta_purchase_error_sketches(ev)
     est = sketches.select(
         F.theta_sketch_estimate(F.col("purchasers")).alias("est_p"),
         F.theta_sketch_estimate(F.col("erroring")).alias("est_e"),
@@ -1735,12 +1755,7 @@ GROUP BY week
 def q47_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     week = F.date_trunc("week", "ts").alias("week")
-    daily = ev.groupBy(
-        week, F.date_trunc("day", "ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("day_sketch"))
-    est = daily.groupBy("week").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("day_sketch")).alias("est")
-    )
+    est = _hll_weekly_rollup(ev).select("week", "est")
     exact = ev.groupBy(week).agg(
         F.count_distinct("user_id").alias("exact_weekly_users")
     )
@@ -1767,14 +1782,7 @@ FROM (
 @query("q48_theta_error_bound", oracle=Q48_ORACLE)
 def q48_theta_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    sketches = ev.groupBy().agg(
-        F.theta_sketch_agg(
-            F.when(F.col("event_type") == "purchase", F.col("user_id"))
-        ).alias("purchasers"),
-        F.theta_sketch_agg(
-            F.when(F.col("event_type") == "error", F.col("user_id"))
-        ).alias("erroring"),
-    )
+    sketches = _theta_purchase_error_sketches(ev)
     est = sketches.select(
         F.theta_sketch_estimate(
             F.theta_intersection(F.col("purchasers"), F.col("erroring"))
@@ -1788,16 +1796,26 @@ def q48_theta_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
             F.max((F.col("event_type") == "error").cast("int")).alias("e"),
         )
-        .filter("p = 1 AND e = 1")
-        .agg(F.count(F.lit(1)).alias("n_overlap_exact"))
+        .agg(
+            F.sum(
+                (F.col("p") + F.col("e") == 2).cast("long")
+            ).alias("n_overlap_exact"),
+            # |A| + |B| >= |A ∪ B|: the intersection estimate's error
+            # envelope scales with the UNION, not the overlap (r10
+            # review) — a relative band collapses to [0,0] on a small
+            # or empty overlap and false-fails a healthy sketch; this
+            # is the same absolute union-scaled tolerance q44 uses.
+            (F.sum("p") + F.sum("e")).alias("_n_union_bound"),
+        )
     )
-    eps = 0.1
-    lo = F.col("n_overlap_exact") * (1 - eps)
-    hi = F.col("n_overlap_exact") * (1 + eps)
+    eps = 0.05
+    tol = eps * F.col("_n_union_bound")
     # singleton × singleton: a scalar join, not a cartesian scan
     return exact.crossJoin(F.broadcast(est)).select(
         "n_overlap_exact",
-        (F.col("est").between(lo, hi)).alias("within_eps"),
+        (
+            F.abs(F.col("est") - F.col("n_overlap_exact")) <= tol
+        ).alias("within_eps"),
     )
 
 

@@ -339,10 +339,27 @@ def cosine_pair_gemm(
         B = _np.stack(rdf["emb"].to_numpy()).astype(_np.float64)
         a_ids = ldf["vec_id"].to_numpy()
         b_ids = rdf["vec_id"].to_numpy()
-        an = _np.sqrt((A * A).sum(axis=1))
-        bn = _np.sqrt((B * B).sum(axis=1))
-        S = _np.round((A @ B.T) / _np.outer(an, bn), 6)
-        mask = S >= threshold
+
+        # Exactness contract (r10 review): BLAS GEMM sums products in
+        # a blocked order, the engines' list_dot_product/F.aggregate
+        # fold LEFT-TO-RIGHT — results differ by ulps, so a cosine
+        # within ~1e-16 of a round-6 boundary (or of the threshold)
+        # could flip between kernel and oracle. The GEMM is therefore
+        # only the PREFILTER (with an absolute margin far wider than
+        # ulp drift); every surviving pair is recomputed with the
+        # sequential fold, bit-equal to both engines, before the
+        # exact round + threshold test. Cost is output-sized, the
+        # n²-sized scan stays BLAS.
+        def _seq_dot(X, Y):
+            acc = _np.zeros(len(X), dtype=_np.float64)
+            for k in range(X.shape[1]):
+                acc = acc + X[:, k] * Y[:, k]
+            return acc
+
+        an = _np.sqrt(_seq_dot(A, A))
+        bn = _np.sqrt(_seq_dot(B, B))
+        S = (A @ B.T) / _np.outer(an, bn)
+        mask = S >= threshold - 1e-9
         if bi == bj:
             # diagonal block: same set on both sides — keep each
             # unordered pair once and drop the self-pair
@@ -350,11 +367,18 @@ def cosine_pair_gemm(
         ii, jj = _np.nonzero(mask)
         if not len(ii):
             return empty
+        cos = _np.round(
+            _seq_dot(A[ii], B[jj]) / (an[ii] * bn[jj]), 6
+        )
+        keep = cos >= threshold
+        ii, jj, cos = ii[keep], jj[keep], cos[keep]
+        if not len(ii):
+            return empty
         # off-diagonal blocks are disjoint id sets; normalize to a<b
         va = _np.minimum(a_ids[ii], b_ids[jj])
         vb = _np.maximum(a_ids[ii], b_ids[jj])
         return _pd.DataFrame(
-            {"vec_a": va, "vec_b": vb, "cos_sim": S[ii, jj]}
+            {"vec_a": va, "vec_b": vb, "cos_sim": cos}
         )
 
     return (
@@ -439,11 +463,19 @@ def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # cells ranked by cosine(emb, centroid) descending:
     # ascending sort on (-cos, cell_id) → deterministic ranking.
+    # NULL cosine (a zero-norm seed centroid — cosine_d's documented
+    # degenerate case) coalesces to +inf so it ranks LAST, matching
+    # the oracle's row_number(ORDER BY cos DESC) with NULLS LAST;
+    # a bare NULL struct field would sort FIRST in Spark's ascending
+    # struct order and grab every assignment (r10 review).
     scored = [
         F.struct(
-            (-cosine_d(F.col("emb"), F.array(*[F.lit(x) for x in c_emb]))).alias(
-                "neg_cos"
-            ),
+            F.coalesce(
+                -cosine_d(
+                    F.col("emb"), F.array(*[F.lit(x) for x in c_emb])
+                ),
+                F.lit(float("inf")),
+            ).alias("neg_cos"),
             F.lit(int(c_id)).alias("cell"),
         )
         for c_id, c_emb in cents
@@ -1763,12 +1795,26 @@ def s13_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def by_mmr_then_id(a, b):
-        return (
-            F.when(a["mmr"] > b["mmr"], F.lit(-1))
-            .when(a["mmr"] < b["mmr"], F.lit(1))
-            .when(a["id"] < b["id"], F.lit(-1))
+        # NULL mmr (a zero-norm vector — cosine_d's documented
+        # degenerate case) ranks LAST, matching the oracle's
+        # row_number(ORDER BY mmr DESC, id) under DuckDB's
+        # NULLs-last default. Without the explicit NULL branches
+        # both mmr comparisons evaluate NULL→false and the
+        # comparator falls through to the id tie-break — promoting
+        # a NULL candidate by low id and making the comparator
+        # non-transitive (r10 review).
+        ids = (
+            F.when(a["id"] < b["id"], F.lit(-1))
             .when(a["id"] > b["id"], F.lit(1))
             .otherwise(F.lit(0))
+        )
+        return (
+            F.when(a["mmr"].isNull() & b["mmr"].isNull(), ids)
+            .when(a["mmr"].isNull(), F.lit(1))
+            .when(b["mmr"].isNull(), F.lit(-1))
+            .when(a["mmr"] > b["mmr"], F.lit(-1))
+            .when(a["mmr"] < b["mmr"], F.lit(1))
+            .otherwise(ids)
         )
 
     df = cands.withColumn(

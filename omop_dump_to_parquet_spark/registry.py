@@ -132,9 +132,24 @@ _WINDOW = 50
 # (per-term round-9 log-probs + exact-DECIMAL mean, both sides): the
 # 6-dp values are unchanged on every fixture but the plan and oracle
 # both changed, so the driver must re-verify.
+# r10 review-fix pins — every id whose registered plan or kernel was
+# rewritten by the r10 operator-layer review (all value-identical on
+# the fixtures, verified by the local sweep, but the rewrite rule is
+# plan changed ⇒ fresh driver evidence): s04/d08/d10 GEMM kernels now
+# exact-refine margin survivors with the sequential fold; s05 ranks
+# NULL centroid cosines last; s13's comparator handles NULL mmr; q31
+# floors quantities on both sides; q48's band is union-scaled
+# absolute and shares q44's sketch builder.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d13_edit_distance_linkage",
     "t13_unigram_logprob",
+    "s04_dedup_embedding",
+    "s05_ann_ivf",
+    "s13_mmr_diversified",
+    "d08_embedding_dedup_clusters",
+    "d10_semdedup",
+    "q31_array_map_funcs",
+    "q48_theta_error_bound",
 )
 
 

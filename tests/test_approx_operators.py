@@ -1904,3 +1904,51 @@ def test_passjoin_pairs_max_edit_4_matches_bruteforce(spark):
     small = D.passjoin_small_len(4)
     assert any(min(lens[a], lens[b]) <= small for a, b, _ in expect)
     assert any(min(lens[a], lens[b]) > small for a, b, _ in expect)
+
+
+def test_zero_norm_vector_differential_parity(spark, tmp_path):
+    """r10 review, adversarial end-to-end: an ALL-ZERO embedding (the
+    degenerate input cosine_d defines as NULL) placed where it hurts
+    most — inside the s05 seed-centroid range — must leave s05, s13,
+    s04 and d10 hash-identical to their DuckDB oracles. Before the
+    fixes a NULL centroid cosine grabbed every s05 cell assignment
+    (nulls-first struct sort) and a NULL mmr could win s13's argmax."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import duckdb
+    from test_parity import normalize
+
+    from omop_dump_to_parquet_spark import load_catalog
+
+    rng = np.random.default_rng(20260815)
+    n, dim = 64, 64
+    vecs = rng.normal(0, 1, size=(n, dim)).astype(np.float32)
+    vecs[7] = 0.0  # zero vector INSIDE the IVF seed range (< 16)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([int(i % 3) for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    queries, oracles = load_catalog()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    for qid in (
+        "s05_ann_ivf",
+        "s13_mmr_diversified",
+        "s04_dedup_embedding",
+        "d10_semdedup",
+    ):
+        got = normalize(queries[qid](spark, str(tmp_path)).toPandas())
+        want = normalize(con.sql(oracles[qid]).df())
+        assert got.equals(want), f"{qid} diverged on zero-norm input"
