@@ -1317,7 +1317,11 @@ def semdedup_prune(
         # r10 exactness contract as similarity.cosine_pair_gemm: BLAS
         # blocked summation differs from the engines' left-to-right
         # fold by ulps, so the threshold/round-6 decisions are made
-        # on a bit-equal sequential recompute of the margin survivors.
+        # on a bit-equal sequential recompute of the margin
+        # survivors. The 1e-6 margin covers the round-6 half-step
+        # (cos in [tau-5e-7, tau) ROUNDS UP into the kept set) plus
+        # ulp drift — narrower and the prefilter would drop pairs
+        # the refine stage (and the oracle) keep.
         def _seq_dot(X, Y):
             acc = _np.zeros(len(X), dtype=_np.float64)
             for k in range(X.shape[1]):
@@ -1326,7 +1330,7 @@ def semdedup_prune(
 
         nrm = _np.sqrt(_seq_dot(A, A))
         S = (A @ A.T) / _np.outer(nrm, nrm)
-        mask = (S >= tau - 1e-9) & (ids[:, None] < ids[None, :])
+        mask = (S >= tau - 1e-6) & (ids[:, None] < ids[None, :])
         ii, jj = _np.nonzero(mask)
         if not len(ii):
             return _pd.DataFrame(

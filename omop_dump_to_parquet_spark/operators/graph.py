@@ -183,6 +183,46 @@ from .dedup import (  # noqa: E402  (cycle-free: dedup imports nothing from here
     verify_jaccard_pairs,
 )
 
+def _d03_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d03 similarity graph's edge list — ONE definition for the
+    four graph-side consumers (d06 clusters, g01 PageRank, g02 LPA,
+    g03 triangles): blocked AllPairs prefix-filter candidates +
+    exact-hash Jaccard verification at the shared threshold. One
+    definition (r10 review): four verbatim copies meant a threshold
+    or blocking change could silently make the ranked graph differ
+    from the clustered one."""
+    from fractions import Fraction
+
+    docs = table(spark, sf_dir, "documents")
+    ratio = Fraction(str(JACCARD_THRESHOLD))
+    candidates = prefix_filter_candidates(
+        docs, ratio.numerator, ratio.denominator, "lang", "source"
+    )
+    return verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD)
+
+
+def _sym_src_edges(pairs: DataFrame) -> DataFrame:
+    """Symmetrized edge list, repartitioned BY src at session width
+    and checkpointed — shared by the iterative ops (g01, g02). The
+    union would otherwise double the partition count (2×32) and every
+    iteration would pay 64-task stages plus a per-iteration edge
+    shuffle for the src join; pre-clustering on the join key makes
+    every iteration read co-located edges, and the eager
+    localCheckpoint truncates the candidate-generation lineage once.
+    Measured at sf0.1 (g01): 1.81s → 0.92s for the PR loop."""
+    n_shuffle = get_shuffle_partitions(pairs.sparkSession)
+    return (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .repartition(n_shuffle, "src")
+        .localCheckpoint(eager=True)
+    )
+
+
 D06_ORACLE = f"""
 WITH RECURSIVE {_D03_CTES},
 pairs AS ({_D03_SELECT}),
@@ -217,14 +257,8 @@ LAST_CC_STATS: dict = {}
 def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (d03's exact blocked Jaccard) → connected
     components → per-doc keep-list with canonical flag."""
-    from fractions import Fraction
-
     docs = table(spark, sf_dir, "documents")
-    ratio = Fraction(str(JACCARD_THRESHOLD))
-    candidates = prefix_filter_candidates(
-        docs, ratio.numerator, ratio.denominator, "lang", "source"
-    )
-    pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD)
+    pairs = _d03_pairs(spark, sf_dir)
     LAST_CC_STATS.clear()
     comp = connected_components(pairs, "doc_a", "doc_b", stats=LAST_CC_STATS)
 
@@ -253,7 +287,7 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(log n) rounds of uniform-key shuffles on a shrinking edge set.
 # ---------------------------------------------------------------------------
 
-from ..operators.similarity import COS_DUP_THRESHOLD, S04_ORACLE  # noqa: E402
+from ..operators.similarity import S04_ORACLE  # noqa: E402
 
 D08_ORACLE = f"""
 WITH RECURSIVE pairs AS (
@@ -363,36 +397,10 @@ G01_ORACLE = (
 
 @query("g01_pagerank", oracle=G01_ORACLE)
 def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fractions import Fraction
-
     from ..functions.deterministic import dsum
 
-    docs = table(spark, sf_dir, "documents")
-    ratio = Fraction(str(JACCARD_THRESHOLD))
-    candidates = prefix_filter_candidates(
-        docs, ratio.numerator, ratio.denominator, "lang", "source"
-    )
-    pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b"
-    )
-    # Repartition the symmetrized edges BY src at session width before
-    # checkpointing: the union would otherwise double the partition
-    # count (2×32) and every iteration would pay 64-task stages plus a
-    # per-iteration edge shuffle for the src join; pre-clustering on
-    # the join key makes all five iterations read co-located edges.
-    # Measured at sf0.1: 1.81s → 0.92s for the PR loop, identical
-    # values.
-    n_shuffle = get_shuffle_partitions(spark)
-    und = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
-        .repartition(n_shuffle, "src")
-        .localCheckpoint(eager=True)
-    )
+    pairs = _d03_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    und = _sym_src_edges(pairs)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
     for _ in range(PR_ITERS):
@@ -469,27 +477,8 @@ G02_ORACLE = (
 
 @query("g02_label_propagation", oracle=G02_ORACLE)
 def g02_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fractions import Fraction
-
-    docs = table(spark, sf_dir, "documents")
-    ratio = Fraction(str(JACCARD_THRESHOLD))
-    candidates = prefix_filter_candidates(
-        docs, ratio.numerator, ratio.denominator, "lang", "source"
-    )
-    pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b"
-    )
-    n_shuffle = get_shuffle_partitions(spark)
-    und = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
-        .repartition(n_shuffle, "src")
-        .localCheckpoint(eager=True)
-    )
+    pairs = _d03_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    und = _sym_src_edges(pairs)
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("community")
     )
@@ -628,14 +617,5 @@ def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph via degree-ordered orientation (out-degree ≤ O(√E) ⇒ the
     two path-joins are O(E^1.5) skew-proof); clustering-coefficient
     numerator separating dense boilerplate cores from chance pairs."""
-    from fractions import Fraction
-
-    docs = table(spark, sf_dir, "documents")
-    ratio = Fraction(str(JACCARD_THRESHOLD))
-    candidates = prefix_filter_candidates(
-        docs, ratio.numerator, ratio.denominator, "lang", "source"
-    )
-    pairs = verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b"
-    )
+    pairs = _d03_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return triangle_counts(pairs)

@@ -23,22 +23,11 @@ gating the full encode∘decode∘feature roundtrip.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.parquet import table
-
-try:  # real codecs are absent in this environment by design
-    import PIL.Image as _pil  # noqa: F401
-
-    HAVE_IMAGE_CODEC = True
-except Exception:
-    HAVE_IMAGE_CODEC = False
 
 
 # ---------------------------------------------------------------------------

@@ -345,8 +345,11 @@ def cosine_pair_gemm(
         # fold LEFT-TO-RIGHT — results differ by ulps, so a cosine
         # within ~1e-16 of a round-6 boundary (or of the threshold)
         # could flip between kernel and oracle. The GEMM is therefore
-        # only the PREFILTER (with an absolute margin far wider than
-        # ulp drift); every surviving pair is recomputed with the
+        # only the PREFILTER. The margin must cover BOTH the ulp drift
+        # AND the half-step of the round-6 keep rule: a cosine in
+        # [thr-5e-7, thr) ROUNDS UP into the kept set, so a margin
+        # narrower than 0.5e-6 would mask out pairs the oracle
+        # keeps (r10 adversarial re-review of this very refactor); every surviving pair is recomputed with the
         # sequential fold, bit-equal to both engines, before the
         # exact round + threshold test. Cost is output-sized, the
         # n²-sized scan stays BLAS.
@@ -359,7 +362,7 @@ def cosine_pair_gemm(
         an = _np.sqrt(_seq_dot(A, A))
         bn = _np.sqrt(_seq_dot(B, B))
         S = (A @ B.T) / _np.outer(an, bn)
-        mask = S >= threshold - 1e-9
+        mask = S >= threshold - 1e-6
         if bi == bj:
             # diagonal block: same set on both sides — keep each
             # unordered pair once and drop the self-pair

@@ -1952,3 +1952,57 @@ def test_zero_norm_vector_differential_parity(spark, tmp_path):
         got = normalize(queries[qid](spark, str(tmp_path)).toPandas())
         want = normalize(con.sql(oracles[qid]).df())
         assert got.equals(want), f"{qid} diverged on zero-norm input"
+
+
+def test_gemm_prefilter_keeps_roundup_window_pairs(spark):
+    """r10 adversarial re-review of the GEMM-refine refactor: the keep
+    rule is round6(cos) >= threshold, so a pair with exact sequential
+    cosine in [thr-5e-7, thr) ROUNDS UP into the kept set — the
+    prefilter margin must therefore be wider than the round-6
+    half-step, not just wider than ulp drift. Craft such a pair and
+    assert the kernel emits it with cos_sim == thr exactly."""
+    import numpy as np
+
+    from omop_dump_to_parquet_spark.operators import similarity as S
+
+    thr, dim = 0.5, 64
+
+    def seq_cos(a32, b32):
+        a = a32.astype(np.float64)
+        b = b32.astype(np.float64)
+        acc = na = nb = 0.0
+        for k in range(dim):
+            acc += a[k] * b[k]
+            na += a[k] * a[k]
+            nb += b[k] * b[k]
+        return acc / (np.sqrt(na) * np.sqrt(nb))
+
+    a32 = np.zeros(dim, dtype=np.float32)
+    a32[0] = 1.0
+    found = None
+    # scan float32-representable angles near acos(thr) for a realized
+    # sequential cosine inside the round-up window
+    for d in np.linspace(-3e-6, 0.0, 4001):
+        t = np.arccos(thr) - d  # d<0 → cos slightly below thr
+        b32 = np.zeros(dim, dtype=np.float32)
+        b32[0] = np.float32(np.cos(t))
+        b32[1] = np.float32(np.sin(t))
+        c = seq_cos(a32, b32)
+        if thr - 5e-7 + 1e-10 < c < thr - 1e-9:
+            assert round(c, 6) == thr  # sanity: it does round up
+            found = b32
+            break
+    assert found is not None, "no window pair representable — widen scan"
+    rows = [
+        (0, [float(x) for x in a32]),
+        (1, [float(x) for x in found]),
+        (2, [float(x) for x in -a32]),  # control: far below threshold
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in S.cosine_pair_gemm(emb, thr, blocks=2).collect()
+    }
+    assert (0, 1) in got, "round-up-window pair dropped by prefilter"
+    assert got[(0, 1)] == thr
+    assert (0, 2) not in got and (1, 2) not in got
