@@ -41,8 +41,14 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = HEADLINE
-    if len(sys.argv) > 2 and sys.argv[1] == "--queries":
+    subset = False
+    if len(sys.argv) > 1:
+        # strict CLI (r10 review): a typo'd flag or missing value used
+        # to silently fall through to the FULL multi-minute suite
+        if sys.argv[1] != "--queries" or len(sys.argv) != 3:
+            sys.exit("usage: bench.py [--queries name1,name2,...]")
         names = sys.argv[2].split(",")
+        subset = True
 
     queries, _ = load_catalog()
     unknown = [n for n in names if n not in queries]
@@ -55,7 +61,7 @@ def main() -> None:
     # not the query's: codegen compiler, parquet reader classes,
     # shuffle machinery. A tiny read+agg touches all three.
     spark.range(1000).count()
-    warm = get_spark("bench").read.parquet(f"{sf_dir}/region.parquet")
+    warm = spark.read.parquet(f"{sf_dir}/region.parquet")
     warm.groupBy("r_name").count().collect()
     # ... and the Python-worker pool, so Arrow-UDF queries don't pay
     # daemon spawn + import time inside their measurement. The warm
@@ -171,7 +177,8 @@ def main() -> None:
                 spark, table(spark, sf_dir, "lineitem"), f"{out_dir}/lineitem"
             )
             runs.append(round(time.perf_counter() - t0, 3))
-            assert result.ok, "dump verification failed"
+            if not result.ok:  # not assert: survives python -O
+                raise RuntimeError("dump verification failed")
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
     raw["pipeline_dump_verify"] = runs
@@ -192,7 +199,12 @@ def main() -> None:
     # shows the variance.
     secondary: dict[str, float] = {}
     secondary_raw: dict[str, list[float]] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_SECONDARY", "1") != "0":
+    # a --queries subset run is a targeted check: skip the secondary
+    # suite unless explicitly forced (r10 review)
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_SECONDARY", "1") != "0"
+        and not subset
+    ):
         from omop_dump_to_parquet_spark.operators.dedup import (
             MINHASH_THRESHOLD,
             d04_candidate_pairs,
@@ -301,8 +313,13 @@ def main() -> None:
     # single giant line gets truncated mid-JSON ("parsed": null in
     # every BENCH_r*.json). The LAST stdout line is the compact
     # driver-contract summary and nothing else.
+    metric = (
+        "catalog_headline_total" if not subset else "catalog_subset_total"
+    )
+    # a subset run must not masquerade as (or clobber) the committed
+    # full-run artifact (r10 review)
     detail = {
-        "metric": "catalog_headline_total",
+        "metric": metric,
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -313,7 +330,8 @@ def main() -> None:
         "sf": sf_val,
     }
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_detail.json" if not subset else "bench_detail_subset.json",
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
@@ -321,7 +339,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "catalog_headline_total",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -40,9 +40,18 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     Safe to call repeatedly; every public query entry point calls this
     so correctness (UTC timestamps) does not depend on who built the
     session.
+
+    A measurement harness can PIN a key against this re-application
+    by setting ``spark.graft.pin.<key>`` on its session. Load-bearing
+    for the determinism sweep's AQE axis (r10 review): without the
+    pin, the sweep's AQE-"off" leg was silently flipped back on here
+    at the first catalog call — both legs ran AQE-on and the
+    certification was vacuous.
     """
     for k, v in RUNTIME_CONFS.items():
         try:
+            if spark.conf.get(f"spark.graft.pin.{k}", None) is not None:
+                continue
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on some builds — keep going

@@ -40,7 +40,7 @@ def main() -> int:
     )
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    spark = get_spark()  # cores: env SPARK_GRAFT_CPUS or the fleet default
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = load_catalog()
 
@@ -49,6 +49,12 @@ def main() -> int:
         apply_runtime_confs(s)
         s.conf.set("spark.sql.shuffle.partitions", width)
         s.conf.set("spark.sql.adaptive.enabled", aqe)
+        # PIN the AQE choice: every @query entry point re-applies
+        # RUNTIME_CONFS (adaptive.enabled=true) to whatever session
+        # it is handed, which silently flipped the "off" leg back on
+        # and made the AQE axis vacuous (r10 review). The pin conf
+        # tells apply_runtime_confs to leave this key alone.
+        s.conf.set("spark.graft.pin.spark.sql.adaptive.enabled", "1")
         return s
 
     def sweep(label: str, sess_a, sess_b) -> dict:

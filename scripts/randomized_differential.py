@@ -39,7 +39,9 @@ def main() -> int:
     from omop_dump_to_parquet_spark.session import get_spark
 
     seeds = [int(s) for s in sys.argv[1:]] or [1, 2, 3]
-    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    # cores resolve inside get_spark (env SPARK_GRAFT_CPUS or 32) —
+    # one default for the whole fleet, not per-script copies (r10)
+    spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     queries, oracles = load_catalog()
 
@@ -48,7 +50,17 @@ def main() -> int:
     for seed in seeds:
         sf_dir = tempfile.mkdtemp(prefix=f"randfix_s{seed}_")
         try:
-            rows = gen_all(sf_dir, seed)
+            # a generation/view failure on THIS seed must not discard
+            # the completed seeds' results (r10 review): record the
+            # error and keep going; the merge below still writes.
+            try:
+                rows = gen_all(sf_dir, seed)
+            except Exception as ex:  # noqa: BLE001 — sweep reports
+                report[str(seed)] = {"error": str(ex)[:500]}
+                rc |= 1
+                print(f"seed {seed}: fixture generation FAILED: "
+                      f"{str(ex)[:200]}", flush=True)
+                continue
             con = duckdb.connect()
             create_views(con, sf_dir)
             fails: list[str] = []

@@ -541,3 +541,28 @@ def test_cosine_d_zero_norm_is_null_like_duckdb(spark):
         "sqrt(list_dot_product([1.0,2.0],[1.0,2.0])))"
     ).fetchone()[0]
     assert oracle is None  # the semantics cosine_d now matches
+
+
+def test_runtime_conf_pin_survives_query_entry(spark, sf_small):
+    """r10 review: the determinism sweep's AQE-'off' leg was silently
+    flipped back on by @query's apply_runtime_confs, making that axis
+    vacuous. A spark.graft.pin.<key> conf must hold the harness's
+    explicit choice through a catalog query call."""
+    from omop_dump_to_parquet_spark import load_catalog
+    from omop_dump_to_parquet_spark.session import apply_runtime_confs
+
+    queries, _ = load_catalog()
+    s = spark.newSession()
+    apply_runtime_confs(s)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.graft.pin.spark.sql.adaptive.enabled", "1")
+    out = queries["q01_pricing_summary"](s, sf_small)
+    assert out.count() > 0
+    assert s.conf.get("spark.sql.adaptive.enabled") == "false", (
+        "pinned conf was overwritten by the query entry point"
+    )
+    # and without the pin the entry point DOES re-apply the default
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    queries["q01_pricing_summary"](s2, sf_small).count()
+    assert s2.conf.get("spark.sql.adaptive.enabled") == "true"
