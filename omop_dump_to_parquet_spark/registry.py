@@ -153,6 +153,14 @@ _FORCE_IN_WINDOW: tuple[str, ...] = (
 )
 
 
+def _artifact_root() -> str:
+    """Directory holding the driver's CORRECTNESS_r*.json artifacts
+    (the repo root). A function, not an inline expression, so tests
+    can inject a directory without monkeypatching the process-global
+    ``os.path.dirname`` (r10 test review)."""
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _driver_check_history() -> dict[str, tuple[int, int]]:
     """``name -> (times_checked, last_round_checked)`` parsed from the
     driver's ``CORRECTNESS_r*.json`` artifacts at the repo root.
@@ -169,7 +177,7 @@ def _driver_check_history() -> dict[str, tuple[int, int]]:
     import json
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = _artifact_root()
     history: dict[str, tuple[int, int]] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         match = re.search(r"CORRECTNESS_r(\d+)\.json$", path)

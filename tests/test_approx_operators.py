@@ -161,13 +161,25 @@ def test_ann_results_subset_of_bruteforce_candidates(spark, sf_small):
             .collect()
         )
     }
-    # brute force only keeps top-5/query; rebuild full score map for
-    # ANN validation on demand instead: check rank ordering + bounds.
     ann = QUERIES["s02_ann_lsh"](spark, sf_small).collect()
     assert len(ann) > 0
+    # the brute map is exact top-5/query: any ANN hit that coincides
+    # with a brute pair must carry the IDENTICAL rounded cosine, and
+    # no ANN score may exceed the query's exact best (r10 test
+    # review: the map was computed but never consulted)
+    best = {}
+    for (q, _n), c in brute.items():
+        best[q] = max(best.get(q, -2.0), c)
+    overlap = 0
     for r in ann:
         assert -1.0 <= r["cos_sim"] <= 1.0
         assert r["query_id"] != r["neighbor_id"]
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            overlap += 1
+            assert r["cos_sim"] == brute[key], key
+        assert r["cos_sim"] <= best[r["query_id"]] + 1e-12
+    assert overlap > 0  # the approximation does find real neighbors
     # per-query ranks are 1..k contiguous
     by_q = {}
     for r in ann:
@@ -427,10 +439,13 @@ def test_blocked_gemm_matches_oracle_pairs(spark, sf_small, duck):
     answer (every unordered pair in exactly one block pair)."""
     from omop_dump_to_parquet_spark.operators import similarity as S
 
-    got = {
-        (r["vec_a"], r["vec_b"]): r["cos_sim"]
-        for r in S.s04_dedup_embedding(spark, sf_small).collect()
-    }
+    rows = S.s04_dedup_embedding(spark, sf_small).collect()
+    keys = [(r["vec_a"], r["vec_b"]) for r in rows]
+    # exactly once: a block-pair enumeration bug that emits both
+    # (i,j) and (j,i) would be collapsed by a dict and pass silently
+    # (r10 test review)
+    assert len(keys) == len(set(keys)), "duplicate pair rows"
+    got = {k: r["cos_sim"] for k, r in zip(keys, rows)}
     want = {
         (a, b): s
         for a, b, s in duck.sql(S.S04_ORACLE).fetchall()
@@ -504,8 +519,6 @@ def test_prefix_filter_block_population_guard_fires(spark, sf_small):
     the same data under a sufficient bound — and under the explicit
     ``None`` opt-out — returns the identical candidate set."""
     import pytest
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import PySparkRuntimeError
 
     from omop_dump_to_parquet_spark.operators import dedup as D
     from omop_dump_to_parquet_spark.sources.parquet import table
@@ -514,10 +527,7 @@ def test_prefix_filter_block_population_guard_fires(spark, sf_small):
     blocked = D.prefix_filter_candidates(
         docs, 3, 5, "lang", "source", max_block_docs=3
     )
-    with pytest.raises(
-        (Py4JJavaError, PySparkRuntimeError, Exception),
-        match="max_block_docs=3",
-    ):
+    with pytest.raises(Exception, match="max_block_docs=3"):
         blocked.collect()
 
     guarded = sorted(
@@ -1512,18 +1522,7 @@ def test_d13_banded_levenshtein_matches_reference_dp(spark):
 
     from omop_dump_to_parquet_spark.operators.dedup import D13_MAX_EDIT
 
-    def dp(a: str, b: str) -> int:
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(min(
-                    prev[j] + 1,
-                    cur[j - 1] + 1,
-                    prev[j - 1] + (ca != cb),
-                ))
-            prev = cur
-        return prev[-1]
+    from _lev import py_levenshtein as dp
 
     rng = random.Random(0xD13)
     alphabet = "abcdexyz "
@@ -1567,21 +1566,7 @@ def test_d13_banded_levenshtein_matches_reference_dp(spark):
 # ---------------------------------------------------------------------------
 
 
-def _py_levenshtein(a: str, b: str) -> int:
-    """Plain DP reference (test-local, O(|a|·|b|))."""
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(
-                min(
-                    prev[j] + 1,
-                    cur[j - 1] + 1,
-                    prev[j - 1] + (ca != cb),
-                )
-            )
-        prev = cur
-    return prev[-1]
+from _lev import py_levenshtein as _py_levenshtein  # noqa: E402
 
 
 def test_edit_distance_pairs_matches_bruteforce(spark):
@@ -1626,8 +1611,6 @@ def test_edit_distance_pairs_guard_fires_on_oversized_block(spark):
     ``max_block_docs`` must raise AT EXECUTION TIME instead of
     silently running the quadratic in-block sweep."""
     import pytest
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import PySparkRuntimeError
 
     from omop_dump_to_parquet_spark.operators import dedup as D
 
@@ -1637,10 +1620,7 @@ def test_edit_distance_pairs_guard_fires_on_oversized_block(spark):
     blocked = D.edit_distance_pairs(
         df, "id", "name", "blk", max_block_docs=3
     )
-    with pytest.raises(
-        (Py4JJavaError, PySparkRuntimeError, Exception),
-        match="max_block_docs=3",
-    ):
+    with pytest.raises(Exception, match="max_block_docs=3"):
         blocked.collect()
     ok = D.edit_distance_pairs(
         df, "id", "name", "blk", max_block_docs=100

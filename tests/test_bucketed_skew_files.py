@@ -58,7 +58,7 @@ def bucketed_pair(spark, sf_small, tmp_path_factory):
     spark.sql("DROP TABLE IF EXISTS o_b")
 
 
-def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
+def test_bucketed_join_has_no_shuffle(spark, bucketed_pair, sf_small):
     li_t, o_t = bucketed_pair
     li, orders = read_bucketed(spark, li_t), read_bucketed(spark, o_t)
     # Force SMJ so the bucket layout (not a broadcast) carries the join.
@@ -67,7 +67,7 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
         plan = _plan(j)
         assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan
-        assert j.count() == table(spark, "/root/testdata/sf0.001", "lineitem").count()
+        assert j.count() == table(spark, sf_small, "lineitem").count()
 
 
 def test_unbucketed_same_join_does_shuffle(spark, sf_small):

@@ -397,16 +397,7 @@ def _passjoin_geometry_model(length: int, p: int) -> list[tuple[int, int]]:
     ]
 
 
-def _lev(a: str, b: str) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(
-                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
-            )
-        prev = cur
-    return prev[-1]
+from _lev import py_levenshtein as _lev  # noqa: E402
 
 
 @given(

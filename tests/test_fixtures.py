@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import pytest
 
+from conftest import SF_MEDIUM, SF_SMALL
 from omop_dump_to_parquet_spark.sources.parquet import FIXTURE_TABLES, table
 
 # Canonical post-``table()`` dtypes. A set means "any of these is
@@ -143,7 +144,7 @@ def test_unrolled_oracle_fanout_bounds():
         M08_HOP,
     )
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf in (SF_SMALL, SF_MEDIUM):
         max_chars, max_tokens = duckdb.sql(
             "SELECT max(length(text)),"
             "       max(len(string_split(text, ' ')))"

@@ -37,8 +37,8 @@ def test_fs_helpers_on_file_scheme(spark, tmp_path):
     # Hadoop signals a refused rename by returning false — the wrapper
     # must surface it, not silently drop a swap step. (An existing
     # destination DIRECTORY is not a refusal — Hadoop moves the source
-    # inside it, mv-style — so an existing destination FILE is the
-    # refusal case.)
+    # inside it, mv-style — the r10 wrapper refuses BOTH cases up
+    # front; see test_rename_refuses_existing_destination_directory.)
     (tmp_path / "blocker").write_bytes(b"x")
     with pytest.raises(OSError):
         fs.rename(spark, f"{base}/d2", f"{base}/blocker")

@@ -60,7 +60,10 @@ def test_aggregation_is_partial(spark, sf_small):
     """Map-side partial aggregation before the shuffle (two
     HashAggregate nodes around one Exchange)."""
     plan = formatted_plan(spark, "q01_pricing_summary", sf_small)
-    assert plan.count("HashAggregate") >= 2
+    # count detail headers only — the formatted output prints every
+    # node twice (tree + "(n) Node" block), so a raw substring count
+    # is satisfied by HALF the claimed nodes (r10 test review)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
     assert "Exchange" in plan
 
 
@@ -351,7 +354,13 @@ def test_sketch_rollup_two_level_aggregate(spark, sf_small):
     """q41: daily sketches then weekly merge — two aggregate levels,
     each with map-side partials around its exchange."""
     plan = formatted_plan(spark, "q41_sketch_rollup_merge", sf_small)
-    assert plan.count("HashAggregate") >= 4 or plan.count("ObjectHashAggregate") >= 4
+    # detail-header counts (see test_aggregation_is_partial): two
+    # LEVELS = four nodes; the raw substring count doubled and would
+    # pass with a single regressed level (r10 test review)
+    n_agg = len(
+        re.findall(r"\(\d+\) (?:Object)?HashAggregate", plan)
+    )
+    assert n_agg >= 4, n_agg
     assert "Exchange" in plan
 
 
@@ -369,17 +378,21 @@ def test_q03_preaggregates_before_join(spark, sf_small):
     won't derive this), and no Expand (no COUNT DISTINCT) may remain."""
     plan = formatted_plan(spark, "q03_join_inner", sf_small)
     assert "Expand" not in plan
-    # the per-orderkey partial agg sits below the join in the tree
+    # search the TREE section only: the numbered detail blocks repeat
+    # every node AFTER the tree, so an unsliced position search always
+    # finds the post-join aggregate's detail header and the assert is
+    # vacuous (r10 test review — same fix q42's test already carried)
+    tree = plan[: plan.find("(1)")]
     join_pos = min(
-        (plan.find(t) for t in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") if plan.find(t) != -1),
+        (tree.find(t) for t in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") if tree.find(t) != -1),
         default=-1,
     )
     assert join_pos != -1
-    # the formatted tree prints parents first, so a HashAggregate at a
-    # LARGER offset than the join is a child of it — the pre-join
+    # the tree prints parents first, so a HashAggregate at a LARGER
+    # offset than the join is a child of it — the pre-join
     # per-orderkey aggregation. (The post-join priority agg sits above
     # the join and does not satisfy this search.)
-    assert plan.find("HashAggregate", join_pos) != -1
+    assert tree.find("HashAggregate", join_pos) != -1
 
 
 def test_rolling_distinct_preaggregates_days(spark, sf_small):
@@ -408,7 +421,8 @@ def test_corpus_profile_is_one_scan(spark, sf_small):
 def test_variant_extraction_stays_jvm_side(spark, sf_small):
     plan = formatted_plan(spark, "q43_variant_json", sf_small)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert plan.count("HashAggregate") >= 2  # partial + final
+    # partial + final (detail headers, not the doubled raw count)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
 
 
 def test_ewma_single_shuffle(spark, sf_small):

@@ -71,11 +71,10 @@ def test_history_ignores_real_failures(tmp_path, monkeypatch):
             }
         )
     )
-    monkeypatch.setattr(
-        registry.os.path,
-        "dirname",
-        lambda p: str(tmp_path),
-    )
+    # registry-local seam, not the process-global os.path.dirname
+    # (r10 test review: patching the stdlib function leaked into every
+    # dirname call made during the history scan)
+    monkeypatch.setattr(registry, "_artifact_root", lambda: str(tmp_path))
     history = registry._driver_check_history()
     assert history["ok_query"] == (1, 7)
     assert "rows_only_query" not in history

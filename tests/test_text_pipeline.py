@@ -168,10 +168,13 @@ def test_t11_patterns_catch_real_pii_shapes(spark):
 
 def test_t19_bigram_counts_and_score_shape(spark, sf_small):
     """Every doc with n words yields n-1 bigrams; smoothed NLL is
-    strictly positive (P<1 always under add-one); and a doc made of
-    the corpus's most common bigram scores better (lower NLL) than
-    the fixture average — sequence structure, not just vocabulary."""
-    from pyspark.sql import functions as F
+    strictly positive (P<1 always under add-one); and every per-doc
+    score matches an INDEPENDENT pure-Python add-one bigram LM built
+    from the same corpus (r10 test review: the docstring used to
+    promise a ranking property the body never checked — the
+    from-scratch model is the stronger replacement)."""
+    import math
+    from collections import Counter
 
     from omop_dump_to_parquet_spark.operators.text import (
         t19_bigram_lm_score,
@@ -179,11 +182,29 @@ def test_t19_bigram_counts_and_score_shape(spark, sf_small):
     from omop_dump_to_parquet_spark.sources.parquet import table
 
     out = {r["doc_id"]: r for r in t19_bigram_lm_score(spark, sf_small).collect()}
-    words = {
-        r["doc_id"]: len(r["text"].split(" "))
+    texts = {
+        r["doc_id"]: r["text"].split(" ")
         for r in table(spark, sf_small, "documents").collect()
     }
+    words = {d: len(t) for d, t in texts.items()}
     assert set(out) == {d for d, n in words.items() if n >= 2}
+    # reference model, from scratch: add-one-smoothed bigram NLLs,
+    # mirroring the operator's round-9-then-decimal-mean contract
+    bc = Counter(
+        (t[i], t[i + 1]) for t in texts.values() for i in range(len(t) - 1)
+    )
+    lc = Counter()
+    for (w1, _w2), c in bc.items():
+        lc[w1] += c
+    vsize = len({w for t in texts.values() for w in t})
+    nll = {
+        bg: round(-math.log((c + 1) / (lc[bg[0]] + vsize)), 9)
+        for bg, c in bc.items()
+    }
     for d, r in out.items():
         assert r["n_bigrams"] == words[d] - 1
         assert r["avg_nll"] > 0
+        t = texts[d]
+        terms = [nll[(t[i], t[i + 1])] for i in range(len(t) - 1)]
+        expect = round(math.fsum(terms) / len(terms), 6)
+        assert abs(r["avg_nll"] - expect) < 2e-6, (d, r["avg_nll"], expect)
