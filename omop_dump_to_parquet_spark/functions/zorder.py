@@ -79,14 +79,22 @@ def zorder_key(
         # the row keeps its clustering on every NON-null dimension —
         # a NULL propagating into the key would void all of them and
         # funnel every such row into one skewed range partition
-        val = F.coalesce(F.col(c).cast("double"), F.lit(lo))
-        q = F.least(
-            F.lit(max_q),
-            F.greatest(
-                F.lit(0),
-                ((val - F.lit(lo)) / F.lit(span) * max_q).cast("long"),
-            ),
+        # NaN → dimension minimum, same policy as NULL (nanvl, not
+        # coalesce: NaN is non-null so coalesce passes it through)
+        val = F.nanvl(
+            F.coalesce(F.col(c).cast("double"), F.lit(lo)), F.lit(lo)
         )
+        # clamp in DOUBLE space BEFORE the long cast: under Spark 4's
+        # default ANSI mode, casting an out-of-range double to long
+        # throws at write time instead of saturating, so a clamp
+        # placed after the cast never runs for exactly the values
+        # that need it (r10 advice)
+        q = F.least(
+            F.lit(float(max_q)),
+            F.greatest(
+                F.lit(0.0), (val - F.lit(lo)) / F.lit(span) * max_q
+            ),
+        ).cast("long")
         for i in range(bits):
             key = key + F.shiftleft(
                 F.shiftrightunsigned(q, i).bitwiseAND(1), i * n_dims + d

@@ -904,7 +904,7 @@ SELECT l_orderkey,
        array_to_string(list_slice(list_sort(list(CAST(floor(l_quantity) AS INTEGER))), 1, 3), ',') AS first3_csv,
        map(['n', 'total'],
            [CAST(len(list(l_quantity)) AS BIGINT),
-            CAST(list_sum(list(CAST(l_quantity AS INTEGER))) AS BIGINT)])['total'][1] AS map_total
+            CAST(list_sum(list(CAST(floor(l_quantity) AS INTEGER))) AS BIGINT)])['total'][1] AS map_total
 FROM lineitem
 GROUP BY l_orderkey
 """
@@ -1797,15 +1797,23 @@ def q48_theta_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max((F.col("event_type") == "error").cast("int")).alias("e"),
         )
         .agg(
-            F.sum(
-                (F.col("p") + F.col("e") == 2).cast("long")
+            # coalesce (r10 advice): on an EMPTY events input this
+            # global sum yields NULL while the oracle's COUNT(*) over
+            # an empty HAVING-filtered subquery yields 0 — the
+            # pre-r10 filter+count form returned 0, so the sum()
+            # rewrite would otherwise be a new empty-input mismatch
+            F.coalesce(
+                F.sum((F.col("p") + F.col("e") == 2).cast("long")),
+                F.lit(0).cast("long"),
             ).alias("n_overlap_exact"),
             # |A| + |B| >= |A ∪ B|: the intersection estimate's error
             # envelope scales with the UNION, not the overlap (r10
             # review) — a relative band collapses to [0,0] on a small
             # or empty overlap and false-fails a healthy sketch; this
             # is the same absolute union-scaled tolerance q44 uses.
-            (F.sum("p") + F.sum("e")).alias("_n_union_bound"),
+            F.coalesce(
+                F.sum("p") + F.sum("e"), F.lit(0).cast("long")
+            ).alias("_n_union_bound"),
         )
     )
     eps = 0.05
@@ -1814,7 +1822,14 @@ def q48_theta_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(est)).select(
         "n_overlap_exact",
         (
-            F.abs(F.col("est") - F.col("n_overlap_exact")) <= tol
+            # est also coalesces: theta_sketch_agg over zero non-null
+            # values can yield a NULL sketch/estimate, and NULL <= 0
+            # would emit NULL where the oracle pins TRUE
+            F.abs(
+                F.coalesce(F.col("est"), F.lit(0.0))
+                - F.col("n_overlap_exact")
+            )
+            <= tol
         ).alias("within_eps"),
     )
 

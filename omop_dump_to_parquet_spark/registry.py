@@ -118,36 +118,22 @@ _WINDOW = 50
 # contract) came back green in CORRECTNESS_r09 — cleared, freeing two
 # window slots so the r6-vintage ids (d03/s04/s07/w08/w09) rotate into
 # the r10 window.
-# r10 pin: d13 — candidate generation rewritten from brand-only
-# blocking to PassJoin segment blocking (dedup.passjoin_pairs:
-# pigeonhole on the k+1 even-partition segments, equi-join on the
-# segment string, so key cardinality grows with the data); names at
-# or below the small-string threshold take the length-banded path
-# (lev ≤ k ⇒ |Δlen| ≤ k < band width ⇒ adjacent-band union is
-# complete). Value-identical — property-tested against brute force
-# and the pigeonhole lemma (test_approx_operators /
-# test_cli_and_properties) — but the plan changed, so the driver
-# must re-verify before anything else rotates in.
-# r10 pin: t13 — scoring upgraded to the t19 determinism pattern
-# (per-term round-9 log-probs + exact-DECIMAL mean, both sides): the
-# 6-dp values are unchanged on every fixture but the plan and oracle
-# both changed, so the driver must re-verify.
-# r10 review-fix pins — every id whose registered plan or kernel was
-# rewritten by the r10 operator-layer review (all value-identical on
-# the fixtures, verified by the local sweep, but the rewrite rule is
-# plan changed ⇒ fresh driver evidence): s04/d08/d10 GEMM kernels now
-# exact-refine margin survivors with the sequential fold; s05 ranks
-# NULL centroid cosines last; s13's comparator handles NULL mmr; q31
-# floors quantities on both sides; q48's band is union-scaled
-# absolute and shares q44's sketch builder.
+# All nine r10 pins (d13 PassJoin rewrite, t13 DECIMAL-mean upgrade,
+# and the seven review-wave kernel rewrites) came back green in
+# CORRECTNESS_r10 — cleared, freeing the window so the six r7-vintage
+# ids (d01, d02, q03, st03, st04, st05 — the oldest driver evidence
+# in the fleet) rotate into the r11 window.
+# r11 pins — the two ids the r10 advisor wave touched AGAIN this
+# round (plan/oracle changed ⇒ fresh driver evidence, same rule as
+# every prior round):
+#   q31 — oracle's map_total now floors l_quantity before the int
+#         cast, matching the Spark side and the other five columns
+#         (the r10 floor-on-both-sides fix had missed this one
+#         column; value-identical on integral-quantity fixtures).
+#   q48 — both global aggregates and the sketch estimate coalesce to
+#         0 so an EMPTY events input yields the oracle's 0/TRUE
+#         instead of NULL/NULL (value-identical on non-empty input).
 _FORCE_IN_WINDOW: tuple[str, ...] = (
-    "d13_edit_distance_linkage",
-    "t13_unigram_logprob",
-    "s04_dedup_embedding",
-    "s05_ann_ivf",
-    "s13_mmr_diversified",
-    "d08_embedding_dedup_clusters",
-    "d10_semdedup",
     "q31_array_map_funcs",
     "q48_theta_error_bound",
 )

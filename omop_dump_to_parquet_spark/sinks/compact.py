@@ -77,6 +77,18 @@ def compact_parquet_dir(
         fs.rename(spark, _marker(path, _OLD), path)
     for stale in (_marker(path, _TMP), _marker(path, _OLD)):
         fs.delete(spark, stale)
+    # legacy root markers (r10 advice): releases before the
+    # dot-prefixed ``_marker`` naming staged swaps as PLAIN siblings
+    # (``path.__compact_old``). A lake that crashed mid-compaction
+    # under that naming and was then upgraded must still be restored
+    # and cleaned here; leaf-level legacy markers need no extra branch
+    # because the endswith() scan below already matches them.
+    legacy_old = f"{path.rstrip('/')}{_OLD}"
+    legacy_tmp = f"{path.rstrip('/')}{_TMP}"
+    if not fs.exists(spark, path) and fs.exists(spark, legacy_old):
+        fs.rename(spark, legacy_old, path)
+    for stale in (legacy_tmp, legacy_old):
+        fs.delete(spark, stale)
 
     for e in fs.list_entries(spark, path):
         # stale markers INSIDE a hive root (leaf-level crash): restore
