@@ -1317,11 +1317,15 @@ def semdedup_prune(
         # r10 exactness contract as similarity.cosine_pair_gemm: BLAS
         # blocked summation differs from the engines' left-to-right
         # fold by ulps, so the threshold/round-6 decisions are made
-        # on a bit-equal sequential recompute of the margin
-        # survivors. The 1e-6 margin covers the round-6 half-step
-        # (cos in [tau-5e-7, tau) ROUNDS UP into the kept set) plus
-        # ulp drift — narrower and the prefilter would drop pairs
-        # the refine stage (and the oracle) keep.
+        # on a bit-equal sequential recompute. The 1e-6 prefilter
+        # margin covers the round-6 half-step (cos in [tau-5e-7, tau)
+        # ROUNDS UP into the kept set) plus ulp drift.
+        # r11 scale fix (see cosine_pair_gemm for the full argument):
+        # the fold runs only on pairs within 1e-9 of a round-half
+        # boundary — the only pairs the ≤1.4e-14 GEMM-vs-fold drift
+        # can round differently — instead of on every survivor, which
+        # was pair-sized work that took the ×10 rehearsal from 3.2s
+        # to 31s on this op.
         def _seq_dot(X, Y):
             acc = _np.zeros(len(X), dtype=_np.float64)
             for k in range(X.shape[1]):
@@ -1340,7 +1344,15 @@ def semdedup_prune(
                     "cos_sim": _np.array([], dtype=_np.float64),
                 }
             )
-        cos = _np.round(_seq_dot(A[ii], A[jj]) / (nrm[ii] * nrm[jj]), 6)
+        g = S[ii, jj]
+        r = g * 1e6
+        ambiguous = _np.abs(r - _np.floor(r) - 0.5) < 1e-3  # ±1e-9 cos
+        cos = _np.round(g, 6)
+        if ambiguous.any():
+            ia, ja = ii[ambiguous], jj[ambiguous]
+            cos[ambiguous] = _np.round(
+                _seq_dot(A[ia], A[ja]) / (nrm[ia] * nrm[ja]), 6
+            )
         keep = cos >= tau
         ii, jj, cos = ii[keep], jj[keep], cos[keep]
         return _pd.DataFrame(

@@ -348,11 +348,22 @@ def cosine_pair_gemm(
         # only the PREFILTER. The margin must cover BOTH the ulp drift
         # AND the half-step of the round-6 keep rule: a cosine in
         # [thr-5e-7, thr) ROUNDS UP into the kept set, so a margin
-        # narrower than 0.5e-6 would mask out pairs the oracle
-        # keeps (r10 adversarial re-review of this very refactor); every surviving pair is recomputed with the
-        # sequential fold, bit-equal to both engines, before the
-        # exact round + threshold test. Cost is output-sized, the
-        # n²-sized scan stays BLAS.
+        # narrower than 0.5e-6 would mask out pairs the oracle keeps
+        # (r10 adversarial re-review of this very refactor).
+        #
+        # r11 scale fix: the r10 version sequential-folded EVERY
+        # margin survivor — pair-sized work (A[ii] fancy-index copies
+        # of P×dim doubles) that took d10 3.2s→31s and d08 37s→66s at
+        # the ×10 rehearsal once the clustered fixture pushed ~20M
+        # pairs past the prefilter. But the fold can only change the
+        # 6-dp result when the GEMM value sits within the fold DRIFT
+        # of a rounding boundary: |gemm − fold| ≤ dim·2⁻⁵²·‖a‖‖b‖ /
+        # (norms) ≈ 1.4e-14 for 64 dims — so pairs ≥1e-9 (a 70,000×
+        # safety factor) from the nearest round-half boundary round
+        # identically from either value and need NO recompute. Only
+        # the ambiguous sliver (~0.2% at a uniform phase) pays the
+        # sequential fold; the decision rule is unchanged, bit-equal
+        # to both engines, and the n²-sized scan stays BLAS.
         def _seq_dot(X, Y):
             acc = _np.zeros(len(X), dtype=_np.float64)
             for k in range(X.shape[1]):
@@ -370,9 +381,15 @@ def cosine_pair_gemm(
         ii, jj = _np.nonzero(mask)
         if not len(ii):
             return empty
-        cos = _np.round(
-            _seq_dot(A[ii], B[jj]) / (an[ii] * bn[jj]), 6
-        )
+        g = S[ii, jj]
+        r = g * 1e6
+        ambiguous = _np.abs(r - _np.floor(r) - 0.5) < 1e-3  # ±1e-9 cos
+        cos = _np.round(g, 6)
+        if ambiguous.any():
+            ia, ja = ii[ambiguous], jj[ambiguous]
+            cos[ambiguous] = _np.round(
+                _seq_dot(A[ia], B[ja]) / (an[ia] * bn[ja]), 6
+            )
         keep = cos >= threshold
         ii, jj, cos = ii[keep], jj[keep], cos[keep]
         if not len(ii):

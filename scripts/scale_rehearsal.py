@@ -54,8 +54,25 @@ OPS = (
     "m09_bmp_decode_resize",
     "m10_wav_decode_features",
     "m11_png_decode_roundtrip",
+    # r11 refresh (verdict task 2): the r10 review wave rewrote the
+    # s04/d08/d10 GEMM kernels (prefilter + exact sequential-fold
+    # refine), s05's NULL-cosine ranking, and t13's DECIMAL-mean
+    # scoring AFTER the r10 rehearsal commit — s04 and t13 get their
+    # own rows so every rewritten kernel has post-rewrite evidence
+    # (d08/d10/s05 are re-measured by the same run).
+    "s04_dedup_embedding",
+    "t13_unigram_logprob",
 )
 SCALES = (1, 3, 10)
+
+# Relational ids touched by the r10/r11 contract fixes (floor-on-both-
+# sides q31, coalesced-empty-input q48): their tables (lineitem,
+# events) are not in the .scale embedding fixtures, so they are
+# measured as an sf0.1 → rel_x10 step pair on the key-shifted
+# replication fixture (gen_relational_scale.py — same workload shape,
+# 10× rows), the r7 headline-at-10× methodology.
+REL_OPS = ("q31_array_map_funcs", "q48_theta_error_bound")
+REL_X1 = "/root/testdata/sf0.1"
 
 
 def _d13_candidate_counts(spark, sf_dir: str) -> dict:
@@ -103,6 +120,19 @@ def main() -> None:
     from omop_dump_to_parquet_spark import load_catalog
     from omop_dump_to_parquet_spark.operators.graph import LAST_CC_STATS
     from omop_dump_to_parquet_spark.session import get_spark
+
+    # optional op filter: `scale_rehearsal.py d10_semdedup s04_...`
+    # re-measures just those ops and merges into the existing JSON
+    # (rows for unlisted ops are preserved) — the refresh loop after
+    # a kernel fix shouldn't cost a full-fleet run.
+    global OPS, REL_OPS
+    if len(sys.argv) > 1:
+        asked = set(sys.argv[1:])
+        unknown = asked - set(OPS) - set(REL_OPS)
+        if unknown:
+            sys.exit(f"unknown ops: {sorted(unknown)}")
+        OPS = tuple(op for op in OPS if op in asked)
+        REL_OPS = tuple(op for op in REL_OPS if op in asked)
 
     root = os.path.join(os.path.dirname(__file__), "..", ".scale")
     queries, _ = load_catalog()
@@ -185,7 +215,60 @@ def main() -> None:
         results["d13_edit_distance_linkage"]["candidate_alphas"] = alphas
         print(f"d13 candidate growth exponents: {alphas}", file=sys.stderr)
 
+    # relational x1→x10 step pair (q31/q48) on the key-shifted fixture
+    rel_x10 = os.path.join(
+        os.path.dirname(__file__), "..", ".scale", "rel_x10"
+    )
+    if os.path.isdir(rel_x10):
+        rel: dict[str, dict] = {}
+        for sf_label, sf_dir in (("x1", REL_X1), ("x10", rel_x10)):
+            for op in REL_OPS:
+                runs, rows = [], None
+                for _ in range(REPS):
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.perf_counter()
+                    rows = queries[op](spark, sf_dir).count()
+                    runs.append(round(time.perf_counter() - t0, 3))
+                rel.setdefault(op, {})[sf_label] = {
+                    "sec": round(statistics.median(runs), 3),
+                    "raw": runs,
+                    "rows_out": rows,
+                }
+                print(
+                    f"rel {sf_label} {op}: median "
+                    f"{statistics.median(runs):.2f}s of {runs}, {rows} rows",
+                    file=sys.stderr,
+                )
+        for op in REL_OPS:
+            rel[op]["step_alpha"] = round(
+                math.log(rel[op]["x10"]["sec"] / rel[op]["x1"]["sec"])
+                / math.log(10),
+                3,
+            )
+        results["relational_x10_extension"] = {
+            "note": (
+                "r11: q31/q48 post-contract-fix step pair, sf0.1 vs "
+                "gen_relational_scale rel_x10 (key-shifted replication, "
+                "same workload shape, 10x rows); two-point log-slope"
+            ),
+            "ops": rel,
+        }
+    else:
+        print(
+            f"rel_x10 fixture missing at {rel_x10} — skipping the "
+            "relational extension (run scripts/gen_relational_scale.py)",
+            file=sys.stderr,
+        )
+
     out = os.path.join(os.path.dirname(__file__), "..", "SCALE_REHEARSAL.json")
+    # preserve extension blocks merged in by OTHER runs (the x30 pair,
+    # heaps-vocab points): a refresh of the x1/x3/x10 core must not
+    # silently delete the rest of the evidence file
+    if os.path.exists(out):
+        with open(out) as fh:
+            prior = json.load(fh)
+        for k, v in prior.items():
+            results.setdefault(k, v)
     with open(out, "w") as fh:
         json.dump(results, fh, indent=2)
 

@@ -1986,3 +1986,76 @@ def test_gemm_prefilter_keeps_roundup_window_pairs(spark):
     assert (0, 1) in got, "round-up-window pair dropped by prefilter"
     assert got[(0, 1)] == thr
     assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_gemm_margin_refine_equals_sequential_brute_force(spark):
+    """r11 scale fix of the GEMM kernels (fold only the ±1e-9
+    boundary sliver instead of every prefilter survivor): the
+    emitted (pair, cos_sim) set must STAY bit-identical to the
+    all-pairs sequential-fold reference — the exactness contract the
+    r10 rewrite introduced, now re-proven over random clustered
+    vectors with plenty of near-threshold phases."""
+    import numpy as np
+
+    from omop_dump_to_parquet_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    dim, n, thr = 16, 240, 0.8
+    # 6 tight clusters → many pairs straddling the 0.8 neighborhood
+    centers = rng.normal(size=(6, dim))
+    vecs = (
+        centers[rng.integers(0, 6, n)] + rng.normal(scale=0.18, size=(n, dim))
+    ).astype(np.float32).astype(np.float64)
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for k in range(dim):
+            acc = acc + a[k] * b[k]
+        return acc
+
+    norms = [np.sqrt(seq_dot(v, v)) for v in vecs]
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            c = round(seq_dot(vecs[i], vecs[j]) / (norms[i] * norms[j]), 6)
+            if c >= thr:
+                want[(i, j)] = c
+    assert len(want) > 500  # the fixture really exercises the kernel
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, emb array<double>",
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in S.cosine_pair_gemm(emb, thr, blocks=3).collect()
+    }
+    assert got == want
+
+    # same contract for the semdedup kernel: within every bucket the
+    # (keeper, removed, max_cos) rollup must match the reference
+    # computed from the same bucket assignment
+    from omop_dump_to_parquet_spark.operators import dedup as DD
+    from omop_dump_to_parquet_spark.operators.similarity import bucket_id
+
+    tau, planes = 0.8, 2
+    bucketed = emb.withColumn("bucket", bucket_id(F.col("emb"), planes))
+    assign = {
+        r["vec_id"]: r["bucket"] for r in bucketed.select("vec_id", "bucket").collect()
+    }
+    ref_hits = {}
+    for (i, j), c in (
+        (p, round(seq_dot(vecs[p[0]], vecs[p[1]]) / (norms[p[0]] * norms[p[1]]), 6))
+        for p in [(i, j) for i in range(n) for j in range(i + 1, n)]
+    ):
+        if assign[i] == assign[j] and c >= tau:
+            prev = ref_hits.get(j)
+            if prev is None:
+                ref_hits[j] = (i, c)
+            else:
+                ref_hits[j] = (min(prev[0], i), max(prev[1], c))
+    got_sd = {
+        r["removed_id"]: (r["keeper_id"], r["max_cos_sim"])
+        for r in DD.semdedup_prune(emb, n_planes=planes, tau=tau).collect()
+    }
+    assert got_sd == ref_hits
