@@ -1867,6 +1867,21 @@ def s13_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .drop("best")
         )
+        # Plan-size barrier (r11): without it, CollapseProject inlines
+        # each step's sel/rem into the next step's expressions — best
+        # references rem once via the sort and sel once via concat,
+        # rem references best again — so the analyzed tree grows
+        # ~4-5× PER STEP and Catalyst analysis + codegen of the K=5
+        # unrolled plan cost a flat ~14s regardless of data size
+        # (measured at sf0.001; the rehearsal's α=0.06 with a 15s
+        # intercept was exactly this). localCheckpoint truncates the
+        # logical plan between steps (the d06/g01 iterative-loop
+        # pattern, graph.py) — values are untouched, per-step
+        # analysis is now constant-size, and the whole op drops to
+        # ~2s. Data volume at the barrier is the post-shortlist
+        # O(queries·M·dim) — the corpus never reaches this loop.
+        if _step < MMR_K - 1:
+            df = df.localCheckpoint(eager=False)
     return (
         df.select("query_id", F.posexplode("sel").alias("pos0", "s"))
         .select(

@@ -133,9 +133,23 @@ _WINDOW = 50
 #   q48 — both global aggregates and the sketch estimate coalesce to
 #         0 so an EMPTY events input yields the oracle's 0/TRUE
 #         instead of NULL/NULL (value-identical on non-empty input).
+#   s04/d08/d10 — GEMM kernels now fold only the ±1e-9 round-half
+#         boundary sliver instead of every prefilter survivor (the
+#         r11 rehearsal caught the r10 rewrite's pair-sized refine:
+#         d10 3.2s→30.8s at ×10); value-identical, brute-force
+#         equivalence-tested, but the kernel changed.
+#   s13 — localCheckpoint barrier between the K greedy steps stops
+#         CollapseProject's ~5×-per-step expression blowup (flat
+#         ~14s Catalyst analysis+codegen → ~2s); values untouched
+#         (each step is an argmax under a total order), but the
+#         physical plan changed.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "q31_array_map_funcs",
     "q48_theta_error_bound",
+    "s04_dedup_embedding",
+    "d08_embedding_dedup_clusters",
+    "d10_semdedup",
+    "s13_mmr_diversified",
 )
 
 
