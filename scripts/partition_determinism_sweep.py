@@ -44,7 +44,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = load_catalog()
 
-    def session(width: str, aqe: str) -> object:
+    def session(width: str, aqe: str, arrow_batch: str | None = None) -> object:
         s = spark.newSession()
         apply_runtime_confs(s)
         s.conf.set("spark.sql.shuffle.partitions", width)
@@ -55,6 +55,10 @@ def main() -> int:
         # and made the AQE axis vacuous (r10 review). The pin conf
         # tells apply_runtime_confs to leave this key alone.
         s.conf.set("spark.graft.pin.spark.sql.adaptive.enabled", "1")
+        if arrow_batch is not None:
+            s.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", arrow_batch
+            )
         return s
 
     def sweep(label: str, sess_a, sess_b) -> dict:
@@ -84,6 +88,19 @@ def main() -> int:
         "aqe_on_vs_off": sweep(
             "AQE on-vs-off",
             session(WIDE, "true"), session(WIDE, "false"),
+        ),
+        # Arrow batch-boundary independence (r11, third axis): a tiny
+        # maxRecordsPerBatch re-slices every mapInPandas kernel's
+        # input into many small batches — a kernel that accumulates
+        # state ACROSS batch boundaries (or emits batch-relative
+        # values) diverges here while passing both other axes.
+        # applyInPandas groups are delivered whole regardless, so this
+        # axis specifically certifies the mapInPandas family
+        # (multimodal decoders, text kernels, streaming foreachBatch
+        # bodies) as batch-shape-independent.
+        "arrow_batch_default_vs_7": sweep(
+            "arrow-batch default-vs-7",
+            session(WIDE, "true"), session(WIDE, "true", arrow_batch="7"),
         ),
     }
     spark.stop()
