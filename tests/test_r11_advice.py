@@ -18,12 +18,9 @@ pre-fix code:
 from __future__ import annotations
 
 import glob
-import math
 import os
 
 import duckdb
-import pytest
-from pyspark.sql import functions as F
 
 from omop_dump_to_parquet_spark import load_catalog
 
