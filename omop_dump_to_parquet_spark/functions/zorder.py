@@ -63,16 +63,28 @@ def zorder_key(
             lo, hi = bounds[c]
             stats[f"min_{c}"], stats[f"max_{c}"] = float(lo), float(hi)
     else:
+        # nanvl(col, NULL) drops NaN from the aggregation (min/max
+        # ignore NULLs): one NaN anywhere would otherwise poison
+        # max() — NaN orders above every value — and collapse the
+        # dimension's quantization; excluded, non-NaN rows keep their
+        # real bounds and NaN rows follow the per-row NULL policy
+        nan_free = {
+            c: F.nanvl(F.col(c).cast("double"), F.lit(None).cast("double"))
+            for c in cols
+        }
         stats = df.agg(
-            *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
-            *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+            *[F.min(nan_free[c]).alias(f"min_{c}") for c in cols],
+            *[F.max(nan_free[c]).alias(f"max_{c}") for c in cols],
         ).first()
     n_dims = len(cols)
     max_q = (1 << bits) - 1
     key = F.lit(0).cast("long")
     for d, c in enumerate(cols):
         lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
-        if lo is None or hi is None:  # all-NULL column: constant dim
+        # all-NULL (or all-NaN) column → constant dim; the != self
+        # check additionally guards CALLER-supplied NaN bounds from
+        # reaching span/scale arithmetic
+        if (lo is None or hi is None or lo != lo or hi != hi):
             lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         # per-row NULLs coalesce to the dimension minimum (q = 0) so

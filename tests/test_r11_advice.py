@@ -184,3 +184,39 @@ def test_compaction_cleans_stale_legacy_markers_beside_live_path(
     assert spark.read.parquet(path).count() == li.count()  # live data won
     assert not os.path.exists(f"{path}.__compact_old")
     assert not os.path.exists(f"{path}.__compact_tmp")
+
+
+def test_zorder_nan_in_data_without_bounds_degrades_gracefully(spark):
+    """No caller bounds + a NaN in the column: Spark's max() returns
+    NaN (NaN orders above everything), which pre-guard poisoned the
+    derived bounds and collapsed the dimension. NaN is now excluded
+    from the stats aggregation, so non-NaN values keep their REAL
+    quantization bounds and the NaN row follows the per-row NULL
+    policy (bottom bucket) — never a throw, never an out-of-space
+    key."""
+    from omop_dump_to_parquet_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 10.0), (1, float("nan"), 20.0), (2, 3.0, 30.0)],
+        "id bigint, x double, y double",
+    )
+    bits = 8
+    out = df.select(
+        "id", zorder_key(df, ["x", "y"], bits=bits).alias("zk")
+    ).collect()
+    hi = (1 << (bits * 2)) - 1
+    assert all(0 <= r["zk"] <= hi for r in out)
+
+    def deinterleave(key, d):
+        return sum(((key >> (2 * i + d)) & 1) << i for i in range(bits))
+
+    by_id = {r["id"]: r["zk"] for r in out}
+    max_q = (1 << bits) - 1
+    # x (dim 0): bounds come from the non-NaN values {1.0, 3.0}, so
+    # 1.0 -> bottom, 3.0 -> top, NaN -> NULL policy (bottom)
+    assert deinterleave(by_id[0], 0) == 0
+    assert deinterleave(by_id[2], 0) == max_q
+    assert deinterleave(by_id[1], 0) == 0
+    # y (dim 1) clusters normally
+    ys = [deinterleave(by_id[i], 1) for i in (0, 1, 2)]
+    assert ys[0] < ys[1] < ys[2]
