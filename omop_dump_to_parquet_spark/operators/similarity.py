@@ -800,18 +800,28 @@ def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [[float(x) for x in r["emb"]] for r in init]
     for _ in range(LLOYD_ITERS):
         assigned = _s07_assign(emb, cents)
-        rows = assigned.groupBy("cluster").agg(
-            *[
-                F.round(
-                    davg(F.element_at(F.col("emb"), d + 1), 38, 18), 9
-                ).alias(f"m{d}")
-                for d in range(S07_DIM)
-            ]
-        ).collect()
-        means = {
-            int(r["cluster"]): [float(r[f"m{d}"]) for d in range(S07_DIM)]
-            for r in rows
-        }
+        # Update step as posexplode → one decimal agg over (cluster,
+        # pos) instead of 64 per-dimension agg columns: identical
+        # arithmetic (exact DECIMAL(38,18) sums are summation-order
+        # independent, so the per-dim mean is bit-identical), but the
+        # expression tree shrinks from 64 decimal-avg columns to one —
+        # the r11 catalog audit measured ~0.9s/iter of driver-side
+        # Column construction plus ~1.3s/iter of Catalyst analysis on
+        # the wide form (a compile CONSTANT, paid even at sf0.001).
+        # Shuffle volume is unchanged: partial agg combines each map
+        # partition to ≤ k×dim rows either way. Collect stays bounded
+        # driver state (k×dim = 512 rows).
+        rows = (
+            assigned.select("cluster", F.posexplode("emb").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(davg(F.col("x"), 38, 18), 9).alias("m"))
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for r in rows:
+            means.setdefault(int(r["cluster"]), [0.0] * S07_DIM)[
+                int(r["pos"])
+            ] = float(r["m"])
         cents = [means.get(c, cents[c]) for c in range(KMEANS_K)]
     final = _s07_assign(emb, cents)
     norms = spark.createDataFrame(

@@ -143,13 +143,18 @@ _WINDOW = 50
 #         ~14s Catalyst analysis+codegen → ~2s); values untouched
 #         (each step is an argmax under a total order), but the
 #         physical plan changed.
+# All six r11 pins (q31, q48, s04, d08, d10, s13) came back green in
+# CORRECTNESS_r11 — cleared, so the ten r8-vintage ids (d04, q13, q20,
+# q23, q25, q28, q29, q30, q33, w02 — the oldest driver evidence in
+# the fleet) rotate into the r12 window.
+# r12 pin:
+#   s07 — Lloyd iterations now run behind a per-iteration
+#         localCheckpoint barrier (the s13 pattern) instead of
+#         re-compiling a K-literal centroid plan each step; values
+#         untouched (same arithmetic, same tie-breaks), but the
+#         physical plan changed.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
-    "q31_array_map_funcs",
-    "q48_theta_error_bound",
-    "s04_dedup_embedding",
-    "d08_embedding_dedup_clusters",
-    "d10_semdedup",
-    "s13_mmr_diversified",
+    "s07_kmeans_clusters",
 )
 
 
