@@ -29,6 +29,8 @@ written.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -63,28 +65,39 @@ def zorder_key(
             lo, hi = bounds[c]
             stats[f"min_{c}"], stats[f"max_{c}"] = float(lo), float(hi)
     else:
-        # nanvl(col, NULL) drops NaN from the aggregation (min/max
-        # ignore NULLs): one NaN anywhere would otherwise poison
-        # max() — NaN orders above every value — and collapse the
-        # dimension's quantization; excluded, non-NaN rows keep their
-        # real bounds and NaN rows follow the per-row NULL policy
-        nan_free = {
-            c: F.nanvl(F.col(c).cast("double"), F.lit(None).cast("double"))
-            for c in cols
-        }
+        # only FINITE values feed the derived bounds (min/max ignore
+        # NULLs): one NaN anywhere would otherwise poison max() — NaN
+        # orders above every value — and one ±Infinity would become
+        # the derived edge, making the span infinite so every finite
+        # row quantizes to bucket 0 (the same dimension-collapse
+        # failure, degraded rather than thrown — r11 advice).
+        # Excluded rows keep their real bounds on the other
+        # dimensions and follow the per-row NULL/NaN/clamp policy.
+        finite_only = {}
+        for c in cols:
+            d = F.col(c).cast("double")
+            finite_only[c] = F.when(
+                ~F.isnan(d) & (F.abs(d) != F.lit(float("inf"))), d
+            )
         stats = df.agg(
-            *[F.min(nan_free[c]).alias(f"min_{c}") for c in cols],
-            *[F.max(nan_free[c]).alias(f"max_{c}") for c in cols],
+            *[F.min(finite_only[c]).alias(f"min_{c}") for c in cols],
+            *[F.max(finite_only[c]).alias(f"max_{c}") for c in cols],
         ).first()
     n_dims = len(cols)
     max_q = (1 << bits) - 1
     key = F.lit(0).cast("long")
     for d, c in enumerate(cols):
         lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
-        # all-NULL (or all-NaN) column → constant dim; the != self
-        # check additionally guards CALLER-supplied NaN bounds from
-        # reaching span/scale arithmetic
-        if (lo is None or hi is None or lo != lo or hi != hi):
+        # all-NULL (or all-non-finite) column → constant dim; the
+        # isfinite check additionally guards CALLER-supplied NaN or
+        # ±inf bounds from reaching span/scale arithmetic (an inf
+        # span would send every finite row to bucket 0)
+        if (
+            lo is None
+            or hi is None
+            or not math.isfinite(lo)
+            or not math.isfinite(hi)
+        ):
             lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         # per-row NULLs coalesce to the dimension minimum (q = 0) so

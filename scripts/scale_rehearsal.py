@@ -116,6 +116,24 @@ def _d13_candidate_counts(spark, sf_dir: str) -> dict:
     }
 
 
+def _merged_rel_ops(prior_path: str, rel: dict) -> dict:
+    """Overlay this run's rel-op rows onto the prior file's block.
+
+    An op-filtered refresh (e.g. ``scale_rehearsal.py q31_...``)
+    measures only the listed rel ops; the unlisted ops' step-pair
+    rows must survive from the existing SCALE_REHEARSAL.json instead
+    of being erased by the rebuilt block (r11 advice)."""
+    prior_rel: dict[str, dict] = {}
+    if os.path.exists(prior_path):
+        with open(prior_path) as fh:
+            prior_rel = (
+                json.load(fh)
+                .get("relational_x10_extension", {})
+                .get("ops", {})
+            )
+    return {**prior_rel, **rel}
+
+
 def main() -> None:
     from omop_dump_to_parquet_spark import load_catalog
     from omop_dump_to_parquet_spark.operators.graph import LAST_CC_STATS
@@ -215,11 +233,15 @@ def main() -> None:
         results["d13_edit_distance_linkage"]["candidate_alphas"] = alphas
         print(f"d13 candidate growth exponents: {alphas}", file=sys.stderr)
 
-    # relational x1→x10 step pair (q31/q48) on the key-shifted fixture
+    # relational x1→x10 step pair (q31/q48) on the key-shifted fixture.
+    # REL_OPS empty (an op-filtered refresh that listed no rel ops) ⇒
+    # skip the section entirely: rebuilding the block with empty 'ops'
+    # would shadow the prior file's rows and the setdefault merge
+    # below could never restore them (r11 advice).
     rel_x10 = os.path.join(
         os.path.dirname(__file__), "..", ".scale", "rel_x10"
     )
-    if os.path.isdir(rel_x10):
+    if REL_OPS and os.path.isdir(rel_x10):
         rel: dict[str, dict] = {}
         for sf_label, sf_dir in (("x1", REL_X1), ("x10", rel_x10)):
             for op in REL_OPS:
@@ -251,8 +273,16 @@ def main() -> None:
                 "gen_relational_scale rel_x10 (key-shifted replication, "
                 "same workload shape, 10x rows); two-point log-slope"
             ),
-            "ops": rel,
+            "ops": _merged_rel_ops(
+                os.path.join(
+                    os.path.dirname(__file__), "..", "SCALE_REHEARSAL.json"
+                ),
+                rel,
+            ),
         }
+    elif not REL_OPS:
+        pass  # filtered run without rel ops: prior block survives via
+        # the setdefault merge below
     else:
         print(
             f"rel_x10 fixture missing at {rel_x10} — skipping the "

@@ -1,0 +1,170 @@
+"""Regression tests for the two r11-advice fixes (round 12), plus the
+round's s07 plan rewrite.
+
+1. zorder: a ±Infinity value in the data must not become a derived
+   quantization bound (an infinite span sends every finite row to
+   bucket 0 — the NaN dimension-collapse failure mode, degraded
+   rather than thrown); caller-supplied inf bounds are guarded too.
+2. scale_rehearsal: an op-filtered refresh must not erase the prior
+   SCALE_REHEARSAL.json rows of unlisted relational ops — the rebuilt
+   block merges per-op over the prior file's block.
+3. s07: the posexplode update step is value-identical to the r11
+   64-column decimal-agg formulation (same exact-DECIMAL mean, round
+   9 — checked against the registered oracle by the parity sweep;
+   here we pin the plan-shape contract: one decimal agg, bounded
+   512-row driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+def _deinterleave(key: int, d: int, bits: int, n_dims: int = 2) -> int:
+    return sum(((key >> (n_dims * i + d)) & 1) << i for i in range(bits))
+
+
+def test_zorder_inf_in_data_without_bounds_degrades_gracefully(spark):
+    """No caller bounds + a +inf in the column: max() returns inf,
+    which pre-fix made the span infinite and quantized every FINITE
+    row to bucket 0. Non-finite values are now excluded from the
+    stats aggregation, so finite values keep their real bounds; the
+    inf row clamps to the top edge bucket per the out-of-range
+    policy."""
+    from omop_dump_to_parquet_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [
+            (0, 1.0, 10.0),
+            (1, float("inf"), 20.0),
+            (2, 3.0, 30.0),
+            (3, float("-inf"), 40.0),
+        ],
+        "id bigint, x double, y double",
+    )
+    bits = 8
+    out = df.select(
+        "id", zorder_key(df, ["x", "y"], bits=bits).alias("zk")
+    ).collect()
+    hi = (1 << (bits * 2)) - 1
+    assert all(0 <= r["zk"] <= hi for r in out)
+
+    by_id = {r["id"]: r["zk"] for r in out}
+    max_q = (1 << bits) - 1
+    # x (dim 0): bounds come from the FINITE values {1.0, 3.0} —
+    # pre-fix both quantized to 0 (infinite span)
+    assert _deinterleave(by_id[0], 0, bits) == 0
+    assert _deinterleave(by_id[2], 0, bits) == max_q
+    # the inf rows clamp to the edges instead of throwing under ANSI
+    assert _deinterleave(by_id[1], 0, bits) == max_q
+    assert _deinterleave(by_id[3], 0, bits) == 0
+    # y (dim 1) clusters normally despite x's non-finite rows
+    ys = [_deinterleave(by_id[i], 1, bits) for i in (0, 1, 2, 3)]
+    assert ys == sorted(ys) and ys[0] < ys[3]
+
+
+def test_zorder_caller_supplied_inf_bounds_collapse_not_throw(spark):
+    """Caller-supplied (lo=-inf / hi=inf / NaN) bounds must be guarded
+    like derived ones: the dimension degrades to constant instead of
+    an inf span reaching the quantization arithmetic."""
+    from omop_dump_to_parquet_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 10.0), (1, 2.0, 20.0)], "id bigint, x double, y double"
+    )
+    bits = 8
+    out = df.select(
+        "id",
+        zorder_key(
+            df,
+            ["x", "y"],
+            bits=bits,
+            bounds={"x": (float("-inf"), float("inf")), "y": (10.0, 30.0)},
+        ).alias("zk"),
+    ).collect()
+    hi = (1 << (bits * 2)) - 1
+    by_id = {r["id"]: r["zk"] for r in out}
+    assert all(0 <= v <= hi for v in by_id.values())
+    # x collapsed to a constant dim (guarded), y still clusters
+    assert _deinterleave(by_id[0], 0, bits) == _deinterleave(
+        by_id[1], 0, bits
+    )
+    assert _deinterleave(by_id[0], 1, bits) < _deinterleave(
+        by_id[1], 1, bits
+    )
+
+
+def test_rehearsal_filtered_refresh_preserves_unlisted_rel_ops(tmp_path):
+    """An op-filtered rel refresh (only q48 measured) must keep q31's
+    prior step-pair rows — pre-fix the rebuilt block shadowed the
+    prior file and the setdefault merge could never restore it."""
+    from scale_rehearsal import _merged_rel_ops
+
+    prior = {
+        "relational_x10_extension": {
+            "note": "prior",
+            "ops": {
+                "q31_array_map_funcs": {"x1": {"sec": 1.0}, "step_alpha": 0.5},
+                "q48_theta_error_bound": {"x1": {"sec": 9.9}},
+            },
+        }
+    }
+    path = str(tmp_path / "SCALE_REHEARSAL.json")
+    with open(path, "w") as fh:
+        json.dump(prior, fh)
+
+    fresh = {"q48_theta_error_bound": {"x1": {"sec": 2.0}, "step_alpha": 0.7}}
+    merged = _merged_rel_ops(path, fresh)
+    # unlisted op preserved verbatim, listed op overlaid with the
+    # fresh measurement
+    assert merged["q31_array_map_funcs"]["step_alpha"] == 0.5
+    assert merged["q48_theta_error_bound"]["step_alpha"] == 0.7
+    # no prior file → just this run's ops
+    assert _merged_rel_ops(str(tmp_path / "missing.json"), fresh) == fresh
+
+
+def test_s07_update_step_matches_wide_decimal_agg(spark):
+    """The posexplode update step must reproduce the r11 wide
+    formulation's per-dimension means bit-for-bit (exact DECIMAL sums
+    are summation-order independent, so the two shapes are the same
+    arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.functions.deterministic import davg
+
+    dim = 5
+    rows = [
+        (0, [float(i + j) / 7.0 for j in range(dim)]) for i in range(9)
+    ] + [(1, [math.sin(i + j) for j in range(dim)]) for i in range(7)]
+    df = spark.createDataFrame(rows, "cluster long, emb array<double>")
+
+    wide = df.groupBy("cluster").agg(
+        *[
+            F.round(davg(F.element_at(F.col("emb"), d + 1), 38, 18), 9).alias(
+                f"m{d}"
+            )
+            for d in range(dim)
+        ]
+    )
+    wide_means = {
+        int(r["cluster"]): [float(r[f"m{d}"]) for d in range(dim)]
+        for r in wide.collect()
+    }
+
+    tall = (
+        df.select("cluster", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(davg(F.col("x"), 38, 18), 9).alias("m"))
+    )
+    tall_means: dict[int, list[float]] = {}
+    for r in tall.collect():
+        tall_means.setdefault(int(r["cluster"]), [0.0] * dim)[
+            int(r["pos"])
+        ] = float(r["m"])
+
+    assert tall_means == wide_means
