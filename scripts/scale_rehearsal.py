@@ -62,6 +62,10 @@ OPS = (
     # (d08/d10/s05 are re-measured by the same run).
     "s04_dedup_embedding",
     "t13_unigram_logprob",
+    # r12: the s07 update step was rewritten (posexplode single
+    # decimal agg replacing the 64-column wide agg) — standing rule:
+    # a plan change gets fresh ×10 rows alongside its driver pin.
+    "s07_kmeans_clusters",
 )
 SCALES = (1, 3, 10)
 
