@@ -128,6 +128,34 @@ def test_rehearsal_filtered_refresh_preserves_unlisted_rel_ops(tmp_path):
     assert _merged_rel_ops(str(tmp_path / "missing.json"), fresh) == fresh
 
 
+def test_seq_dot_bit_identical_to_spark_fold(spark):
+    """_seq_dot (the driver-side |c|² precompute) must be the exact
+    IEEE left-fold dot_d evaluates — any reassociation (fsum, numpy,
+    pairwise) would shift the rounded distance key on boundary values
+    and break the oracle lockstep."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.functions.vectors import dot_d
+    from omop_dump_to_parquet_spark.operators.similarity import _seq_dot
+
+    finite = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+
+    @given(st.lists(finite, min_size=1, max_size=32))
+    @settings(max_examples=20, deadline=None)
+    def check(vec):
+        df = spark.createDataFrame([(vec,)], "v array<double>")
+        got = df.select(dot_d(F.col("v"), F.col("v")).alias("d")).first()["d"]
+        assert struct.pack("d", got) == struct.pack("d", _seq_dot(vec, vec))
+
+    check()
+
+
 def test_s07_update_step_matches_wide_decimal_agg(spark):
     """The posexplode update step must reproduce the r11 wide
     formulation's per-dimension means bit-for-bit (exact DECIMAL sums
