@@ -1293,10 +1293,30 @@ def semdedup_prune(
     a few seconds with the same kernel (SCALING.md "Scale
     rehearsal"). More planes trade recall at bucket borders exactly
     like s02 — SemDeDup's own clustering (k-means, s07) has the same
-    border property."""
+    border property.
+
+    r12 caveat, measured at ×100 (SCALING.md "x100"): the planes rule
+    holds only while hyperplanes can SPLIT the population. A tight
+    semantic cluster shares its sign pattern under (almost) any
+    hyperplane, so once buckets align with clusters the densest
+    bucket grows WITH the corpus (measured: max bucket 1,531 → 15,323
+    for 10× vectors at the rule's plane counts; within-bucket pair
+    work ×79). On density-concentrated corpora use
+    :func:`kmeans_bucket_assign` (K ∝ N — Voronoi cells split dense
+    blobs, hyperplanes don't; it is also the SemDeDup paper's own
+    clustering step) and feed :func:`semdedup_prune_bucketed`."""
     from .similarity import bucket_id
 
     emb = emb.withColumn("bucket", bucket_id(F.col("emb"), n_planes))
+    return semdedup_prune_bucketed(emb, tau)
+
+
+def semdedup_prune_bucketed(emb: DataFrame, tau: float) -> DataFrame:
+    """SemDeDup per-bucket GEMM prune over ``(vec_id, emb, bucket)``
+    with caller-provided buckets — the shared core of the
+    hyperplane-bucketed :func:`semdedup_prune` (d10's catalog
+    contract) and the K∝N k-means scale path
+    (:func:`~..operators.similarity.kmeans_bucket_assign`)."""
 
     def bucket_gemm(pdf):
         import numpy as _np

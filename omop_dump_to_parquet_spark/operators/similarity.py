@@ -867,6 +867,179 @@ def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_bucket_assign(
+    emb: DataFrame, k: int, iters: int = 3
+) -> DataFrame:
+    """K∝N k-means bucketing for :func:`~.dedup.semdedup_prune_bucketed`
+    — the SemDeDup paper's own clustering step (one k-means over the
+    corpus, K chosen so the average cell holds ~100 vectors), as the
+    scale path for density-concentrated corpora where hyperplane
+    bucketing stops splitting (SCALING.md "x100": a tight cluster
+    shares its sign pattern under any hyperplane, so its bucket grows
+    with the corpus; Voronoi cells cut through dense blobs).
+
+    Returns ``(vec_id, emb, bucket)``. Each Lloyd iteration is one
+    numpy-GEMM assign pass (``mapInPandas``; the k×dim centroid
+    matrix rides in the pickled closure — bounded driver state, the
+    s05/s07 collect contract) plus one posexplode partial-agg shuffle
+    for the means. Deterministic for a fixed partitioning: init is
+    the k smallest vec_ids, argmin ties break to the smallest bucket
+    index; UNLIKE s07 (oracle-pinned exact-DECIMAL lockstep at fixed
+    K=8) the means are plain doubles — this is a bucketing utility,
+    not a differentially-checked query, and bucket borders are a
+    recall knob exactly as in s02/s05."""
+    import numpy as np
+
+    init = emb.orderBy("vec_id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    cents = np.stack([list(r["emb"]) for r in init]).astype(np.float64)
+    dim = cents.shape[1]
+
+    def _assigned(C: "np.ndarray") -> DataFrame:
+        c2 = (C * C).sum(axis=1)
+
+        def assign(it):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                A = _np.stack(pdf["emb"].to_numpy()).astype(_np.float64)
+                # argmin_c |c|^2 - 2 x·c  (|x|^2 drops out); numpy
+                # argmin returns the FIRST minimum -> smallest bucket
+                b = _np.argmin(c2[None, :] - 2.0 * (A @ C.T), axis=1)
+                yield _pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "emb": pdf["emb"],
+                        "bucket": b.astype(_np.int64),
+                    }
+                )
+
+        return emb.mapInPandas(
+            assign, schema="vec_id long, emb array<double>, bucket long"
+        )
+
+    for _ in range(iters):
+        rows = (
+            _assigned(cents)
+            .select("bucket", F.posexplode("emb").alias("pos", "x"))
+            .groupBy("bucket", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )  # bounded: k×dim rows
+        new = cents.copy()  # empty cells keep their previous centroid
+        for r in rows:
+            new[int(r["bucket"]), int(r["pos"])] = float(r["m"])
+        cents = new
+    return _assigned(cents)
+
+
+def kmeans_bucket_assign_2level(
+    emb: DataFrame, k: int, iters: int = 3
+) -> DataFrame:
+    """Two-level K∝N k-means bucketing: route through ~√K coarse
+    cells, then ~√K fine centroids WITHIN the routed cell — the IVF
+    coarse-quantizer structure (s05), applied to the clustering that
+    feeds :func:`~.dedup.semdedup_prune_bucketed`.
+
+    Why: the flat assign is N×K GEMM work, quadratic when K ∝ N
+    holds cell population constant (measured: the flat path's x100
+    wall is assign-dominated, SCALING.md "x100"). Two levels cost
+    2·N·√K — with L levels N·K^(1/L), approaching linear as levels
+    grow; two suffice through ~10⁹ vectors at GEMM constants. The
+    prune's own pair work is unchanged (cell population is still
+    ~N/K).
+
+    Deterministic like the flat path: per-cell init is the cell's
+    smallest vec_ids (groups are sorted before init), argmin ties
+    break to the smallest index. Fine buckets are ``cell·k_fine +
+    fine`` so ids stay disjoint across cells. The fine codebook
+    (k×dim) rides in the assign closure — bounded driver state at
+    catalog scale; at 10⁶+ total centroids ship it as a broadcast
+    join instead (documented, not needed here)."""
+    import math as _math
+
+    import numpy as np
+
+    k_coarse = max(1, _math.isqrt(k))
+    k_fine = max(1, -(-k // k_coarse))  # ceil
+
+    coarse = kmeans_bucket_assign(emb, k_coarse, iters)
+
+    def cell_kmeans(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("vec_id")  # deterministic init
+        cell = int(pdf["bucket"].iloc[0])
+        A = _np.stack(pdf["emb"].to_numpy()).astype(_np.float64)
+        kf = min(k_fine, len(A))
+        C = A[:kf].copy()
+        for _ in range(iters):
+            c2 = (C * C).sum(axis=1)
+            b = _np.argmin(c2[None, :] - 2.0 * (A @ C.T), axis=1)
+            for j in range(kf):  # empty fine cells keep their centroid
+                sel = b == j
+                if sel.any():
+                    C[j] = A[sel].mean(axis=0)
+        return _pd.DataFrame(
+            {
+                "cell": _np.full(kf, cell, dtype=_np.int64),
+                "fine": _np.arange(kf, dtype=_np.int64),
+                "cent": list(C),
+            }
+        )
+
+    fine_rows = (
+        coarse.groupBy("bucket")
+        .applyInPandas(cell_kmeans, schema="cell long, fine long, cent array<double>")
+        .collect()
+    )  # bounded: ≤ k×dim driver state
+    by_cell: dict[int, "np.ndarray"] = {}
+    for r in fine_rows:
+        by_cell.setdefault(int(r["cell"]), []).append(
+            (int(r["fine"]), list(r["cent"]))
+        )
+    fine_mats = {
+        c: np.stack([cent for _, cent in sorted(rows_)]).astype(np.float64)
+        for c, rows_ in by_cell.items()
+    }
+    kf_out = k_fine
+
+    def assign_fine(it):
+        import numpy as _np
+        import pandas as _pd
+
+        f2 = {c: (M * M).sum(axis=1) for c, M in fine_mats.items()}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out_bucket = _np.empty(len(pdf), dtype=_np.int64)
+            A = _np.stack(pdf["emb"].to_numpy()).astype(_np.float64)
+            cells = pdf["bucket"].to_numpy()
+            for c in _np.unique(cells):
+                sel = cells == c
+                M = fine_mats[int(c)]
+                b = _np.argmin(
+                    f2[int(c)][None, :] - 2.0 * (A[sel] @ M.T), axis=1
+                )
+                out_bucket[sel] = int(c) * kf_out + b
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "emb": pdf["emb"],
+                    "bucket": out_bucket,
+                }
+            )
+
+    return coarse.mapInPandas(
+        assign_fine, schema="vec_id long, emb array<double>, bucket long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # S08 — radius (range) search: ALL neighbors of each probe vector
 # within a cosine-similarity radius, not a fixed top-k. The retrieval

@@ -156,6 +156,111 @@ def test_seq_dot_bit_identical_to_spark_fold(spark):
     check()
 
 
+def _blob_emb(spark, n_per: int = 20, dim: int = 8):
+    """Two well-separated Gaussian-free blobs (deterministic offsets):
+    any sane clustering must split them."""
+    rows = []
+    for i in range(n_per):
+        rows.append((i, [1.0 + 0.001 * i] * dim))
+        rows.append((100 + i, [-1.0 - 0.001 * i] * dim))
+    return spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+
+def test_kmeans_bucket_assign_separates_blobs_deterministically(spark):
+    from omop_dump_to_parquet_spark.operators.similarity import (
+        kmeans_bucket_assign,
+    )
+
+    emb = _blob_emb(spark)
+    a = kmeans_bucket_assign(emb, 2, iters=3)
+    rows = a.collect()
+    assert len(rows) == 40
+    by_blob = {}
+    for r in rows:
+        assert 0 <= r["bucket"] < 2
+        by_blob.setdefault(r["vec_id"] >= 100, set()).add(r["bucket"])
+    # each blob lands in exactly one bucket, and not the same one
+    assert all(len(v) == 1 for v in by_blob.values())
+    assert by_blob[False] != by_blob[True]
+    # deterministic rerun
+    b = kmeans_bucket_assign(emb, 2, iters=3)
+    assert (
+        a.select("vec_id", "bucket")
+        .exceptAll(b.select("vec_id", "bucket"))
+        .count()
+        == 0
+    )
+
+
+def test_kmeans_2level_ids_disjoint_and_deterministic(spark):
+    from omop_dump_to_parquet_spark.operators.similarity import (
+        kmeans_bucket_assign_2level,
+    )
+
+    emb = _blob_emb(spark)
+    a = kmeans_bucket_assign_2level(emb, 4, iters=2)
+    rows = a.collect()
+    assert len(rows) == 40
+    # k_coarse=2, k_fine=2 → bucket ids in [0, 4); the two blobs never
+    # share a bucket (they cannot share a coarse cell)
+    blob_buckets = {False: set(), True: set()}
+    for r in rows:
+        assert 0 <= r["bucket"] < 4
+        blob_buckets[r["vec_id"] >= 100].add(r["bucket"])
+    assert not (blob_buckets[False] & blob_buckets[True])
+    b = kmeans_bucket_assign_2level(emb, 4, iters=2)
+    assert (
+        a.select("vec_id", "bucket")
+        .exceptAll(b.select("vec_id", "bucket"))
+        .count()
+        == 0
+    )
+
+
+def test_semdedup_prune_bucketed_single_bucket_is_brute_force(spark):
+    """With every vector in ONE bucket, the bucketed prune must equal
+    the brute-force all-pairs min-keeper at the same threshold."""
+    import itertools
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    from omop_dump_to_parquet_spark.operators.dedup import (
+        semdedup_prune_bucketed,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.9999, 0.01, 0.0],
+        2: [0.0, 1.0, 0.0],
+        3: [0.0, 0.9999, 0.01],
+        4: [0.577, 0.577, 0.577],
+    }
+    tau = 0.99
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()],
+        "vec_id long, emb array<double>, bucket long",
+    )
+    got = {
+        r["removed_id"]: (r["keeper_id"], r["max_cos_sim"])
+        for r in semdedup_prune_bucketed(df, tau).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            m.sqrt(sum(x * x for x in a)) * m.sqrt(sum(x * x for x in b))
+        )
+
+    want: dict[int, tuple[int, float]] = {}
+    for i, j in itertools.combinations(sorted(vecs), 2):
+        c = round(cos(vecs[i], vecs[j]), 6)
+        if c >= tau:
+            keep, sim = want.get(j, (j + 1, -2.0))
+            want[j] = (min(keep, i), max(sim, c))
+    assert got == want
+
+
 def test_s07_update_step_matches_wide_decimal_agg(spark):
     """The posexplode update step must reproduce the r11 wide
     formulation's per-dimension means bit-for-bit (exact DECIMAL sums
