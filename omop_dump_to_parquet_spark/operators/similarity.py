@@ -887,7 +887,13 @@ def kmeans_bucket_assign(
     index; UNLIKE s07 (oracle-pinned exact-DECIMAL lockstep at fixed
     K=8) the means are plain doubles — this is a bucketing utility,
     not a differentially-checked query, and bucket borders are a
-    recall knob exactly as in s02/s05."""
+    recall knob exactly as in s02/s05.
+
+    Cost caveat: with K ∝ N the flat assign is N×K GEMM — quadratic
+    (measured α 1.38 end-to-end at ×100). Production corpora should
+    use :func:`kmeans_bucket_assign_2level` (N·√K per level, α 0.61
+    measured); this flat form is the building block and fine for
+    bounded K."""
     import numpy as np
 
     init = emb.orderBy("vec_id").limit(k).collect()
