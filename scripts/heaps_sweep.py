@@ -32,7 +32,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 REPS = 3  # median-of-3, the r7 bench.py methodology (review finding:
 # min-of-2 here contradicted the stat switch this same round made)
-SCALES = (1, 10, 30)
+SCALES = (
+    tuple(int(s) for s in sys.argv[1].split(","))
+    if len(sys.argv) > 1
+    else (1, 10, 30)
+)  # r12: argv-selectable so an x100 extension reuses the x1-x30 rows
 
 
 def main() -> None:
@@ -118,22 +122,41 @@ def main() -> None:
             2,
         )
 
-    summary = {
-        "raw_cand_exp_x10_x30": marginal("x10", "x30", "raw_candidates", 10, 30),
-        "raw_cand_exp_x1_x10": marginal("x1", "x10", "raw_candidates", 1, 10),
-        "g01_time_exp_x10_x30": marginal("x10", "x30", "g01_sec", 10, 30),
-        "distinct_cand_exp_x10_x30": marginal(
-            "x10", "x30", "distinct_candidates", 10, 30
-        ),
-    }
-    results["summary"] = summary
+    # merge per-scale with the prior file so a partial refresh (e.g.
+    # `heaps_sweep.py 10,100`) keeps the unlisted scales' rows — the
+    # r12 lesson from scale_rehearsal's rel-op merge bug
     out = os.path.join(os.path.dirname(__file__), "..", "HEAPS_SWEEP.json")
+    if os.path.exists(out):
+        with open(out) as fh:
+            prior = json.load(fh)
+        for k, v in prior.items():
+            if k != "summary":
+                results.setdefault(k, v)
+
+    # marginal exponents over every ADJACENT measured pair (same-
+    # session pairs where both legs ran this invocation; cross-session
+    # pairs are still meaningful for candidate COUNTS, which are
+    # data properties, but wall-time pairs should be read per-session)
+    have = sorted(
+        (int(k[1:]) for k in results if k.startswith("x")),
+    )
+    summary = {}
+    for lo, hi in zip(have, have[1:]):
+        a, b = f"x{lo}", f"x{hi}"
+        summary[f"raw_cand_exp_{a}_{b}"] = marginal(
+            a, b, "raw_candidates", lo, hi
+        )
+        summary[f"distinct_cand_exp_{a}_{b}"] = marginal(
+            a, b, "distinct_candidates", lo, hi
+        )
+        summary[f"g01_time_exp_{a}_{b}"] = marginal(a, b, "g01_sec", lo, hi)
+    results["summary"] = summary
     with open(out, "w") as fh:
         json.dump(results, fh, indent=2)
 
     print("\n| scale | raw cands | distinct | g01 wall |")
     print("|---|---|---|---|")
-    for s in SCALES:
+    for s in have:
         r = results[f"x{s}"]
         print(
             f"| x{s} | {r['raw_candidates']:,} | "
