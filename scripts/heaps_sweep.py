@@ -92,6 +92,12 @@ def main() -> None:
         g01_sec, g01_runs, g01_n = timed(
             lambda: queries["g01_pagerank"](spark, sf_dir).count()
         )
+        # d04 on the SAME fixture: the other side of the playbook's
+        # exact-vs-MinHash crossover (r12 — previously an ad-hoc r7
+        # run quoted in SCALING.md but absent from this artifact)
+        d04_sec, d04_runs, d04_n = timed(
+            lambda: queries["d04_dedup_minhash_lsh"](spark, sf_dir).count()
+        )
         results[f"x{scale}"] = {
             "raw_candidates": raw_n,
             "raw_sec": raw_sec,
@@ -102,10 +108,14 @@ def main() -> None:
             "g01_sec": g01_sec,
             "g01_runs": g01_runs,
             "g01_rows": g01_n,
+            "d04_sec": d04_sec,
+            "d04_runs": d04_runs,
+            "d04_pairs": d04_n,
         }
         print(
             f"x{scale}: raw {raw_n:,} ({raw_sec}s), distinct {dis_n:,} "
-            f"({dis_sec}s), g01 {g01_sec}s ({g01_n} rows)",
+            f"({dis_sec}s), g01 {g01_sec}s ({g01_n} rows), "
+            f"d04 {d04_sec}s ({d04_n} pairs)",
             file=sys.stderr,
         )
 
@@ -150,6 +160,13 @@ def main() -> None:
             a, b, "distinct_candidates", lo, hi
         )
         summary[f"g01_time_exp_{a}_{b}"] = marginal(a, b, "g01_sec", lo, hi)
+        if "d04_sec" in results[a] and "d04_sec" in results[b]:
+            summary[f"d04_time_exp_{a}_{b}"] = marginal(
+                a, b, "d04_sec", lo, hi
+            )
+            summary[f"d04_pairs_exp_{a}_{b}"] = marginal(
+                a, b, "d04_pairs", lo, hi
+            )
     results["summary"] = summary
     with open(out, "w") as fh:
         json.dump(results, fh, indent=2)
