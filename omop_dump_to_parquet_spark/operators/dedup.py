@@ -1389,6 +1389,81 @@ def semdedup_prune_bucketed(emb: DataFrame, tau: float) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D14 — SemDeDup with the paper's OWN clustering step: k-means
+# bucketing feeding the per-cluster prune (Abbas et al. 2023 §2 run
+# as written, where d10 substitutes hyperplane buckets). Promoted to
+# a catalog id in r13 (r12 verdict #3) because the K∝N k-means
+# bucketing became the documented production path for
+# density-concentrated corpora — the r12 x100 rehearsal showed random
+# hyperplanes cannot split a tight semantic cluster (max bucket grows
+# with the corpus, α 1.91) while Voronoi cells cut through dense
+# blobs (max bucket flat, α 0.611) — and plan-bearing code that only
+# scripts exercise is where regressions hide (SCALING.md, r11).
+#
+# Differential design: the clustering is the s07 exact-decimal Lloyd
+# lockstep (similarity.kmeans_exact — assign by round(|c|²−2·x·c, 6)
+# with ties to the smallest cluster, means via order-independent
+# DECIMAL(38,18) sums rounded to 9 dp) so the oracle reproduces the
+# buckets bit-exactly from unrolled CTEs (kmeans_oracle_prefix); the
+# prune is the REAL production core semdedup_prune_bucketed — the
+# same GEMM-prefilter + boundary-sliver sequential refine kernel the
+# 2-level K∝N path runs, here certified under k-means (Voronoi)
+# bucket shapes rather than d10's sign-pattern shapes. The numpy
+# argmin ASSIGN of kmeans_bucket_assign{,_2level} stays a recall-knob
+# utility (bucket borders are approximate exactly as in s02/s05) and
+# is covered by its own unit/equivalence tests + the x100 rehearsal.
+#
+# Scale shape: 2 Lloyd iterations = 2×(map-side assign vs a 1-row
+# broadcast centroid row + one posexplode partial-agg shuffle of
+# k×dim decimal sums); the prune shuffles once on bucket and runs one
+# GEMM per bucket. K is fixed at catalog scale; production K∝N uses
+# the 2-level router (N·√K per level) — see kmeans_bucket_assign_2level.
+# ---------------------------------------------------------------------------
+
+D14_K = 8  # same bucket granularity as d10's 2³ hyperplane buckets
+D14_ITERS = 2  # bucketing needs separation, not convergence
+
+
+def _d14_oracle() -> str:
+    from .similarity import kmeans_oracle_prefix
+
+    t = D14_ITERS
+    return (
+        kmeans_oracle_prefix(D14_K, D14_ITERS)
+        + f""",
+hits AS (
+  SELECT a.vec_id AS keeper_id, c.vec_id AS removed_id,
+         round(list_dot_product(a.emb, c.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim
+  FROM a{t} a JOIN a{t} c ON a.cluster = c.cluster AND a.vec_id < c.vec_id
+  WHERE round(list_dot_product(a.emb, c.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(c.emb, c.emb))), 6)
+        >= {SEMDEDUP_TAU}
+)
+SELECT removed_id, min(keeper_id) AS keeper_id,
+       max(cos_sim) AS max_cos_sim
+FROM hits GROUP BY removed_id
+"""
+    )
+
+
+@query("d14_semdedup_kmeans", oracle=_d14_oracle())
+def d14_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import to_double_array
+    from .similarity import kmeans_exact
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    assigned, _ = kmeans_exact(emb, D14_K, D14_ITERS)
+    return semdedup_prune_bucketed(
+        assigned.withColumnRenamed("cluster", "bucket"), SEMDEDUP_TAU
+    )
+
+
+# ---------------------------------------------------------------------------
 # D11 — verbatim cross-document overlap (the detection core of Lee et
 # al. 2021, "Deduplicating Training Data Makes Language Models
 # Better"): report document pairs sharing at least MIN_SHARED

@@ -748,8 +748,16 @@ def _s07_assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
-def _s07_oracle() -> str:
-    dim = S07_DIM
+def kmeans_oracle_prefix(k: int, iters: int, dim: int = S07_DIM) -> str:
+    """Unrolled-Lloyd CTE prefix (DuckDB): ``WITH v, c0, a0, m0, c1,
+    …, a{iters}`` where ``a{iters}(vec_id, emb, cluster)`` is the
+    final assignment and ``c{iters}(cluster, cent)`` the final
+    centroids — the s07 exact-decimal lockstep recipe as a reusable
+    prefix, shared by s07 (K=8, 5 iters) and d14 (the SemDeDup
+    k-means bucketing certification, K=8, 2 iters). Same arithmetic
+    contract as the Spark twin :func:`kmeans_exact`: assign by
+    ``round(|c|² − 2·x·c, 6)`` with ties to the smallest cluster,
+    update by exact DECIMAL(38,18) sums rounded to 9 decimals."""
     assign = """
 a{t} AS (
   SELECT vec_id, emb, cluster FROM (
@@ -781,15 +789,19 @@ c{{t1}} AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 c0 AS (
-  SELECT vec_id AS cluster, emb AS cent FROM v WHERE vec_id < {KMEANS_K}
+  SELECT vec_id AS cluster, emb AS cent FROM v WHERE vec_id < {k}
 )"""
     ]
-    for t in range(LLOYD_ITERS):
+    for t in range(iters):
         parts.append(assign.format(t=t))
         parts.append(update.format(t=t, t1=t + 1))
-    parts.append(assign.format(t=LLOYD_ITERS))
+    parts.append(assign.format(t=iters))
+    return ",".join(parts)
+
+
+def _s07_oracle() -> str:
     return (
-        ",".join(parts)
+        kmeans_oracle_prefix(KMEANS_K, LLOYD_ITERS, S07_DIM)
         + f"""
 SELECT a.cluster,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -803,29 +815,35 @@ GROUP BY a.cluster, c.cent
 S07_ORACLE = _s07_oracle()
 
 
-@query("s07_kmeans_clusters", oracle=S07_ORACLE)
-def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_exact(
+    emb: DataFrame, k: int, iters: int, dim: int = S07_DIM
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic exact-decimal Lloyd over ``(vec_id, emb)`` —
+    the s07 cross-engine lockstep contract as a reusable helper
+    (shared by s07 and d14): init = the embeddings of vec_ids
+    0..k-1, assign = argmin of ``round(|c|² − 2·x·c, 6)`` with ties
+    to the smallest cluster, update = per-dim mean via exact
+    DECIMAL(38,18) sums rounded to 9 decimals. Returns the final
+    ``(vec_id, emb, cluster)`` DataFrame plus the final centroid
+    list. The SQL twin is :func:`kmeans_oracle_prefix`."""
     from ..functions.deterministic import davg
 
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("emb")
-    )
     # Bounded driver state: k initial centroids, then k×dim means per
     # iteration — the same contract as s05's IVF centroid collect.
-    init = emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     # The oracle uses vec_id AS the cluster id while this side indexes
     # centroids by collect position — sound only while the first K
     # vec_ids are exactly 0..K-1. Fail loudly if the fixture's id
     # space ever turns sparse instead of crashing (IndexError below)
     # or silently diverging from the oracle.
     got_ids = [r["vec_id"] for r in init]
-    if got_ids != list(range(KMEANS_K)):  # not assert: survives -O
+    if got_ids != list(range(k)):  # not assert: survives -O
         raise ValueError(
-            f"s07 requires dense vec_ids 0..{KMEANS_K - 1} (oracle keys "
-            f"clusters by vec_id); fixture has {got_ids}"
+            f"kmeans_exact requires dense vec_ids 0..{k - 1} (oracle "
+            f"keys clusters by vec_id); fixture has {got_ids}"
         )
     cents = [[float(x) for x in r["emb"]] for r in init]
-    for _ in range(LLOYD_ITERS):
+    for _ in range(iters):
         assigned = _s07_assign(emb, cents)
         # Update step as posexplode → one decimal agg over (cluster,
         # pos) instead of 64 per-dimension agg columns: identical
@@ -845,12 +863,33 @@ def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         means: dict[int, list[float]] = {}
+        filled: dict[int, int] = {}
         for r in rows:
-            means.setdefault(int(r["cluster"]), [0.0] * S07_DIM)[
+            means.setdefault(int(r["cluster"]), [0.0] * dim)[
                 int(r["pos"])
             ] = float(r["m"])
-        cents = [means.get(c, cents[c]) for c in range(KMEANS_K)]
-    final = _s07_assign(emb, cents)
+            filled[int(r["cluster"])] = filled.get(int(r["cluster"]), 0) + 1
+        # Fail loudly if any non-empty cluster came back with fewer
+        # than `dim` (cluster, pos) rows — a NULL element or a short
+        # embedding array would otherwise leave a coordinate silently
+        # at the 0.0 placeholder, diverging from the oracle where the
+        # old wide form raised (r12 advisor note).
+        short = {c: n for c, n in filled.items() if n != dim}
+        if short:
+            raise ValueError(
+                f"kmeans_exact update: clusters with != {dim} mean "
+                f"rows (NULL/short embedding in fixture?): {short}"
+            )
+        cents = [means.get(c, cents[c]) for c in range(k)]
+    return _s07_assign(emb, cents), cents
+
+
+@query("s07_kmeans_clusters", oracle=S07_ORACLE)
+def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    final, cents = kmeans_exact(emb, KMEANS_K, LLOYD_ITERS, S07_DIM)
     norms = spark.createDataFrame(
         [(c, list(v)) for c, v in enumerate(cents)],
         "cluster long, cent array<double>",
@@ -973,7 +1012,18 @@ def kmeans_bucket_assign_2level(
     k_coarse = max(1, _math.isqrt(k))
     k_fine = max(1, -(-k // k_coarse))  # ceil
 
-    coarse = kmeans_bucket_assign(emb, k_coarse, iters)
+    # Pin the coarse assignment before it is consumed by TWO separate
+    # actions (the applyInPandas collect that builds the fine codebook,
+    # then the returned mapInPandas): without the barrier the coarse
+    # lineage — including its numpy argmin — would be recomputed for
+    # the second action, and a BLAS/batching ulp flipping an argmin
+    # tie between runs would hand assign_fine a cell that was empty
+    # during the codebook pass (KeyError in fine_mats). localCheckpoint
+    # is the d06/g01 pattern; eager=False defers materialization to
+    # the codebook collect (r12 advisor note).
+    coarse = kmeans_bucket_assign(emb, k_coarse, iters).localCheckpoint(
+        eager=False
+    )
 
     def cell_kmeans(pdf):
         import numpy as _np

@@ -147,14 +147,27 @@ _WINDOW = 50
 # CORRECTNESS_r11 — cleared, so the ten r8-vintage ids (d04, q13, q20,
 # q23, q25, q28, q29, q30, q33, w02 — the oldest driver evidence in
 # the fleet) rotate into the r12 window.
-# r12 pin:
-#   s07 — Lloyd iterations now run behind a per-iteration
-#         localCheckpoint barrier (the s13 pattern) instead of
-#         re-compiling a K-literal centroid plan each step; values
-#         untouched (same arithmetic, same tie-breaks), but the
-#         physical plan changed.
+# r12 pin (CLEARED in r13): s07's update step was rewritten as a
+#   posexplode → single decimal agg over (cluster, pos) — replacing
+#   the 64-column wide decimal agg whose Catalyst compile constant
+#   dominated sf0.001 — and |c|² is now folded driver-side into the
+#   broadcast centroid row instead of re-folded per assign row.
+#   Values untouched (same arithmetic, same tie-breaks); the physical
+#   plan changed, hence the pin.  (The original r12 comment here
+#   misattributed the change to an s13-style localCheckpoint barrier —
+#   that variant was tried and REJECTED, see SCALING.md; corrected per
+#   the r12 advisor so the audit provenance matches the real diff.)
+#   CORRECTNESS_r12 shows s07_kmeans_clusters green (rows+schema+hash,
+#   err null) — the documented clearing condition — so the pin is
+#   cleared and the seven r9-vintage ids (q22, q24, q26, q32, w01,
+#   w05, w07) rotate into the r13 window.
+# r13 pin:
+#   d14 — new catalog id this round (SemDeDup over the K∝N two-level
+#         k-means bucketing production path, promoted from
+#         script-certified per the r12 verdict #3); pin it for a
+#         driver full-oracle pass in its first window.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
-    "s07_kmeans_clusters",
+    "d14_semdedup_kmeans",
 )
 
 

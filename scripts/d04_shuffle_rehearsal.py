@@ -72,26 +72,26 @@ def main() -> None:
             ).count()
             runs.append(round(time.perf_counter() - t0, 3))
         # identity vs the broadcast path on the SAME data: compare the
-        # full verified pair sets, not just counts
-        delta = (
-            verify_jaccard_pairs(
-                docs,
-                d04_candidate_pairs(docs),
-                MINHASH_THRESHOLD,
-                use_broadcast=False,
-            )
-            .select("doc_a", "doc_b")
-            .exceptAll(
-                verify_jaccard_pairs(
-                    docs, d04_candidate_pairs(docs), MINHASH_THRESHOLD
-                ).select("doc_a", "doc_b")
-            )
-            .count()
-        )
-        if delta:
+        # full verified pair sets SYMMETRICALLY — shuffle-minus-
+        # broadcast AND broadcast-minus-shuffle — so pairs either path
+        # emits that the other lacks are caught (the r12 advisor found
+        # the original one-directional exceptAll could pass silently
+        # when the broadcast side emitted extra pairs).
+        shuf = verify_jaccard_pairs(
+            docs,
+            d04_candidate_pairs(docs),
+            MINHASH_THRESHOLD,
+            use_broadcast=False,
+        ).select("doc_a", "doc_b")
+        bcast = verify_jaccard_pairs(
+            docs, d04_candidate_pairs(docs), MINHASH_THRESHOLD
+        ).select("doc_a", "doc_b")
+        extra_shuf = shuf.exceptAll(bcast).count()
+        extra_bcast = bcast.exceptAll(shuf).count()
+        if extra_shuf or extra_bcast:
             sys.exit(
-                f"x{scale}: beyond-broadcast output DIVERGES from the "
-                f"broadcast path ({delta} extra pairs)"
+                f"x{scale}: paths DIVERGE (shuffle-only pairs: "
+                f"{extra_shuf}, broadcast-only pairs: {extra_bcast})"
             )
         block["scales"][f"x{scale}"] = {
             "sec": round(statistics.median(runs), 3),
