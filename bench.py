@@ -217,6 +217,7 @@ def main() -> None:
             "d06_dedup_clusters",
             "d07_dedup_shingle_jaccard",
             "d10_semdedup",
+            "d14_semdedup_kmeans",
             "d11_verbatim_overlap",
             "t14_tfidf_keywords",
             "s08_range_search",
