@@ -417,3 +417,315 @@ def p05_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched_keys = dels.union(upds.select("doc_id")).distinct()
     kept = base.join(matched_keys, "doc_id", "left_anti")
     return kept.unionByName(upds).unionByName(ins)
+
+
+# ---------------------------------------------------------------------------
+# P06 — temperature-weighted source mixture sampling: the data-mixing
+# stage every pre-training recipe runs (Pile/Gopher/LLaMA-style source
+# reweighting) that the catalog previously lacked. Per-source sampling
+# quotas ∝ n_s^T (T = 0.5 here — the temperature that flattens a
+# source-size power law toward uniform), then a DETERMINISTIC
+# hash-ranked draw of exactly quota docs per source — reproducible
+# across engines, runs, partitionings, and re-ingests (the t06/p01
+# md5-rank mechanics, partitioned by source).
+#
+# Cross-engine determinism of the QUOTAS (the subtle part): the
+# weight basis is r_s = floor(sqrt(n_s)·10⁶) — IEEE sqrt is correctly
+# rounded and the ×10⁶/floor make r_s an exact BIGINT in both engines
+# — so Σr_s, B = floor(RATE·N) and q_s = min(n_s, B·r_s // Σr_s) are
+# pure integer arithmetic with bit-identical results (a double
+# Σ sqrt(n_s) would be summation-order-dependent; this is the same
+# order-independence argument as functions/deterministic.py, solved
+# with integers instead of DECIMAL because the operands are counts).
+#
+# Scale shape: one partial-agg count shuffle (|sources| rows), the
+# quota table broadcast back, one shuffle on source for the
+# row_number window. Per-source rank is the honest skew note: a
+# 100 TB corpus with a dominant source puts that source's draw in
+# one task chain; the production posture for that regime is a
+# two-pass threshold draw (approx per-source q-quantile of the rank
+# hash, exact boundary refinement — the d04 verify two-path pattern),
+# which preserves this operator's output contract. At catalog scale
+# and any plausible source cardinality the window is the right plan.
+# ---------------------------------------------------------------------------
+
+P06_RATE = 0.2          # corpus-level sampling budget
+P06_TEMPERATURE = 0.5   # quota basis = n_s^0.5 (sqrt — exact in IEEE)
+P06_SEED = "mix777"
+
+P06_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+basis AS (
+  SELECT source, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS r
+  FROM counts
+),
+tot AS (
+  SELECT SUM(r) AS rs, SUM(n) AS nd FROM basis
+),
+quota AS (
+  SELECT b.source,
+         least(b.n, (CAST(floor({P06_RATE} * t.nd) AS BIGINT) * b.r) // t.rs)
+           AS q
+  FROM basis b CROSS JOIN tot t
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':{P06_SEED}'),
+                    d.doc_id) AS samp_pos
+  FROM documents d
+)
+SELECT r.doc_id, r.source, CAST(r.samp_pos AS BIGINT) AS samp_pos
+FROM ranked r JOIN quota q ON r.source = q.source
+WHERE r.samp_pos <= q.q
+"""
+
+
+def mixture_quotas(
+    counts: dict[str, int], rate: float = P06_RATE
+) -> dict[str, int]:
+    """Exact-integer temperature quotas from per-source counts —
+    min(n_s, B·r_s // Σr_s) with r_s = floor(sqrt(n_s)·10⁶) and
+    B = floor(rate·N). Python ints are arbitrary-precision, so this
+    is bit-identical to the oracle's BIGINT arithmetic."""
+    import math
+
+    r = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in counts.items()}
+    rs = sum(r.values())
+    budget = math.floor(rate * sum(counts.values()))
+    return {
+        s: min(counts[s], (budget * r[s]) // rs) for s in counts
+    }
+
+
+@query("p06_temperature_mixture_sample", oracle=P06_ORACLE)
+def p06_temperature_mixture_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """count sources → exact-integer temperature quotas (bounded
+    driver state: |sources| rows) → broadcast quota join →
+    deterministic md5-ranked per-source draw."""
+    docs = table(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    quotas = mixture_quotas(counts)
+    qdf = spark.createDataFrame(
+        sorted(quotas.items()), "source string, q long"
+    )
+    rank_w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{P06_SEED}"))),
+        "doc_id",
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("samp_pos", F.row_number().over(rank_w).cast("long"))
+        .join(F.broadcast(qdf), "source")
+        .filter(F.col("samp_pos") <= F.col("q"))
+        .select("doc_id", "source", "samp_pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P07 — mixture UPSAMPLING: the second half of data mixing. P06 draws
+# a subsample (budget < corpus); real recipes also run small
+# high-value sources for MULTIPLE epochs while big sources run
+# fractionally (LLaMA-style "epochs" column of the data table). Given
+# the same temperature quota arithmetic with a budget ABOVE corpus
+# size, each source's target t_s = B·r_s // Σr_s splits into
+# full_epochs = t_s // n_s (every doc repeated) plus a remainder
+# draw (the first t_s % n_s docs in the deterministic md5 rank order
+# get one extra epoch). Output is one row per (doc, epoch) — the
+# materialized sampling manifest a packing stage consumes.
+#
+# Same exact-integer determinism as P06 (r_s = floor(sqrt(n_s)·10⁶),
+# all-BIGINT arithmetic). Scale shape: counts shuffle + broadcast
+# targets + ONE row_number window on source (the remainder rank),
+# then a map-side explode(sequence(1, epochs)) — row multiplication
+# happens AFTER the window, inside the scan-project stage, so the
+# shuffled volume is the corpus, not the epochs-multiplied output.
+# ---------------------------------------------------------------------------
+
+P07_RATE = 2.0  # budget = 2× corpus: guarantees a real epochs>1 regime
+
+
+P07_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+basis AS (
+  SELECT source, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS r
+  FROM counts
+),
+tot AS (
+  SELECT SUM(r) AS rs, SUM(n) AS nd FROM basis
+),
+target AS (
+  SELECT b.source, b.n,
+         (CAST(floor({P07_RATE} * t.nd) AS BIGINT) * b.r) // t.rs AS tgt
+  FROM basis b CROSS JOIN tot t
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':{P06_SEED}'),
+                    d.doc_id) AS samp_pos
+  FROM documents d
+),
+epochs AS (
+  SELECT r.doc_id, r.source,
+         (t.tgt // t.n)
+           + CASE WHEN r.samp_pos <= (t.tgt % t.n) THEN 1 ELSE 0 END
+           AS n_epochs
+  FROM ranked r JOIN target t ON r.source = t.source
+)
+SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch
+FROM epochs CROSS JOIN
+     (SELECT unnest(generate_series(1, CAST({{max_e}} AS BIGINT))) AS epoch) e
+WHERE e.epoch <= n_epochs
+"""
+
+
+def _p07_oracle() -> str:
+    # generate_series needs a constant upper bound: 1 + ceil(rate) + 1
+    # covers any temperature-flattened epoch count for T=0.5 at the
+    # catalog's source-count range; the WHERE clamps per row. A source
+    # would need a quota basis ~2x the mean to exceed it — asserted on
+    # the Spark side (fail loud if the fixture ever drifts there).
+    return P07_ORACLE.format(max_e=P07_MAX_EPOCHS)
+
+
+P07_MAX_EPOCHS = 8
+
+
+@query("p07_mixture_upsample", oracle=_p07_oracle())
+def p07_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """counts → exact-integer temperature targets → per-source epochs
+    (full repeats + md5-ranked remainder) → map-side explode into the
+    (doc, epoch) manifest."""
+    import math
+
+    docs = table(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    r = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in counts.items()}
+    rs = sum(r.values())
+    budget = math.floor(P07_RATE * sum(counts.values()))
+    tgt = {s: (budget * r[s]) // rs for s in counts}
+    worst = max(
+        tgt[s] // counts[s] + (1 if tgt[s] % counts[s] else 0)
+        for s in counts
+    )
+    if worst > P07_MAX_EPOCHS:  # not assert: survives -O
+        raise ValueError(
+            f"p07: source epoch count {worst} exceeds the oracle's "
+            f"generate_series bound {P07_MAX_EPOCHS}; raise P07_MAX_EPOCHS"
+        )
+    tdf = spark.createDataFrame(
+        sorted((s, counts[s], tgt[s]) for s in counts),
+        "source string, n long, tgt long",
+    )
+    rank_w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{P06_SEED}"))),
+        "doc_id",
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("samp_pos", F.row_number().over(rank_w).cast("long"))
+        .join(F.broadcast(tdf), "source")
+        .withColumn(
+            "n_epochs",
+            # `div` is Spark's integer division — exact at any BIGINT
+            # magnitude, unlike a double `/` + cast truncation
+            F.expr("tgt div n")
+            + (F.col("samp_pos") <= F.col("tgt") % F.col("n")).cast("long"),
+        )
+        .filter(F.col("n_epochs") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))
+            ).alias("epoch"),
+        )
+    )
+
+
+def mixture_threshold_draw(
+    docs: DataFrame, quotas: dict[str, int], prefix_len: int = 2
+) -> DataFrame:
+    """The 100 TB posture for P06's per-source draw — the skew note
+    in the P06 header as CODE: selecting each source's quota-smallest
+    rank hashes WITHOUT sorting whole sources through one window
+    partition (a dominant source would serialize in a single task
+    chain there).
+
+    Two passes, the d04-verify / r11 "refine must be sliver-sized"
+    shape:
+      1. map-side histogram of the first ``prefix_len`` hex chars of
+         the rank hash per source (bounded driver state:
+         |sources|·16^prefix_len rows) → per source, the boundary
+         prefix holding the quota-th value and how many are needed
+         from inside it;
+      2. rows strictly below the boundary prefix pass with NO sort;
+         only the boundary bucket (≈ n_s/16^prefix_len rows) goes
+         through a row_number window — the only sort, sliver-sized.
+
+    Returns the kept ``(doc_id, source)`` set — identical to the
+    P06 window path's doc set (equivalence-tested); the rank
+    POSITION is intentionally not produced (a global per-source
+    position is exactly the thing this path avoids computing)."""
+    spark = docs.sparkSession
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":{P06_SEED}"))
+        ).alias("h"),
+    )
+    pfx = F.substring("h", 1, prefix_len)
+    hist = (
+        ranked.groupBy("source", pfx.alias("pfx"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_source: dict[str, list[tuple[str, int]]] = {}
+    for r in hist:
+        by_source.setdefault(r["source"], []).append((r["pfx"], r["n"]))
+    bounds = []  # (source, boundary_pfx, need_within_boundary)
+    for s, buckets in by_source.items():
+        q = quotas.get(s, 0)
+        if q <= 0:
+            continue
+        cum = 0
+        for bpfx, n in sorted(buckets):
+            if cum + n >= q:
+                bounds.append((s, bpfx, q - cum))
+                break
+            cum += n
+        else:  # quota >= n_s: keep the whole source
+            bounds.append((s, "g", 0))  # "g" > every hex char
+    bdf = spark.createDataFrame(
+        bounds, "source string, bpfx string, need long"
+    )
+    j = ranked.join(F.broadcast(bdf), "source")
+    sure = j.filter(pfx < F.col("bpfx")).select("doc_id", "source")
+    edge_w = W.partitionBy("source").orderBy("h", "doc_id")
+    edge = (
+        j.filter(pfx == F.col("bpfx"))
+        .withColumn("rn", F.row_number().over(edge_w))
+        .filter(F.col("rn") <= F.col("need"))
+        .select("doc_id", "source")
+    )
+    return sure.unionByName(edge)

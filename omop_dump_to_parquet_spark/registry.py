@@ -161,13 +161,17 @@ _WINDOW = 50
 #   err null) — the documented clearing condition — so the pin is
 #   cleared and the seven r9-vintage ids (q22, q24, q26, q32, w01,
 #   w05, w07) rotate into the r13 window.
-# r13 pin:
-#   d14 — new catalog id this round (SemDeDup over the K∝N two-level
-#         k-means bucketing production path, promoted from
-#         script-certified per the r12 verdict #3); pin it for a
-#         driver full-oracle pass in its first window.
+# r13 pins — the three NEW catalog ids this round, pinned for a
+# driver full-oracle pass in their first window:
+#   d14 — SemDeDup over k-means bucketing (the production-path
+#         certification the r12 verdict asked for, #3);
+#   p06/p07 — temperature-weighted source mixture sampling and
+#         epoch upsampling (the data-mixing stage of a training
+#         pipeline, previously absent from the catalog).
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d14_semdedup_kmeans",
+    "p06_temperature_mixture_sample",
+    "p07_mixture_upsample",
 )
 
 

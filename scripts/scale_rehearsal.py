@@ -66,6 +66,12 @@ OPS = (
     # decimal agg replacing the 64-column wide agg) — standing rule:
     # a plan change gets fresh ×10 rows alongside its driver pin.
     "s07_kmeans_clusters",
+    # r13: the three new catalog ids (standing rule: new plan-bearing
+    # code gets ×10 rows alongside its driver pin) — d14 k-means
+    # SemDeDup, p06/p07 mixture sampling/upsampling.
+    "d14_semdedup_kmeans",
+    "p06_temperature_mixture_sample",
+    "p07_mixture_upsample",
 )
 SCALES = (1, 3, 10)
 

@@ -66,3 +66,118 @@ def test_d14_buckets_match_s07_contract_and_prune_is_within_bucket(
     for r in out:
         assert r["keeper_id"] < r["removed_id"]
         assert bucket_of[r["keeper_id"]] == bucket_of[r["removed_id"]]
+
+
+def _skewed_docs(spark):
+    """800-doc corpus, source sizes 500/200/80/20 — the skew the
+    uniform sf fixtures cannot exercise."""
+    rows = []
+    did = 0
+    for src, n in (("big", 500), ("mid", 200), ("small", 80), ("tiny", 20)):
+        for _ in range(n):
+            rows.append((did, src))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mixture_quotas_flatten_by_temperature():
+    from omop_dump_to_parquet_spark.operators.pipeline import mixture_quotas
+
+    counts = {"big": 500, "mid": 200, "small": 80, "tiny": 20}
+    q = mixture_quotas(counts, rate=0.2)
+    budget = int(0.2 * sum(counts.values()))
+    assert sum(q.values()) <= budget  # floor rounding never overshoots
+    assert all(q[s] <= counts[s] for s in counts)
+    # temperature T=0.5 flattens: smaller sources get a strictly
+    # higher sampling RATE than larger ones
+    rates = {s: q[s] / counts[s] for s in counts}
+    assert rates["tiny"] > rates["small"] > rates["mid"] > rates["big"]
+    # and the quota ratio tracks sqrt(n) ratio, not n ratio
+    assert q["big"] / q["tiny"] < counts["big"] / counts["tiny"]
+
+
+def test_p07_epochs_upsample_small_sources(spark, tmp_path):
+    """With a 2x corpus budget, the temperature-flattened targets give
+    small sources MORE epochs per doc than large ones, every doc of
+    every source appears, and per-source totals equal the integer
+    targets exactly."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = _skewed_docs(spark).toPandas()
+    docs["text"] = "x"
+    docs["lang"] = "en"
+    docs["n_chars"] = 1
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+
+    from omop_dump_to_parquet_spark import load_catalog
+    from omop_dump_to_parquet_spark.operators.pipeline import P07_RATE
+
+    queries, _ = load_catalog()
+    out = (
+        queries["p07_mixture_upsample"](spark, str(tmp_path))
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    totals = {r["source"]: r["count"] for r in out}
+    counts = {"big": 500, "mid": 200, "small": 80, "tiny": 20}
+    r = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in counts.items()}
+    budget = math.floor(P07_RATE * sum(counts.values()))
+    tgt = {s: (budget * r[s]) // sum(r.values()) for s in counts}
+    assert totals == tgt
+    epochs_per_doc = {s: totals[s] / counts[s] for s in counts}
+    assert (
+        epochs_per_doc["tiny"]
+        > epochs_per_doc["small"]
+        > epochs_per_doc["mid"]
+        > epochs_per_doc["big"]
+    )
+
+
+def test_mixture_threshold_draw_equals_window_path(spark, sf_small, tmp_path):
+    """The two-pass threshold draw (the 100 TB skew posture) must keep
+    EXACTLY the window path's doc set — on the driver fixture and on
+    the skewed corpus, at two histogram granularities (prefix_len 1
+    exercises multi-bucket boundaries, 2 the sliver regime)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from omop_dump_to_parquet_spark import load_catalog
+    from omop_dump_to_parquet_spark.operators.pipeline import (
+        mixture_quotas,
+        mixture_threshold_draw,
+    )
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    queries, _ = load_catalog()
+
+    skewed = _skewed_docs(spark).toPandas()
+    skewed["text"] = "x"
+    skewed["lang"] = "en"
+    skewed["n_chars"] = 1
+    pq.write_table(
+        pa.Table.from_pandas(skewed), str(tmp_path / "documents.parquet")
+    )
+
+    for sf_dir in (sf_small, str(tmp_path)):
+        docs = table(spark, sf_dir, "documents")
+        counts = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        quotas = mixture_quotas(counts)
+        want = {
+            (r["doc_id"], r["source"])
+            for r in queries["p06_temperature_mixture_sample"](
+                spark, sf_dir
+            ).collect()
+        }
+        for plen in (1, 2):
+            got = {
+                (r["doc_id"], r["source"])
+                for r in mixture_threshold_draw(docs, quotas, plen).collect()
+            }
+            assert got == want, (sf_dir, plen, len(got), len(want))
