@@ -259,6 +259,43 @@ def main() -> None:
         results["graph_heaps_extension"] = block
         save()
 
+    # ---- block 4: p06/p07 mixture ops at x100 ------------------------
+    if not only or "mixture" in only:
+        block = {
+            "note": (
+                "r13: the new mixture-sampling ids at the second decade "
+                "(.scale x10/x100 documents, 50k->500k rows); both are "
+                "one count shuffle + one source-window + (p07) a "
+                "map-side explode, so the expectation is flat-to-linear"
+            ),
+            "ops": {},
+        }
+        for op in (
+            "p06_temperature_mixture_sample",
+            "p07_mixture_upsample",
+        ):
+            block["ops"][op] = {}
+            for scale in (10, 100):
+                sf_dir = os.path.join(root, f"x{scale}")
+                sec, runs, rows = _median_wall(
+                    lambda: queries[op](spark, sf_dir), gc
+                )
+                block["ops"][op][f"x{scale}"] = {
+                    "sec": sec,
+                    "raw": runs,
+                    "rows_out": rows,
+                }
+                print(
+                    f"x{scale}: {op} median {sec}s of {runs}, {rows} rows",
+                    file=sys.stderr,
+                )
+            block["ops"][op]["step_alpha"] = _step_alpha(
+                block["ops"][op]["x10"]["sec"],
+                block["ops"][op]["x100"]["sec"],
+            )
+        results["mixture_x100_extension"] = block
+        save()
+
     # ---- block 1: d13 at x100 ---------------------------------------
     if not only or "d13" in only:
         block = {
@@ -309,6 +346,7 @@ def main() -> None:
                 for k in (
                     "s04_d08_dispersed_x100",
                     "graph_heaps_extension",
+                    "mixture_x100_extension",
                     "d13_x100_extension",
                 )
                 if k in results
