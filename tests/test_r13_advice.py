@@ -181,3 +181,46 @@ def test_mixture_threshold_draw_equals_window_path(spark, sf_small, tmp_path):
                 for r in mixture_threshold_draw(docs, quotas, plen).collect()
             }
             assert got == want, (sf_dir, plen, len(got), len(want))
+
+
+def test_mixture_quotas_properties_hypothesis():
+    """Property test over arbitrary source-count maps: quotas never
+    exceed source size, never overshoot the budget, are monotone in
+    source size (a bigger source never gets a smaller quota), and are
+    insensitive to dict insertion order (the determinism contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from omop_dump_to_parquet_spark.operators.pipeline import mixture_quotas
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+            st.integers(min_value=1, max_value=10_000_000),
+            min_size=1,
+            max_size=30,
+        ),
+        st.floats(min_value=0.01, max_value=1.0),
+    )
+    def check(counts, rate):
+        import math
+
+        q = mixture_quotas(counts, rate=rate)
+        assert set(q) == set(counts)
+        assert all(0 <= q[s] <= counts[s] for s in counts)
+        assert sum(q.values()) <= math.floor(rate * sum(counts.values()))
+        ordered = sorted(counts, key=counts.__getitem__)
+        for a, b in zip(ordered, ordered[1:]):
+            if counts[a] == counts[b]:
+                assert q[a] == q[b]
+        # insertion-order insensitivity
+        rev = dict(reversed(list(counts.items())))
+        assert mixture_quotas(rev, rate=rate) == q
+        # monotone: strictly bigger source never gets a smaller quota
+        for a in counts:
+            for b in counts:
+                if counts[a] < counts[b]:
+                    assert q[a] <= q[b]
+
+    check()
