@@ -47,6 +47,19 @@ OPS = (
     "d10_semdedup",
     "g01_pagerank",
     "d11_verbatim_overlap",
+    # r13 completion: the remaining x10-measured ops without a second
+    # decade — s07 exact Lloyd (5 iters × map-assign + k×dim partial
+    # agg, linear expectation), s13 MMR (K barrier-separated greedy
+    # steps, each one corpus scan), t13 unigram-LM scoring (broadcast
+    # vocab, one scan). d14 is deliberately NOT here: its fixed-K=8
+    # catalog contract at 200k vectors is the d10-default pop² regime
+    # (25k-row buckets → 5 GB score matrices, the measured GC-death
+    # shape from x30) — already characterized by d10's default-knob
+    # x100 row (α 1.73), while d14's PRODUCTION posture (K∝N 2-level
+    # k-means) has its own x100 rows in x100_attribution.
+    "s07_kmeans_clusters",
+    "s13_mmr_diversified",
+    "t13_unigram_logprob",
 )
 
 
