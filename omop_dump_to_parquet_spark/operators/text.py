@@ -1229,3 +1229,248 @@ def t20_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.log("n"), F.log("rank")), 6).alias("zipf_r2"),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T21 — overlapping context-window chunking: split each document's
+# token stream into fixed-size windows with a stride (the RAG /
+# long-context pre-training chunker — the complement of T10's
+# packing: T10 concatenates SHORT docs into budget-sized sequences,
+# T21 splits LONG docs into window-sized pieces with overlap so no
+# boundary context is lost). A chunk starts every STRIDE tokens; a
+# chunk is emitted only while it contributes at least one NEW token
+# (n_chunks = 1 + ceil((n_tok - WINDOW)/STRIDE) for n_tok > WINDOW,
+# else 1), so the tail is never a pure subset of its predecessor.
+# The sliced CONTENT is verified, not just the arithmetic: chunk_md5
+# hashes the space-rejoined token slice, and Spark's slice(arr,
+# start, len) and DuckDB's list_slice(l, start, start+len-1) share
+# 1-based clamping semantics, so a fencepost bug on either side
+# hash-fails.
+#
+# Scale: pure map-side — explode(sequence(0, n_chunks-1)) fans each
+# doc out to its chunk rows inside the same task, no shuffle, no
+# window, whole-stage codegen end to end; expansion factor is
+# bounded by max_doc_tokens/STRIDE. At 100 TB this is the shape you
+# want: chunking parallelism equals scan parallelism, and the output
+# can stream straight into a sized parquet sink (O9). Reference has
+# no text surface (SURVEY §2.2); [EXT] per §2.3.
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24  # 8-token overlap
+
+T21_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+counted AS (
+  SELECT *,
+         1 + CASE WHEN n_tok > {CHUNK_WINDOW}
+                  THEN (n_tok - {CHUNK_WINDOW} + {CHUNK_STRIDE} - 1)
+                       // {CHUNK_STRIDE}
+                  ELSE 0 END AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {CHUNK_STRIDE} AS BIGINT) AS tok_start,
+       CAST(least({CHUNK_WINDOW}, n_tok - i * {CHUNK_STRIDE}) AS BIGINT)
+         AS chunk_len,
+       md5(array_to_string(
+             list_slice(tok, i * {CHUNK_STRIDE} + 1,
+                        i * {CHUNK_STRIDE} + {CHUNK_WINDOW}), ' '))
+         AS chunk_md5
+FROM counted,
+     LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i)
+"""
+
+
+@query("t21_context_chunking", oracle=T21_ORACLE)
+def t21_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21 — overlapping window/stride chunking; content-verified via
+    md5 of each token slice. Map-side only (see block comment)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = docs.select(
+        "doc_id", toks.alias("tok"), F.size(toks).alias("n_tok")
+    )
+    # integer ceil-div via `div` (exact BIGINT arithmetic; a double
+    # divide + floor would also work here but `div` matches the
+    # oracle's `//` by construction — the t10 lesson).
+    n_chunks = F.when(
+        F.col("n_tok") > CHUNK_WINDOW,
+        F.expr(
+            f"1 + ((n_tok - {CHUNK_WINDOW} + {CHUNK_STRIDE} - 1)"
+            f" div {CHUNK_STRIDE})"
+        ),
+    ).otherwise(F.lit(1))
+    fanned = base.select(
+        "doc_id",
+        "tok",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+    )
+    tok_start = F.col("i") * CHUNK_STRIDE
+    return fanned.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        tok_start.cast("long").alias("tok_start"),
+        F.least(F.lit(CHUNK_WINDOW), F.col("n_tok") - tok_start)
+        .cast("long")
+        .alias("chunk_len"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("tok"), tok_start + 1, CHUNK_WINDOW)
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T22 — BPE merge learning (tokenizer training): N iterations of
+# count-adjacent-symbol-pairs → merge the most frequent pair
+# (Sennrich et al., the byte-pair-encoding vocabulary learner every
+# LLM tokenizer starts from). Words start as character sequences;
+# each iteration counts adjacent pairs weighted by corpus word
+# frequency, picks argmax (count desc, then (left, right) lexical —
+# a total order both engines share on ASCII), and applies the merge
+# left-to-right non-overlapping to every word.
+#
+# The merge application trick that keeps BOTH engines lambda-free
+# and lockstep: a word's symbols are held as a double-space-joined
+# string with single-space sentinels ('  a  b  c  '), so merging
+# pair (l, r) is EXACTLY one literal replace(' l  r ', ' lr ') —
+# replace() scans left-to-right non-overlapping in Spark (Java
+# String semantics) and DuckDB alike, the double-space delimiter
+# makes matches symbol-boundary-safe ('ab c' can't match pair
+# (b, c)), and consecutive merge sites work because each match
+# consumes one space of each flanking double space, leaving the
+# boundary halves to reconstitute ('  a  b  a  b  ' → '  ab  ab  ';
+# overlap '  a  a  a  ' with (a, a) → '  aa  a  ' — verified
+# against a pure-Python BPE reference in tests).
+#
+# Scale: the corpus is scanned ONCE (the vocab groupBy — the only
+# corpus-sized shuffle, partial-agged map-side); every iteration
+# thereafter works on the Heaps-sublinear vocabulary (~|V| rows):
+# pair counting shuffles |V| rows, the argmax is ONE collected row
+# per iteration (bounded driver state, the s07 centroid pattern —
+# the winning pair is data the next iteration's plan literal needs,
+# so it must visit the driver), and the merge is a map-side string
+# replace. localCheckpoint per iteration truncates the iterative
+# lineage (the graph.py pattern). Reference has no text surface
+# (SURVEY §2.2); [EXT] per §2.3.
+# ---------------------------------------------------------------------------
+
+BPE_ITERS = 3
+
+
+def _t22_oracle(iters: int = BPE_ITERS) -> str:
+    layers = []
+    for i in range(1, iters + 1):
+        prev = f"sym{i - 1}"
+        layers.append(f"""
+pairs{i} AS (
+  SELECT lst[j] AS l, lst[j+1] AS r, SUM(wc) AS cnt
+  FROM (SELECT wc, string_split(trim(rep), '  ') AS lst FROM {prev})
+     , LATERAL (SELECT unnest(generate_series(1, len(lst)-1)) AS j)
+  GROUP BY 1, 2
+),
+best{i} AS (
+  SELECT {i} AS iteration, l AS left_sym, r AS right_sym,
+         l || r AS merged_sym, CAST(cnt AS BIGINT) AS pair_count
+  FROM pairs{i} ORDER BY cnt DESC, l, r LIMIT 1
+),
+sym{i} AS (
+  SELECT wc, replace(rep, ' ' || b.left_sym || '  ' || b.right_sym || ' ',
+                          ' ' || b.merged_sym || ' ') AS rep
+  FROM {prev}, best{i} b
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT * FROM best{i}" for i in range(1, iters + 1)
+    )
+    return (
+        """
+WITH vocab AS (
+  SELECT w AS word, COUNT(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+sym0 AS (
+  SELECT wc,
+         '  ' || array_to_string(string_split(word, ''), '  ') || '  '
+           AS rep
+  FROM vocab
+),"""
+        + ",".join(layers)
+        + f"\n{finals}"
+    )
+
+
+T22_ORACLE = _t22_oracle()
+
+
+@query("t22_bpe_merges", oracle=T22_ORACLE)
+def t22_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22 — N-iteration BPE merge-table learning (see block comment;
+    merge pairs are bounded driver state, one row per iteration)."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # '  a  b  c  ' — double-space delimited, single-space sentinels
+    sym = vocab.select(
+        "wc",
+        F.concat(
+            F.lit(" "), F.regexp_replace("word", "(.)", "$1  ")
+        ).alias("rep"),
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(1, BPE_ITERS + 1):
+        lst = F.split(F.trim(F.col("rep")), "  ")
+        fanned = (
+            sym.select("wc", lst.alias("lst"))
+            .filter(F.size("lst") > 1)
+            .select(
+                "wc",
+                "lst",
+                # Spark's sequence() auto-steps DOWN when start>stop,
+                # so single-symbol words are filtered out above
+                # rather than guarded here.
+                F.explode(
+                    F.sequence(F.lit(1), F.size("lst") - 1)
+                ).alias("j"),
+            )
+        )
+        best = (
+            fanned.select(
+                F.element_at("lst", F.col("j")).alias("l"),
+                F.element_at("lst", F.col("j") + 1).alias("r"),
+                "wc",
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()[0]  # bounded driver state: ONE row per iter
+        )
+        merges.append(
+            (i, best["l"], best["r"], best["l"] + best["r"], int(best["cnt"]))
+        )
+        sym = sym.withColumn(
+            "rep",
+            F.replace(
+                F.col("rep"),
+                F.lit(f" {best['l']}  {best['r']} "),
+                F.lit(f" {best['l']}{best['r']} "),
+            ),
+        ).localCheckpoint()  # truncate iterative lineage (graph.py)
+    return spark.createDataFrame(
+        merges,
+        "iteration int, left_sym string, right_sym string, "
+        "merged_sym string, pair_count long",
+    )

@@ -161,17 +161,24 @@ _WINDOW = 50
 #   err null) — the documented clearing condition — so the pin is
 #   cleared and the seven r9-vintage ids (q22, q24, q26, q32, w01,
 #   w05, w07) rotate into the r13 window.
-# r13 pins — the three NEW catalog ids this round, pinned for a
+# r13 pins — the five NEW catalog ids this round, pinned for a
 # driver full-oracle pass in their first window:
 #   d14 — SemDeDup over k-means bucketing (the production-path
 #         certification the r12 verdict asked for, #3);
 #   p06/p07 — temperature-weighted source mixture sampling and
 #         epoch upsampling (the data-mixing stage of a training
-#         pipeline, previously absent from the catalog).
+#         pipeline, previously absent from the catalog);
+#   t21/t22 — overlapping context-window chunking (the RAG /
+#         long-doc splitter, the complement of t10's packing) and
+#         BPE merge-table learning (tokenizer training — iterative
+#         argmax-pair merges, validated against a pure-Python
+#         Sennrich reference in tests).
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d14_semdedup_kmeans",
     "p06_temperature_mixture_sample",
     "p07_mixture_upsample",
+    "t21_context_chunking",
+    "t22_bpe_merges",
 )
 
 

@@ -208,3 +208,78 @@ def test_t19_bigram_counts_and_score_shape(spark, sf_small):
         terms = [nll[(t[i], t[i + 1])] for i in range(len(t) - 1)]
         expect = round(math.fsum(terms) / len(terms), 6)
         assert abs(r["avg_nll"] - expect) < 2e-6, (d, r["avg_nll"], expect)
+
+
+def test_t21_chunking_invariants(spark, sf_small):
+    """Chunk semantics the oracle can't state: full coverage (the
+    chunk set spans every token exactly once per its overlap), the
+    tail chunk always contributes new tokens (never a pure subset of
+    its predecessor), and short docs yield exactly one chunk."""
+    out = T.t21_context_chunking(spark, sf_small).cache()
+    docs = table(spark, sf_small, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    j = out.join(docs, "doc_id")
+    # every chunk is non-empty and in-bounds
+    assert j.filter(
+        (F.col("chunk_len") <= 0)
+        | (F.col("tok_start") + F.col("chunk_len") > F.col("n_tok"))
+    ).count() == 0
+    # coverage: last chunk reaches the final token of the doc
+    last = j.groupBy("doc_id", "n_tok").agg(
+        F.max(F.col("tok_start") + F.col("chunk_len")).alias("covered"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    assert last.filter(F.col("covered") != F.col("n_tok")).count() == 0
+    # short docs (n_tok <= WINDOW): exactly one chunk
+    assert last.filter(
+        (F.col("n_tok") <= T.CHUNK_WINDOW) & (F.col("n_chunks") != 1)
+    ).count() == 0
+    # every non-first chunk contributes new tokens: its end must
+    # exceed the previous chunk's end (strides are fixed, so end is
+    # monotone iff each tail chunk adds content)
+    prev_end = (F.col("chunk_idx") - 1) * T.CHUNK_STRIDE + T.CHUNK_WINDOW
+    assert j.filter(
+        (F.col("chunk_idx") > 0)
+        & (F.col("tok_start") + F.col("chunk_len") <= F.least(prev_end, F.col("n_tok")) - F.lit(1))
+    ).count() == 0
+    out.unpersist()
+
+
+def test_t22_matches_pure_python_bpe_reference(spark, sf_small):
+    """The differential oracle can't catch a bug in the shared
+    double-space replace() trick (both engines would drift together),
+    so validate the merge table against a from-scratch pure-Python
+    BPE learner (Sennrich semantics: overlap-counted pair frequencies,
+    left-to-right non-overlapping merge application)."""
+    import collections
+
+    got = [
+        (r["iteration"], r["left_sym"], r["right_sym"],
+         r["merged_sym"], r["pair_count"])
+        for r in T.t22_bpe_merges(spark, sf_small).collect()
+    ]
+    words = collections.Counter()
+    for r in table(spark, sf_small, "documents").select("text").collect():
+        words.update(r["text"].split(" "))
+    syms = {w: list(w) for w in words}
+    want = []
+    for it in range(1, T.BPE_ITERS + 1):
+        pc = collections.Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        (lft, rgt), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((it, lft, rgt, lft + rgt, cnt))
+        for w, s in syms.items():
+            out, k = [], 0
+            while k < len(s):
+                if k + 1 < len(s) and s[k] == lft and s[k + 1] == rgt:
+                    out.append(lft + rgt)
+                    k += 2
+                else:
+                    out.append(s[k])
+                    k += 1
+            syms[w] = out
+    assert sorted(got) == sorted(want)
