@@ -72,6 +72,11 @@ OPS = (
     "d14_semdedup_kmeans",
     "p06_temperature_mixture_sample",
     "p07_mixture_upsample",
+    # r13 late additions: t21 chunking (map-side, expansion bounded
+    # by max_doc_tokens/stride) and t22 BPE learning (one corpus
+    # scan + Heaps-vocab-sized iterations).
+    "t21_context_chunking",
+    "t22_bpe_merges",
 )
 SCALES = (1, 3, 10)
 
