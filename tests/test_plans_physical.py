@@ -471,3 +471,14 @@ def test_q54_plans_null_aware_anti_join(spark, sf_small):
     rows = QUERIES["q54_not_in_null_aware"](spark, sf_small).collect()
     assert rows, "q54 is vacuous at this scale"
     assert all(r["uid"] is not None for r in rows)
+
+
+def test_t21_chunking_is_shuffle_free(spark, sf_small):
+    """t21's 100 TB claim is 'chunking parallelism == scan
+    parallelism': the whole plan must be scan → project/generate with
+    NO Exchange, and only doc_id/text read from the parquet scan."""
+    plan = formatted_plan(spark, "t21_context_chunking", sf_small)
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode(sequence(...)) fan-out
+    schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in schema and "lang" not in schema and "source" not in schema
