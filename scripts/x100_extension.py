@@ -60,6 +60,11 @@ OPS = (
     "s07_kmeans_clusters",
     "s13_mmr_diversified",
     "t13_unigram_logprob",
+    # r13 late additions: t21 chunking (map-side explode — output
+    # linear, wall should track the scan) and t22 BPE learning (one
+    # corpus scan + fixed-vocab iterations on this fixture).
+    "t21_context_chunking",
+    "t22_bpe_merges",
 )
 
 
