@@ -1287,11 +1287,12 @@ FROM counted,
 """
 
 
-@query("t21_context_chunking", oracle=T21_ORACLE)
-def t21_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T21 — overlapping window/stride chunking; content-verified via
-    md5 of each token slice. Map-side only (see block comment)."""
-    docs = table(spark, sf_dir, "documents")
+def chunk_documents(docs: DataFrame) -> DataFrame:
+    """The t21 chunking transform over any DataFrame with (doc_id,
+    text) — STATELESS and map-side, so the identical plan runs under
+    ``readStream`` (st10 certifies batch≡stream on the same oracle:
+    Structured Streaming's unification claim, applied to the
+    continuously-ingested-corpus case)."""
     toks = tokens("text")
     base = docs.select(
         "doc_id", toks.alias("tok"), F.size(toks).alias("n_tok")
@@ -1326,6 +1327,13 @@ def t21_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+@query("t21_context_chunking", oracle=T21_ORACLE)
+def t21_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21 — overlapping window/stride chunking; content-verified via
+    md5 of each token slice. Map-side only (see block comment)."""
+    return chunk_documents(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

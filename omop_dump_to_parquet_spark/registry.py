@@ -173,12 +173,16 @@ _WINDOW = 50
 #         BPE merge-table learning (tokenizer training — iterative
 #         argmax-pair merges, validated against a pure-Python
 #         Sennrich reference in tests).
+#   st10 — t21's chunker run unchanged under readStream (oracle is
+#         T21's SQL verbatim — the batch≡stream certificate for the
+#         continuously-ingested-corpus path).
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d14_semdedup_kmeans",
     "p06_temperature_mixture_sample",
     "p07_mixture_upsample",
     "t21_context_chunking",
     "t22_bpe_merges",
+    "st10_stream_chunking",
 )
 
 

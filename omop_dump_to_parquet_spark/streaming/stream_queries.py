@@ -888,3 +888,61 @@ def st09_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         await_watermark_flush=True,
     )
     return out.filter(F.col("n_events") > 0)
+
+
+# ---------------------------------------------------------------------------
+# ST10 — streaming corpus chunking: the t21 context-window chunker
+# run UNCHANGED under readStream over a replayed ``documents`` table.
+# This is the continuously-ingested-corpus half of the training-data
+# pipeline: documents landing in the lake get chunked by the exact
+# plan the batch path uses (operators/text.py::chunk_documents is
+# stateless and map-side, so Structured Streaming runs it with no
+# state stores, no watermark, and no output-mode caveats), and the
+# oracle is literally T21's SQL — batch ≡ stream, hash-compared.
+#
+# Scale: a stateless streaming stage's throughput equals the batch
+# plan's (same whole-stage-codegen pipeline per micro-batch); the
+# sizing knobs are source-side (maxFilesPerTrigger against the
+# landing rate) rather than state-side. At 100 TB/day ingest this is
+# the shape that works: chunk fan-out happens inside each
+# micro-batch's scan tasks and streams straight to the sized parquet
+# sink (O9), no shuffle anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _stage_documents(sf_dir: str) -> str:
+    """Staging dir symlinking the documents fixture for
+    FileStreamSource replay (the _stage_events recipe, documents
+    table)."""
+    key = f"{sf_dir}::documents"
+    stage = _STAGED.get(key)
+    if stage is None or not os.path.exists(stage):
+        stage = tempfile.mkdtemp(prefix="documents_stream_")
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/documents.parquet"),
+            os.path.join(stage, "documents.parquet"),
+        )
+        _STAGED[key] = stage
+    return stage
+
+
+from ..operators.text import T21_ORACLE as _T21_ORACLE
+from ..operators.text import chunk_documents as _chunk_documents
+
+
+@query("st10_stream_chunking", oracle=_T21_ORACLE)
+def st10_stream_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10 — t21's chunker under readStream (see block comment).
+    The oracle is T21's SQL verbatim — the strongest possible
+    batch≡stream statement."""
+
+    def build(s: SparkSession) -> DataFrame:
+        raw = s.read.parquet(f"{sf_dir}/documents.parquet")
+        stream = s.readStream.schema(raw.schema).parquet(
+            _stage_documents(sf_dir)
+        )
+        return _chunk_documents(stream)
+
+    return _run_to_memory(
+        build, spark, "st10_out", "append", expect_single_batch=True
+    )

@@ -283,3 +283,17 @@ def test_t22_matches_pure_python_bpe_reference(spark, sf_small):
                     k += 1
             syms[w] = out
     assert sorted(got) == sorted(want)
+
+
+def test_st10_stream_equals_t21_batch(spark, sf_small):
+    """st10 is t21's plan under readStream; assert stream≡batch
+    Spark-vs-Spark directly (the DuckDB oracle proves each against
+    SQL — this proves them against each other with zero oracle in
+    the loop)."""
+    from omop_dump_to_parquet_spark.streaming import stream_queries as S
+
+    batch = T.t21_context_chunking(spark, sf_small)
+    streamed = S.st10_stream_chunking(spark, sf_small)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    assert streamed.count() == batch.count()
