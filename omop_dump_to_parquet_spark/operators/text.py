@@ -1419,11 +1419,12 @@ sym0 AS (
 T22_ORACLE = _t22_oracle()
 
 
-@query("t22_bpe_merges", oracle=T22_ORACLE)
-def t22_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T22 — N-iteration BPE merge-table learning (see block comment;
-    merge pairs are bounded driver state, one row per iteration)."""
-    docs = table(spark, sf_dir, "documents")
+def learn_bpe_merges(
+    docs: DataFrame, iters: int = BPE_ITERS
+) -> list[tuple[int, str, str, str, int]]:
+    """The t22 learning loop, factored so t23 (encode) applies the
+    SAME learned table. Returns [(iteration, left, right, merged,
+    pair_count)] — bounded driver state, one row per iteration."""
     vocab = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
@@ -1438,7 +1439,7 @@ def t22_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, str, str, int]] = []
-    for i in range(1, BPE_ITERS + 1):
+    for i in range(1, iters + 1):
         lst = F.split(F.trim(F.col("rep")), "  ")
         fanned = (
             sym.select("wc", lst.alias("lst"))
@@ -1477,8 +1478,106 @@ def t22_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f" {best['l']}{best['r']} "),
             ),
         ).localCheckpoint()  # truncate iterative lineage (graph.py)
+    return merges
+
+
+@query("t22_bpe_merges", oracle=T22_ORACLE)
+def t22_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22 — N-iteration BPE merge-table learning (see block comment;
+    merge pairs are bounded driver state, one row per iteration)."""
+    merges = learn_bpe_merges(table(spark, sf_dir, "documents"))
     return spark.createDataFrame(
         merges,
         "iteration int, left_sym string, right_sym string, "
         "merged_sym string, pair_count long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# T23 — BPE encode (tokenizer APPLICATION): tokenize every document
+# with the merge table t22 just learned — the learn→apply pair that
+# completes the tokenizer story (and the realistic way token budgets
+# are computed for packing/chunking once a real tokenizer exists,
+# vs t03's whitespace/regex proxies).
+#
+# The encode is ONE map-side pass: the document is rendered into the
+# same double-space symbol encoding, with '|' marking word
+# boundaries — '|' is not a vocabulary character, and a learned pair
+# (l, r) can only match ' l  r ', so merges can never cross a word
+# boundary (BPE's contract) — then each merge is applied in learned
+# order as a literal replace. No join, no shuffle: the learned table
+# arrives as three string literals in the plan (the s07
+# broadcast-centroid pattern, one plan-compile per learn, not per
+# row). Outputs are content-verified: md5 of the full encoded symbol
+# stream, plus the post-merge symbol count.
+#
+# Scale: learning = t22 (one corpus scan + Heaps-vocab iterations);
+# encoding = one additional map-side scan at scan parallelism. At
+# 100 TB the encode pass is embarrassingly parallel and
+# sink-streamable; the three replaces stay in whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+
+def _t23_oracle(iters: int = BPE_ITERS) -> str:
+    # reuse the t22 chain (vocab → sym/pairs/best CTEs), then encode
+    # the documents with the bestN rows applied in iteration order.
+    chain = (
+        _t22_oracle(iters).rsplit("SELECT * FROM best1", 1)[0].rstrip()
+        + ",\n"
+    )
+    inner = (
+        "' ' || array_to_string(list_transform(string_split(text, ' '),"
+        " w -> array_to_string(string_split(w, ''), '  ')), '  |  ')"
+        " || '  '"
+    )
+    expr = inner
+    for i in range(1, iters + 1):
+        expr = (
+            f"replace({expr}, ' ' || b{i}.left_sym || '  ' || "
+            f"b{i}.right_sym || ' ', ' ' || b{i}.merged_sym || ' ')"
+        )
+    froms = ", ".join(f"best{i} b{i}" for i in range(1, iters + 1))
+    return (
+        chain
+        + f"""encoded AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_ws_tokens,
+         {expr} AS rep
+  FROM documents, {froms}
+)
+SELECT doc_id,
+       CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+       CAST(len(string_split(trim(rep), '  ')) - (n_ws_tokens - 1)
+            AS BIGINT) AS n_bpe_symbols,
+       md5(trim(rep)) AS encoded_md5
+FROM encoded"""
+    )
+
+
+T23_ORACLE = _t23_oracle()
+
+
+@query("t23_bpe_encode", oracle=T23_ORACLE)
+def t23_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23 — encode documents with t22's learned merges (see block
+    comment; one map-side pass, merges as plan literals)."""
+    docs = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs)
+    # ' a  b  |  c  d  ' — word boundaries become the '|' symbol
+    rep = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.translate("text", " ", "|"), "(.)", "$1  "),
+    )
+    for _, lft, rgt, merged, _cnt in merges:
+        rep = F.replace(
+            rep, F.lit(f" {lft}  {rgt} "), F.lit(f" {merged} ")
+        )
+    n_ws = F.size(tokens("text"))
+    return docs.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws_tokens"),
+        (
+            F.size(F.split(F.trim(rep), "  ")) - (n_ws - F.lit(1))
+        ).cast("long").alias("n_bpe_symbols"),
+        F.md5(F.trim(rep)).alias("encoded_md5"),
     )

@@ -175,13 +175,16 @@ _WINDOW = 50
 #         Sennrich reference in tests).
 #   st10 — t21's chunker run unchanged under readStream (oracle is
 #         T21's SQL verbatim — the batch≡stream certificate for the
-#         continuously-ingested-corpus path).
+#         continuously-ingested-corpus path);
+#   t23 — BPE encode with t22's learned table (learn→apply pair;
+#         doc-level '|'-boundary replace encode, map-side).
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d14_semdedup_kmeans",
     "p06_temperature_mixture_sample",
     "p07_mixture_upsample",
     "t21_context_chunking",
     "t22_bpe_merges",
+    "t23_bpe_encode",
     "st10_stream_chunking",
 )
 

@@ -73,10 +73,12 @@ OPS = (
     "p06_temperature_mixture_sample",
     "p07_mixture_upsample",
     # r13 late additions: t21 chunking (map-side, expansion bounded
-    # by max_doc_tokens/stride) and t22 BPE learning (one corpus
-    # scan + Heaps-vocab-sized iterations).
+    # by max_doc_tokens/stride), t22 BPE learning (one corpus scan +
+    # Heaps-vocab-sized iterations), t23 BPE encode (t22's learn +
+    # one extra map-side encode scan).
     "t21_context_chunking",
     "t22_bpe_merges",
+    "t23_bpe_encode",
 )
 SCALES = (1, 3, 10)
 

@@ -61,10 +61,12 @@ OPS = (
     "s13_mmr_diversified",
     "t13_unigram_logprob",
     # r13 late additions: t21 chunking (map-side explode — output
-    # linear, wall should track the scan) and t22 BPE learning (one
-    # corpus scan + fixed-vocab iterations on this fixture).
+    # linear, wall should track the scan), t22 BPE learning (one
+    # corpus scan + fixed-vocab iterations on this fixture), t23 BPE
+    # encode (t22's learn + one map-side encode scan, output linear).
     "t21_context_chunking",
     "t22_bpe_merges",
+    "t23_bpe_encode",
 )
 
 

@@ -297,3 +297,43 @@ def test_st10_stream_equals_t21_batch(spark, sf_small):
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
     assert streamed.count() == batch.count()
+
+
+def test_t23_encode_matches_python_bpe_application(spark, sf_small):
+    """t23's doc-level '|'-boundary replace encode must equal
+    applying the reference BPE merges word-by-word: for every doc,
+    n_bpe_symbols == sum of its words' post-merge symbol counts
+    (catches any cross-word-boundary merge the '|' sentinel is
+    supposed to forbid)."""
+    import collections
+
+    rows = table(spark, sf_small, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    words = collections.Counter()
+    for r in rows:
+        words.update(r["text"].split(" "))
+    merges = T.learn_bpe_merges(
+        table(spark, sf_small, "documents")
+    )
+    syms = {w: list(w) for w in words}
+    for _, lft, rgt, merged, _cnt in merges:
+        for w, s in syms.items():
+            out, k = [], 0
+            while k < len(s):
+                if k + 1 < len(s) and s[k] == lft and s[k + 1] == rgt:
+                    out.append(merged)
+                    k += 2
+                else:
+                    out.append(s[k])
+                    k += 1
+            syms[w] = out
+    want = {
+        r["doc_id"]: sum(len(syms[w]) for w in r["text"].split(" "))
+        for r in rows
+    }
+    got = {
+        r["doc_id"]: r["n_bpe_symbols"]
+        for r in T.t23_bpe_encode(spark, sf_small).collect()
+    }
+    assert got == want
