@@ -1230,25 +1230,38 @@ def _bucket_sql(col: str = "emb") -> str:
     return bucket_sql(SEMDEDUP_PLANES, col)
 
 
+def _semdedup_hits_sql(rel: str, bucket_col: str) -> str:
+    """The SemDeDup prune contract as SQL — within-bucket pairs at
+    round-6 cosine ≥ τ, then min-keeper / max-sim per removed id —
+    over any relation with (vec_id, emb, {bucket_col}). The SINGLE
+    definition shared by d10 (hyperplane buckets) and d14 (k-means
+    buckets), so a τ-handling or rounding fix moves both
+    certifications in lockstep (r13 review: the 14-line block was
+    previously duplicated verbatim)."""
+    return f"""hits AS (
+  SELECT a.vec_id AS keeper_id, c.vec_id AS removed_id,
+         round(list_dot_product(a.emb, c.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim
+  FROM {rel} a JOIN {rel} c
+    ON a.{bucket_col} = c.{bucket_col} AND a.vec_id < c.vec_id
+  WHERE round(list_dot_product(a.emb, c.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(c.emb, c.emb))), 6)
+        >= {SEMDEDUP_TAU}
+)
+SELECT removed_id, min(keeper_id) AS keeper_id,
+       max(cos_sim) AS max_cos_sim
+FROM hits GROUP BY removed_id"""
+
+
 def _d10_oracle() -> str:
     return f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), b AS (
   SELECT vec_id, emb, {_bucket_sql()} AS bucket FROM v
-), hits AS (
-  SELECT a.vec_id AS keeper_id, c.vec_id AS removed_id,
-         round(list_dot_product(a.emb, c.emb)
-               / (sqrt(list_dot_product(a.emb, a.emb))
-                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-  WHERE round(list_dot_product(a.emb, c.emb)
-              / (sqrt(list_dot_product(a.emb, a.emb))
-                 * sqrt(list_dot_product(c.emb, c.emb))), 6) >= {SEMDEDUP_TAU}
-)
-SELECT removed_id, min(keeper_id) AS keeper_id,
-       max(cos_sim) AS max_cos_sim
-FROM hits GROUP BY removed_id
+), {_semdedup_hits_sql("b", "bucket")}
 """
 
 
@@ -1430,22 +1443,9 @@ def _d14_oracle() -> str:
     t = D14_ITERS
     return (
         kmeans_oracle_prefix(D14_K, D14_ITERS)
-        + f""",
-hits AS (
-  SELECT a.vec_id AS keeper_id, c.vec_id AS removed_id,
-         round(list_dot_product(a.emb, c.emb)
-               / (sqrt(list_dot_product(a.emb, a.emb))
-                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim
-  FROM a{t} a JOIN a{t} c ON a.cluster = c.cluster AND a.vec_id < c.vec_id
-  WHERE round(list_dot_product(a.emb, c.emb)
-              / (sqrt(list_dot_product(a.emb, a.emb))
-                 * sqrt(list_dot_product(c.emb, c.emb))), 6)
-        >= {SEMDEDUP_TAU}
-)
-SELECT removed_id, min(keeper_id) AS keeper_id,
-       max(cos_sim) AS max_cos_sim
-FROM hits GROUP BY removed_id
-"""
+        + ",\n"
+        + _semdedup_hits_sql(f"a{t}", "cluster")
+        + "\n"
     )
 
 

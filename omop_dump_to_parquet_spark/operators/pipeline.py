@@ -484,21 +484,32 @@ WHERE r.samp_pos <= q.q
 """
 
 
-def mixture_quotas(
-    counts: dict[str, int], rate: float = P06_RATE
+def mixture_targets(
+    counts: dict[str, int], rate: float
 ) -> dict[str, int]:
-    """Exact-integer temperature quotas from per-source counts —
-    min(n_s, B·r_s // Σr_s) with r_s = floor(sqrt(n_s)·10⁶) and
-    B = floor(rate·N). Python ints are arbitrary-precision, so this
-    is bit-identical to the oracle's BIGINT arithmetic."""
+    """Exact-integer temperature TARGETS from per-source counts —
+    B·r_s // Σr_s with r_s = floor(sqrt(n_s)·10⁶) and B =
+    floor(rate·N). Python ints are arbitrary-precision, so this is
+    bit-identical to the oracle's BIGINT arithmetic. The SINGLE
+    definition of the basis arithmetic: p06 caps targets at n_s
+    (sampling), p07 doesn't (upsampling) — a change here moves both
+    in lockstep (r13 review: the formula previously lived inline in
+    three places)."""
     import math
 
     r = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in counts.items()}
     rs = sum(r.values())
     budget = math.floor(rate * sum(counts.values()))
-    return {
-        s: min(counts[s], (budget * r[s]) // rs) for s in counts
-    }
+    return {s: (budget * r[s]) // rs for s in counts}
+
+
+def mixture_quotas(
+    counts: dict[str, int], rate: float = P06_RATE
+) -> dict[str, int]:
+    """p06's sampling quotas: min(n_s, target_s) — see
+    mixture_targets for the shared basis arithmetic."""
+    tgt = mixture_targets(counts, rate)
+    return {s: min(counts[s], tgt[s]) for s in counts}
 
 
 @query("p06_temperature_mixture_sample", oracle=P06_ORACLE)
@@ -610,8 +621,6 @@ def p07_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """counts → exact-integer temperature targets → per-source epochs
     (full repeats + md5-ranked remainder) → map-side explode into the
     (doc, epoch) manifest."""
-    import math
-
     docs = table(spark, sf_dir, "documents")
     counts = {
         r["source"]: r["n"]
@@ -619,10 +628,7 @@ def p07_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    r = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in counts.items()}
-    rs = sum(r.values())
-    budget = math.floor(P07_RATE * sum(counts.values()))
-    tgt = {s: (budget * r[s]) // rs for s in counts}
+    tgt = mixture_targets(counts, P07_RATE)
     worst = max(
         tgt[s] // counts[s] + (1 if tgt[s] % counts[s] else 0)
         for s in counts

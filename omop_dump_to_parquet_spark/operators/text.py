@@ -1434,7 +1434,13 @@ def learn_bpe_merges(
     sym = vocab.select(
         "wc",
         F.concat(
-            F.lit(" "), F.regexp_replace("word", "(.)", "$1  ")
+            # (?s): Java-regex '.' skips line terminators by default,
+            # so without DOTALL a newline inside a word would fuse to
+            # its neighbor while the oracle's string_split(word, '')
+            # still splits it — a silent cross-engine divergence
+            # (r13 review). Fixture text has no newlines; this makes
+            # the encoding total over ALL characters anyway.
+            F.lit(" "), F.regexp_replace("word", "(?s)(.)", "$1  ")
         ).alias("rep"),
     ).localCheckpoint(eager=False)
 
@@ -1455,7 +1461,7 @@ def learn_bpe_merges(
                 ).alias("j"),
             )
         )
-        best = (
+        top = (
             fanned.select(
                 F.element_at("lst", F.col("j")).alias("l"),
                 F.element_at("lst", F.col("j") + 1).alias("r"),
@@ -1465,8 +1471,19 @@ def learn_bpe_merges(
             .agg(F.sum("wc").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "l", "r")
             .limit(1)
-            .collect()[0]  # bounded driver state: ONE row per iter
+            .collect()  # bounded driver state: ONE row per iter
         )
+        if not top:
+            # every word fully merged before `iters` ran out — fail
+            # loud (the repo's contract) rather than IndexError: the
+            # oracle unrolls exactly `iters` layers, so returning
+            # fewer merges would silently diverge from it.
+            raise ValueError(
+                f"BPE learning exhausted all adjacent pairs at "
+                f"iteration {i} of {iters}; lower `iters` to at most "
+                f"{i - 1} for this corpus"
+            )
+        best = top[0]
         merges.append(
             (i, best["l"], best["r"], best["l"] + best["r"], int(best["cnt"]))
         )
@@ -1566,7 +1583,8 @@ def t23_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ' a  b  |  c  d  ' — word boundaries become the '|' symbol
     rep = F.concat(
         F.lit(" "),
-        F.regexp_replace(F.translate("text", " ", "|"), "(.)", "$1  "),
+        # (?s) — see learn_bpe_merges: '.' must match newlines too
+        F.regexp_replace(F.translate("text", " ", "|"), "(?s)(.)", "$1  "),
     )
     for _, lft, rgt, merged, _cnt in merges:
         rep = F.replace(

@@ -161,7 +161,8 @@ _WINDOW = 50
 #   err null) — the documented clearing condition — so the pin is
 #   cleared and the seven r9-vintage ids (q22, q24, q26, q32, w01,
 #   w05, w07) rotate into the r13 window.
-# r13 pins — the five NEW catalog ids this round, pinned for a
+# r13 pins — the seven NEW catalog ids this round (d14/p06/p07
+# mid-round; t21/t22, then st10 and t23, added late), pinned for a
 # driver full-oracle pass in their first window:
 #   d14 — SemDeDup over k-means bucketing (the production-path
 #         certification the r12 verdict asked for, #3);
@@ -178,6 +179,16 @@ _WINDOW = 50
 #         continuously-ingested-corpus path);
 #   t23 — BPE encode with t22's learned table (learn→apply pair;
 #         doc-level '|'-boundary replace encode, map-side).
+# r13 review-fix pins (end-of-round self-review; all value-identical
+# in the local 157/157 sweep after the change):
+#   t22/t23 — the BPE symbol encoding gained (?s) DOTALL (a newline
+#         inside a word is now its own symbol, matching the oracle's
+#         string_split; fixture text has no newlines so values are
+#         untouched, but the regexp literal in the plan changed);
+#   d10 — oracle SQL re-composed through the shared
+#         _semdedup_hits_sql helper (d14 uses the same block);
+#         registered Spark plan untouched, pinned anyway per the r6
+#         value-identical-refactor precedent.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "d14_semdedup_kmeans",
     "p06_temperature_mixture_sample",
@@ -186,6 +197,7 @@ _FORCE_IN_WINDOW: tuple[str, ...] = (
     "t22_bpe_merges",
     "t23_bpe_encode",
     "st10_stream_chunking",
+    "d10_semdedup",
 )
 
 

@@ -77,17 +77,22 @@ def main() -> None:
         # emits that the other lacks are caught (the r12 advisor found
         # the original one-directional exceptAll could pass silently
         # when the broadcast side emitted extra pairs).
+        # persist both sides: each exceptAll evaluates BOTH inputs,
+        # so uncached lineages would run each expensive verify
+        # pipeline twice (4 executions instead of 2 — r13 review)
         shuf = verify_jaccard_pairs(
             docs,
             d04_candidate_pairs(docs),
             MINHASH_THRESHOLD,
             use_broadcast=False,
-        ).select("doc_a", "doc_b")
+        ).select("doc_a", "doc_b").persist()
         bcast = verify_jaccard_pairs(
             docs, d04_candidate_pairs(docs), MINHASH_THRESHOLD
-        ).select("doc_a", "doc_b")
+        ).select("doc_a", "doc_b").persist()
         extra_shuf = shuf.exceptAll(bcast).count()
         extra_bcast = bcast.exceptAll(shuf).count()
+        shuf.unpersist()
+        bcast.unpersist()
         if extra_shuf or extra_bcast:
             sys.exit(
                 f"x{scale}: paths DIVERGE (shuffle-only pairs: "

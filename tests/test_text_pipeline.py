@@ -236,12 +236,19 @@ def test_t21_chunking_invariants(spark, sf_small):
         (F.col("n_tok") <= T.CHUNK_WINDOW) & (F.col("n_chunks") != 1)
     ).count() == 0
     # every non-first chunk contributes new tokens: its end must
-    # exceed the previous chunk's end (strides are fixed, so end is
-    # monotone iff each tail chunk adds content)
+    # STRICTLY exceed the previous chunk's (clamped) end — equality
+    # means a redundant tail chunk fully contained in its
+    # predecessor, exactly the fencepost regression this test
+    # exists to catch (a `- 1` here once made the filter vacuous:
+    # ends are monotone non-decreasing, so `end <= prev_end - 1`
+    # could never fire — r13 review)
     prev_end = (F.col("chunk_idx") - 1) * T.CHUNK_STRIDE + T.CHUNK_WINDOW
     assert j.filter(
         (F.col("chunk_idx") > 0)
-        & (F.col("tok_start") + F.col("chunk_len") <= F.least(prev_end, F.col("n_tok")) - F.lit(1))
+        & (
+            F.col("tok_start") + F.col("chunk_len")
+            <= F.least(prev_end, F.col("n_tok"))
+        )
     ).count() == 0
     out.unpersist()
 
