@@ -230,6 +230,11 @@ def main() -> None:
             "d12_keep_best_quality",
             "q50_exists_notexists_chain",
             "w18_scd2_intervals",
+            # r13 additions: the tokenizer learn→apply pair and the
+            # chunker — per-round cost visibility for the new ops
+            "t21_context_chunking",
+            "t22_bpe_merges",
+            "t23_bpe_encode",
         ):
             runs = []
             for _ in range(reps):
