@@ -44,7 +44,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = load_catalog()
 
-    def session(width: str, aqe: str, arrow_batch: str | None = None) -> object:
+    def session(
+        width: str,
+        aqe: str,
+        arrow_batch: str | None = None,
+        codegen: str | None = None,
+    ) -> object:
         s = spark.newSession()
         apply_runtime_confs(s)
         s.conf.set("spark.sql.shuffle.partitions", width)
@@ -59,6 +64,10 @@ def main() -> int:
             s.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", arrow_batch
             )
+        if codegen is not None:
+            # not in RUNTIME_CONFS, so no pin needed — nothing
+            # re-applies it behind the sweep's back
+            s.conf.set("spark.sql.codegen.wholeStage", codegen)
         return s
 
     def sweep(label: str, sess_a, sess_b) -> dict:
@@ -101,6 +110,21 @@ def main() -> int:
         "arrow_batch_default_vs_7": sweep(
             "arrow-batch default-vs-7",
             session(WIDE, "true"), session(WIDE, "true", arrow_batch="7"),
+        ),
+        # Codegen-vs-interpreted (r13, fourth axis): wholeStage=false
+        # routes every expression through the interpreted (Volcano)
+        # evaluation path instead of generated Java — the two
+        # implementations are distinct code, and subtle semantics
+        # (null handling, overflow checks, HOF closures, decimal
+        # rounding) have historically diverged between them upstream.
+        # A catalog stable across this axis doesn't depend on WHICH
+        # evaluator Spark picks — relevant at 100 TB because codegen
+        # falls back to interpreted per-stage when generated code
+        # exceeds JIT/bytecode limits (wide plans do this silently).
+        "codegen_on_vs_off": sweep(
+            "codegen on-vs-off",
+            session(WIDE, "true"),
+            session(WIDE, "true", codegen="false"),
         ),
     }
     spark.stop()
