@@ -735,3 +735,105 @@ def mixture_threshold_draw(
         .select("doc_id", "source")
     )
     return sure.unionByName(edge)
+
+
+# ---------------------------------------------------------------------------
+# P08 — the threshold draw CERTIFIED on a skew-dominant corpus. P06's
+# window path per-source-sorts the whole corpus; its documented 100 TB
+# posture for a dominant source (which would serialize that source's
+# rank sort through one task chain) is `mixture_threshold_draw` above
+# — previously only unit/equivalence-tested, i.e. exactly the
+# plan-bearing-code-only-scripts-exercise gap the r11/r12 lessons
+# warn about (r13 verdict, next-round #4). This id runs the
+# threshold draw itself through the standing harnesses (driver
+# differential, four-axis determinism, randomized fixtures) on a
+# corpus where ONE source holds ≥90% of rows.
+#
+# The skew is DERIVED deterministically (doc_id % 11 == 0 keeps its
+# source, everything else becomes 'web' → ~91% dominance at every sf;
+# 'web' is disjoint from the fixture's srcN names) so both engines
+# compute the identical corpus without a bespoke fixture file. The
+# modulus is COPRIME with the fixture's source stripe (source is
+# src{doc_id % 20}), so the minority rows cycle through ALL twenty
+# sources in 2-3-row slivers — which also makes their quotas hit the
+# whole-source-keep branch while 'web' takes the boundary draw
+# (both code paths certified; asserted in tests). The
+# oracle states the CONTRACT — the quota-smallest md5 rank hashes per
+# source, via the window form — while the Spark side never computes a
+# global per-source rank: pass 1 is a map-side histogram of 2-hex
+# rank-hash prefixes (bounded driver state, ≤ |sources|·256 rows);
+# pass 2 passes sub-boundary rows sort-free and row_numbers ONLY the
+# boundary bucket (≈ n_s/256 rows — the sliver; asserted in tests).
+# Output is the kept (doc_id, source) set — rank position is
+# intentionally absent (computing it globally is exactly what this
+# path avoids), which is also why the oracle projects no samp_pos.
+#
+# Scale shape: one partial-agg histogram shuffle + one broadcast
+# boundary join + one window over a 1/256-sized sliver per source.
+# At 100 TB with a 90 TB source the window input is ~350 GB spread
+# over that source's hash range — no single-task chain anywhere.
+# ---------------------------------------------------------------------------
+
+P08_SKEW_MOD = 11  # doc_id % 11 == 0 keeps source → 'web' holds ~91%
+
+P08_ORACLE = f"""
+WITH skewed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {P08_SKEW_MOD} = 0 THEN source
+              ELSE 'web' END AS source
+  FROM documents
+),
+counts AS (
+  SELECT source, COUNT(*) AS n FROM skewed GROUP BY source
+),
+basis AS (
+  SELECT source, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS r
+  FROM counts
+),
+tot AS (
+  SELECT SUM(r) AS rs, SUM(n) AS nd FROM basis
+),
+quota AS (
+  SELECT b.source,
+         least(b.n, (CAST(floor({P06_RATE} * t.nd) AS BIGINT) * b.r) // t.rs)
+           AS q
+  FROM basis b CROSS JOIN tot t
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':{P06_SEED}'),
+                    d.doc_id) AS samp_pos
+  FROM skewed d
+)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN quota q ON r.source = q.source
+WHERE r.samp_pos <= q.q
+"""
+
+
+def p08_skewed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic skew-dominant corpus p08 draws from (shared
+    with the sliver-size tests so they measure the certified path)."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % P08_SKEW_MOD == 0, F.col("source")
+        ).otherwise(F.lit("web")).alias("source"),
+    )
+
+
+@query("p08_mixture_skew_draw", oracle=P08_ORACLE)
+def p08_mixture_skew_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """counts on the derived skew corpus → p06's exact-integer quota
+    arithmetic → two-pass threshold draw (histogram + boundary-sliver
+    window; see block comment)."""
+    docs = p08_skewed_docs(spark, sf_dir)
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return mixture_threshold_draw(docs, mixture_quotas(counts))

@@ -1430,7 +1430,13 @@ def learn_bpe_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    # '  a  b  c  ' — double-space delimited, single-space sentinels
+    # '  a  b  c  ' — double-space delimited, single-space sentinels,
+    # DOUBLE leading/trailing space: byte-identical to the oracle's
+    # sym0 ('  ' || array_to_string(...) || '  ').  A single leading
+    # space was equivalent (every ' l  r ' pattern has single-space
+    # flanks and outputs are trim/split-normalized) but the code,
+    # the comments, and the oracle disagreed on which form was the
+    # invariant — now they are the same string (r14 advice).
     sym = vocab.select(
         "wc",
         F.concat(
@@ -1440,7 +1446,7 @@ def learn_bpe_merges(
             # still splits it — a silent cross-engine divergence
             # (r13 review). Fixture text has no newlines; this makes
             # the encoding total over ALL characters anyway.
-            F.lit(" "), F.regexp_replace("word", "(?s)(.)", "$1  ")
+            F.lit("  "), F.regexp_replace("word", "(?s)(.)", "$1  ")
         ).alias("rep"),
     ).localCheckpoint(eager=False)
 
@@ -1519,14 +1525,34 @@ def t22_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The encode is ONE map-side pass: the document is rendered into the
 # same double-space symbol encoding, with '|' marking word
-# boundaries — '|' is not a vocabulary character, and a learned pair
-# (l, r) can only match ' l  r ', so merges can never cross a word
-# boundary (BPE's contract) — then each merge is applied in learned
-# order as a literal replace. No join, no shuffle: the learned table
-# arrives as three string literals in the plan (the s07
-# broadcast-centroid pattern, one plan-compile per learn, not per
-# row). Outputs are content-verified: md5 of the full encoded symbol
-# stream, plus the post-merge symbol count.
+# boundaries — '|' must not be a vocabulary character (ENFORCED, see
+# below), and a learned pair (l, r) can only match ' l  r ', so
+# merges can never cross a word boundary (BPE's contract) — then
+# each merge is applied in learned order as a literal replace. No
+# join, no shuffle: the learned table arrives as three string
+# literals in the plan (the s07 broadcast-centroid pattern, one
+# plan-compile per learn, not per row). Outputs are content-verified:
+# md5 of the full encoded symbol stream, plus the post-merge symbol
+# count.
+#
+# The boundary rendering is built from the SAME token array the
+# oracle uses (split(text,' ') → per-word char split → join with
+# '  |  ') rather than translate(' '→'|') over the raw text: on
+# consecutive spaces the translate form emitted one pipe per space
+# (' a  |  |  b  ') while the oracle's string_split path renders the
+# empty token between them ('a  |    |  b') — a latent hash
+# divergence only masked by the single-spaced fixture (r14 advice,
+# medium). Both engines agree char-split('')→[''] joins to '' and
+# split('a  b',' ')→['a','','b'], verified empirically, so empty
+# tokens now take the identical path on both sides.
+#
+# The '|' sentinel assumption is enforced, not assumed (r14 advice):
+# a literal '|' in document text would be indistinguishable from a
+# word boundary IDENTICALLY in both engines — the differential
+# certification cannot catch it — so the encode fails loud instead:
+# a zero-extra-job row-level raise_error when any document contains
+# '|', plus a free driver-side check that no learned merge symbol
+# contains '|'.
 #
 # Scale: learning = t22 (one corpus scan + Heaps-vocab iterations);
 # encoding = one additional map-side scan at scan parallelism. At
@@ -1574,22 +1600,49 @@ FROM encoded"""
 T23_ORACLE = _t23_oracle()
 
 
-@query("t23_bpe_encode", oracle=T23_ORACLE)
-def t23_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T23 — encode documents with t22's learned merges (see block
-    comment; one map-side pass, merges as plan literals)."""
-    docs = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(docs)
-    # ' a  b  |  c  d  ' — word boundaries become the '|' symbol
+def bpe_encode(
+    docs: DataFrame, merges: list[tuple[int, str, str, str, int]]
+) -> DataFrame:
+    """Apply a learned merge table to every document — t23's transform,
+    factored so the property net can drive it at arbitrary merge depth
+    (r13 verdict #6). One map-side pass; merges as plan literals."""
+    if any("|" in (lft + rgt) for _, lft, rgt, _m, _c in merges):
+        # free driver-side half of the sentinel guard (block comment)
+        raise ValueError(
+            "t23: a learned merge symbol contains the '|' boundary "
+            "sentinel; encode would merge across word boundaries"
+        )
+    # ' a  b  |  c  d  ' — word boundaries become the '|' symbol.
+    # Built from the shared token array so empty tokens (consecutive
+    # spaces) render exactly as the oracle's string_split path does
+    # (see block comment; single leading space matches the oracle's
+    # t23 inner expression).
     rep = F.concat(
         F.lit(" "),
-        # (?s) — see learn_bpe_merges: '.' must match newlines too
-        F.regexp_replace(F.translate("text", " ", "|"), "(?s)(.)", "$1  "),
+        F.array_join(
+            F.transform(
+                tokens("text"),
+                lambda w: F.array_join(F.split(w, ""), "  "),
+            ),
+            "  |  ",
+        ),
+        F.lit("  "),
     )
     for _, lft, rgt, merged, _cnt in merges:
         rep = F.replace(
             rep, F.lit(f" {lft}  {rgt} "), F.lit(f" {merged} ")
         )
+    # row-level half of the sentinel guard: zero extra jobs, same
+    # map-side pass (raise_error folds into the project stage)
+    rep = F.when(
+        F.col("text").contains("|"),
+        F.raise_error(
+            F.lit(
+                "t23: document text contains the '|' word-boundary "
+                "sentinel; the encode would be ambiguous"
+            )
+        ),
+    ).otherwise(rep)
     n_ws = F.size(tokens("text"))
     return docs.select(
         "doc_id",
@@ -1599,3 +1652,11 @@ def t23_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_bpe_symbols"),
         F.md5(F.trim(rep)).alias("encoded_md5"),
     )
+
+
+@query("t23_bpe_encode", oracle=T23_ORACLE)
+def t23_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23 — encode documents with t22's learned merges (see block
+    comment; learn→apply via the factored bpe_encode)."""
+    docs = table(spark, sf_dir, "documents")
+    return bpe_encode(docs, learn_bpe_merges(docs))

@@ -189,15 +189,28 @@ _WINDOW = 50
 #         _semdedup_hits_sql helper (d14 uses the same block);
 #         registered Spark plan untouched, pinned anyway per the r6
 #         value-identical-refactor precedent.
+# All eight r13 pins came back green in CORRECTNESS_r13 (rows+schema+
+# hash, err null) — the documented clearing condition — so they are
+# cleared, rotating the eight r10-vintage ids (d03, st01, st02, w04,
+# w06, w08, w09, w10 — the oldest driver evidence, 3 rounds) into the
+# r14 window.
+# r14 pins — plan-changed or new this round:
+#   t23 — the boundary encoding is rebuilt from the shared token
+#         array (r14 advice, medium: the translate(' '→'|') form
+#         diverged from the oracle on consecutive spaces) and gained
+#         the '|'-sentinel raise_error guard; values identical on the
+#         single-spaced fixture, but the map-side plan changed.
+#   t22 — the symbol string now carries the DOUBLE leading space,
+#         byte-identical to the oracle's sym0 (r14 advice, low);
+#         equivalent arithmetic, changed plan literal.
+#   p08 — NEW: the skew-robust two-pass threshold draw
+#         (mixture_threshold_draw) certified as a catalog id over a
+#         90%-dominant derived source — the p06 window path's 100 TB
+#         posture, previously only unit/equivalence-tested.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
-    "d14_semdedup_kmeans",
-    "p06_temperature_mixture_sample",
-    "p07_mixture_upsample",
-    "t21_context_chunking",
     "t22_bpe_merges",
     "t23_bpe_encode",
-    "st10_stream_chunking",
-    "d10_semdedup",
+    "p08_mixture_skew_draw",
 )
 
 
