@@ -837,3 +837,120 @@ def p08_mixture_skew_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
     return mixture_threshold_draw(docs, mixture_quotas(counts))
+
+
+# ---------------------------------------------------------------------------
+# P09 — benchmark DECONTAMINATION: flag training documents that share
+# any token n-gram with an evaluation/benchmark set — the standard
+# pre-training hygiene step (GPT-3 appendix C / PaLM / Llama report
+# it as n-gram collision removal) and the one pipeline stage the
+# catalog lacked: t17 guards leakage WITHIN the corpus's own splits,
+# d11 finds intra-corpus copied spans; neither checks the corpus
+# against an EXTERNAL eval suite.
+#
+# The eval set is DERIVED deterministically (doc_id % 97 == 0 → ~1%
+# of docs play the benchmark role) so both engines compute the same
+# split without a bespoke fixture table — the p08 pattern. Gram width
+# is a parameter; the catalog pins 3 so the fixture yields a real
+# mixed output (production decontamination uses 8–13-gram windows;
+# the plan is width-independent).
+#
+# Spark shape (the d11 machinery, re-pointed): grams are hashed
+# per-token-window (xxhash64 over the sliced token array — two longs
+# per posting row, no gram-string assembly; the ORACLE joins on gram
+# TEXT, so row-for-row agreement doubles as the collision check).
+# The gram index is localCheckpoint'ed once (two consumers: eval
+# side, train side — same re-plan lesson as d11/d07).
+# The eval gram set is BROADCAST: benchmark suites are fixed-size
+# (MBs of text — HellaSwag+MMLU+… ≈ 10⁵ docs) while the train side
+# is the 100 TB corpus, so the asymmetry is structural, not a
+# fixture accident. Both per-doc counts come out of ONE pass: the
+# broadcast LEFT join marks each train gram row map-side, then a
+# single groupBy(doc_id) computes the total and contaminated counts
+# together — one shuffle of the corpus gram index, total, versus the
+# naive hits-agg JOIN totals-agg shape whose doc_id join re-shuffles
+# two corpus-sized aggregates. If an eval set ever outgrew the
+# broadcast threshold, dropping the hint degrades to a shuffle join
+# on gh with the same row counts.
+#
+# Output contract: one row per CONTAMINATED train doc — (doc_id,
+# n_doc_grams, n_contaminated) as BIGINTs. No ratio column by
+# design: small-integer ratios can land exactly on round-half
+# boundaries (e.g. 1/128 at 6 dp) where Spark HALF_UP and DuckDB
+# disagree — consumers derive it from the two exact counts.
+# ---------------------------------------------------------------------------
+
+P09_NGRAM = 3       # catalog width; production uses 8-13 (see banner)
+P09_EVAL_MOD = 97   # doc_id % 97 == 0 → the derived benchmark set
+
+P09_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) >= {P09_NGRAM}
+                THEN list_transform(range(1, len(toks) - {P09_NGRAM - 2}),
+                                    i -> array_to_string(
+                                           list_slice(toks, i, i + {P09_NGRAM - 1}), ' '))
+                ELSE [] END)) AS gram
+  FROM t
+),
+ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {P09_EVAL_MOD} = 0
+),
+tr AS (
+  SELECT doc_id, gram FROM g WHERE doc_id % {P09_EVAL_MOD} <> 0
+),
+tot AS (
+  SELECT doc_id, COUNT(*) AS n_doc_grams FROM tr GROUP BY doc_id
+),
+hits AS (
+  SELECT tr.doc_id, COUNT(*) AS n_contaminated
+  FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id
+)
+SELECT h.doc_id,
+       CAST(t2.n_doc_grams AS BIGINT) AS n_doc_grams,
+       CAST(h.n_contaminated AS BIGINT) AS n_contaminated
+FROM hits h JOIN tot t2 ON h.doc_id = t2.doc_id
+"""
+
+
+@query("p09_decontamination", oracle=P09_ORACLE)
+def p09_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hashed per-doc-distinct gram index (one checkpoint, two
+    consumers) → broadcast eval-gram LEFT join (map-side mark) → ONE
+    groupBy(doc_id) for both counts (see block comment)."""
+    from .text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    w = P09_NGRAM
+    gram_hashes = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.xxhash64(F.slice(toks, i, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(gram_hashes)).alias("gh")
+    ).localCheckpoint(eager=True)
+    is_eval = F.col("doc_id") % P09_EVAL_MOD == 0
+    evalg = (
+        g.filter(is_eval).select("gh").distinct().withColumn("m", F.lit(1))
+    )
+    return (
+        g.filter(~is_eval)
+        .join(F.broadcast(evalg), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_doc_grams"),
+            F.sum(F.coalesce(F.col("m"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+    )

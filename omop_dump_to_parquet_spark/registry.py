@@ -207,10 +207,15 @@ _WINDOW = 50
 #         (mixture_threshold_draw) certified as a catalog id over a
 #         90%-dominant derived source — the p06 window path's 100 TB
 #         posture, previously only unit/equivalence-tested.
+#   p09 — NEW: benchmark decontamination (eval-set n-gram collision
+#         flagging — the pre-training hygiene stage the catalog
+#         lacked; derived eval split, broadcast eval grams, one
+#         corpus shuffle).
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "t22_bpe_merges",
     "t23_bpe_encode",
     "p08_mixture_skew_draw",
+    "p09_decontamination",
 )
 
 

@@ -26,6 +26,12 @@ SCALE_REHEARSAL.json:
    broadcast bound join + a window over ONE 2-hex bucket of the
    dominant source). The boundary-bucket row count is recorded at
    both scales — the sliver must grow like n/256, not like n··window.
+
+3. ``p09_x100`` (added with the p09 id) — decontamination on the
+   .scale documents at x10→x100: one gram-index build + broadcast
+   eval-gram left join + one groupBy(doc_id). Expectation: ~linear
+   (every stage is corpus-proportional; the broadcast side is the
+   ~1% derived eval split's distinct grams).
 """
 from __future__ import annotations
 
@@ -235,6 +241,42 @@ def main() -> None:
         results["p08_threshold_draw_x100"] = block
         save()
 
+    # ---- block 3: p09 decontamination at the second decade ----------
+    if not only or "p09" in only:
+        from omop_dump_to_parquet_spark import load_catalog
+
+        queries, _ = load_catalog()
+        block = {
+            "note": (
+                "r14: p09 decontamination on .scale documents — one "
+                "gram-index build + broadcast eval-gram left join + "
+                "one groupBy(doc_id); expectation ~linear"
+            ),
+            "scales": {},
+        }
+        for scale in (10, 100):
+            sf_dir = os.path.join(root, f"x{scale}")
+            sec, runs, rows = _median_wall(
+                lambda: queries["p09_decontamination"](spark, sf_dir), gc
+            )
+            block["scales"][f"x{scale}"] = {
+                "sec": sec,
+                "raw": runs,
+                "rows_out": rows,
+            }
+            print(
+                f"x{scale}: p09 median {sec}s of {runs}, {rows} "
+                "contaminated docs",
+                file=sys.stderr,
+            )
+        s = block["scales"]
+        block["step_alpha"] = _step_alpha(s["x10"]["sec"], s["x100"]["sec"])
+        block["rows_step_alpha"] = _step_alpha(
+            max(s["x10"]["rows_out"], 1), max(s["x100"]["rows_out"], 1)
+        )
+        results["p09_x100"] = block
+        save()
+
     print(
         json.dumps(
             {
@@ -242,6 +284,7 @@ def main() -> None:
                 for k in (
                     "d14_kmeans_dispersed_x100",
                     "p08_threshold_draw_x100",
+                    "p09_x100",
                 )
                 if k in results
             },

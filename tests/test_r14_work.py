@@ -244,3 +244,38 @@ def test_p08_exercises_whole_source_keep_branch(spark, sf_small):
     )
     for s in full:
         assert kept[s] == counts[s], (s, kept[s], counts[s])
+
+
+# --------------------------------------------------------------------------
+# p09 — decontamination plan and invariants
+# --------------------------------------------------------------------------
+
+
+def test_p09_plan_is_broadcast_single_corpus_shuffle(spark, sf_small):
+    """The eval gram set must broadcast (no shuffle of the corpus for
+    the join) and the corpus side must shuffle exactly once (the
+    groupBy(doc_id)); a SortMergeJoin anywhere means the 100 TB
+    asymmetry argument broke."""
+    from omop_dump_to_parquet_spark import load_catalog
+
+    queries, _ = load_catalog()
+    plan = (
+        queries["p09_decontamination"](spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_p09_invariants(spark, sf_small):
+    from omop_dump_to_parquet_spark.operators.pipeline import P09_EVAL_MOD
+    from omop_dump_to_parquet_spark import load_catalog
+
+    queries, _ = load_catalog()
+    rows = queries["p09_decontamination"](spark, sf_small).collect()
+    assert rows, "fixture should surface contaminated docs"
+    for r in rows:
+        assert r["doc_id"] % P09_EVAL_MOD != 0, "eval docs never flagged"
+        assert 1 <= r["n_contaminated"] <= r["n_doc_grams"]
