@@ -1616,13 +1616,20 @@ def bpe_encode(
     # Built from the shared token array so empty tokens (consecutive
     # spaces) render exactly as the oracle's string_split path does
     # (see block comment; single leading space matches the oracle's
-    # t23 inner expression).
+    # t23 inner expression). Each word is char-split with the SAME
+    # '(?s)(.)' regexp learn_bpe_merges uses — not split(w, ''),
+    # whose Java split walks UTF-16 units and would halve a
+    # surrogate-pair character while the learner's regex '.' (and
+    # the oracle's string_split) walk whole codepoints; rtrim drops
+    # the per-word trailing '  ' (words cannot contain spaces).
     rep = F.concat(
         F.lit(" "),
         F.array_join(
             F.transform(
                 tokens("text"),
-                lambda w: F.array_join(F.split(w, ""), "  "),
+                lambda w: F.rtrim(
+                    F.regexp_replace(w, "(?s)(.)", "$1  ")
+                ),
             ),
             "  |  ",
         ),

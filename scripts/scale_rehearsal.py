@@ -79,6 +79,12 @@ OPS = (
     "t21_context_chunking",
     "t22_bpe_merges",
     "t23_bpe_encode",
+    # r14: the two new catalog ids (standing rule) — p08 skew-robust
+    # threshold draw, p09 decontamination. Their x10→x100 step pairs
+    # live in r14_scale_evidence's blocks; these are the x1/x3/x10
+    # base rows on the standard fixtures.
+    "p08_mixture_skew_draw",
+    "p09_decontamination",
 )
 SCALES = (1, 3, 10)
 

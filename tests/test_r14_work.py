@@ -115,6 +115,11 @@ def test_bpe_depth8_on_adversarial_fixed_corpora(spark):
         ["ab\ncd ab\ncd ab\ncd xy\nxy", "ab\ncd xy\nxy zw zw zw"],
         # empty tokens everywhere: interior runs + leading/trailing
         ["low  low   lower lower ", " newest  newest newest low"],
+        # astral-plane (surrogate-pair) characters: the encode's
+        # char split must walk codepoints like the learner's '(?s)(.)'
+        # and the oracle's string_split — a UTF-16-unit walk halves 𝕏
+        ["x\U0001d54fy x\U0001d54fy x\U0001d54fy zz\U0001d54f zz\U0001d54f",
+         "abcd abcd abcd x\U0001d54fy efgh efgh"],
     ]:
         _check_corpus(spark, texts, iters=8)
 
