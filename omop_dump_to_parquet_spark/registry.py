@@ -211,11 +211,17 @@ _WINDOW = 50
 #         flagging — the pre-training hygiene stage the catalog
 #         lacked; derived eval split, broadcast eval grams, one
 #         corpus shuffle).
+#   st11 — NEW: p09 with the corpus under readStream and the
+#         benchmark static (stateless per-row re-expression via a
+#         one-row broadcast gram array + array_intersect; P09's
+#         oracle verbatim — the decontamination batch≡stream
+#         certificate, st10's pattern).
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "t22_bpe_merges",
     "t23_bpe_encode",
     "p08_mixture_skew_draw",
     "p09_decontamination",
+    "st11_stream_decontamination",
 )
 
 

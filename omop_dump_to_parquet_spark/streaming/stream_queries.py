@@ -946,3 +946,90 @@ def st10_stream_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         build, spark, "st10_out", "append", expect_single_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# ST11 — streaming DECONTAMINATION: p09's benchmark n-gram collision
+# flagging with the corpus under readStream and the benchmark STATIC
+# — the deployment shape decontamination actually has (the eval
+# suite is a fixed artifact; the corpus lands continuously).
+#
+# The stream side is STATELESS by re-expression: instead of p09's
+# explode → broadcast join → groupBy(doc_id) (which under streaming
+# would need stateful aggregation and update mode), each document's
+# counts are computed PER ROW — the per-doc-distinct gram hashes
+# stay an ARRAY column, the static side collapses the eval set's
+# grams to ONE array row (collect_set), and a broadcast stream-static
+# crossJoin + array_intersect yields n_contaminated map-side. Append
+# mode, no state stores, no watermark; batch ≡ stream certified by
+# running P09's oracle SQL verbatim against the stream output.
+#
+# Scale: the one-row gram array is bounded by the BENCHMARK's size
+# (the structural asymmetry p09's banner documents — benchmark
+# suites are MBs), not the corpus; each micro-batch runs the same
+# whole-stage-codegen project as the batch plan, throughput = scan
+# rate, and the result streams straight to the sink. If a "benchmark"
+# ever outgrew a single broadcast array, the stateless shape stops
+# applying and the batch path (or a stateful streaming join+agg in
+# update mode) is the fallback — documented, not needed at any real
+# benchmark size.
+# ---------------------------------------------------------------------------
+
+from ..operators.pipeline import P09_EVAL_MOD as _P09_EVAL_MOD
+from ..operators.pipeline import P09_NGRAM as _P09_NGRAM
+from ..operators.pipeline import P09_ORACLE as _P09_ORACLE
+
+
+def _p09_gram_hashes(w: int):
+    from ..operators.text import tokens
+
+    toks = tokens("text")
+    n = F.size(toks)
+    return F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.xxhash64(F.slice(toks, i, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+@query("st11_stream_decontamination", oracle=_P09_ORACLE)
+def st11_stream_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST11 — p09 with the corpus streaming and the benchmark static
+    (see block comment; stateless per-row re-expression, P09's oracle
+    verbatim)."""
+
+    def build(s: SparkSession) -> DataFrame:
+        raw = s.read.parquet(f"{sf_dir}/documents.parquet")
+        is_eval = F.col("doc_id") % _P09_EVAL_MOD == 0
+        grams = F.array_distinct(_p09_gram_hashes(_P09_NGRAM))
+        # static side: the benchmark's distinct grams as ONE row
+        eval_grams = (
+            raw.filter(is_eval)
+            .select(F.explode(grams).alias("gh"))
+            .agg(F.collect_set("gh").alias("eval_gh"))
+        )
+        stream = s.readStream.schema(raw.schema).parquet(
+            _stage_documents(sf_dir)
+        )
+        return (
+            stream.filter(~is_eval)
+            .select("doc_id", grams.alias("gram_arr"))
+            .filter(F.size("gram_arr") > 0)
+            .crossJoin(F.broadcast(eval_grams))
+            .select(
+                "doc_id",
+                F.size("gram_arr").cast("long").alias("n_doc_grams"),
+                F.size(F.array_intersect("gram_arr", "eval_gh"))
+                .cast("long")
+                .alias("n_contaminated"),
+            )
+            .filter(F.col("n_contaminated") > 0)
+        )
+
+    return _run_to_memory(
+        build, spark, "st11_out", "append", expect_single_batch=True
+    )

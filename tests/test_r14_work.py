@@ -284,3 +284,28 @@ def test_p09_invariants(spark, sf_small):
     for r in rows:
         assert r["doc_id"] % P09_EVAL_MOD != 0, "eval docs never flagged"
         assert 1 <= r["n_contaminated"] <= r["n_doc_grams"]
+
+
+# --------------------------------------------------------------------------
+# st11 — streaming decontamination invariants
+# --------------------------------------------------------------------------
+
+
+def test_st11_matches_p09_batch_output(spark, sf_small):
+    """The stateless per-row re-expression under readStream must equal
+    the batch groupBy plan row-for-row — batch ≡ stream on the same
+    fixture (both are also oracle-certified independently)."""
+    from omop_dump_to_parquet_spark import load_catalog
+
+    queries, _ = load_catalog()
+    batch = {
+        (r["doc_id"], r["n_doc_grams"], r["n_contaminated"])
+        for r in queries["p09_decontamination"](spark, sf_small).collect()
+    }
+    stream = {
+        (r["doc_id"], r["n_doc_grams"], r["n_contaminated"])
+        for r in queries["st11_stream_decontamination"](
+            spark, sf_small
+        ).collect()
+    }
+    assert batch == stream and batch
