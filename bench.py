@@ -235,6 +235,11 @@ def main() -> None:
             "t21_context_chunking",
             "t22_bpe_merges",
             "t23_bpe_encode",
+            # r14 additions: skew-robust mixture draw, benchmark
+            # decontamination (batch + streaming certificate)
+            "p08_mixture_skew_draw",
+            "p09_decontamination",
+            "st11_stream_decontamination",
         ):
             runs = []
             for _ in range(reps):
