@@ -70,20 +70,27 @@ def main() -> None:
         )
     if missing:
         print(f"# no oracle (skipped): {missing}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "duckdb_headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "threads": threads,
-                "reps": reps,
-                "queries": timings,
-                "raw_timings": raw,
-                "sf_dir": sf_dir,
-            }
-        )
+    payload = {
+        "metric": "duckdb_headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "threads": threads,
+        "reps": reps,
+        "queries": timings,
+        "raw_timings": raw,
+        "sf_dir": sf_dir,
+    }
+    # Persist the artifact alongside bench_detail.json so every pair
+    # BASELINE.md quotes has BOTH sides committable at the quoting
+    # commit (r13 verdict hygiene finding; until r14 this script only
+    # PRINTED the JSON and the repo-root file silently went stale).
+    out = os.path.join(
+        os.path.dirname(__file__), "..", "DUCKDB_HEADLINE.json"
     )
+    with open(out, "w") as fh:
+        json.dump(payload, fh, indent=2)
+        fh.write("\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,8 @@ def main() -> int:
         aqe: str,
         arrow_batch: str | None = None,
         codegen: str | None = None,
+        auto_bcast: str | None = None,
+        leaf_par: str | None = None,
     ) -> object:
         s = spark.newSession()
         apply_runtime_confs(s)
@@ -68,6 +70,16 @@ def main() -> int:
             # not in RUNTIME_CONFS, so no pin needed — nothing
             # re-applies it behind the sweep's back
             s.conf.set("spark.sql.codegen.wholeStage", codegen)
+        if auto_bcast is not None:
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", auto_bcast)
+            # AQE has its own copy of the threshold for runtime
+            # join-strategy flips — set both or the axis only covers
+            # the static planner
+            s.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", auto_bcast
+            )
+        if leaf_par is not None:
+            s.conf.set("spark.sql.leafNodeDefaultParallelism", leaf_par)
         return s
 
     def sweep(label: str, sess_a, sess_b) -> dict:
@@ -125,6 +137,33 @@ def main() -> int:
             "codegen on-vs-off",
             session(WIDE, "true"),
             session(WIDE, "true", codegen="false"),
+        ),
+        # Join-strategy independence (r14, fifth axis): threshold -1
+        # forces sort-merge/shuffled-hash everywhere the planner (or
+        # AQE at runtime) would have AUTO-chosen broadcast; explicit
+        # F.broadcast hints survive by design. A catalog stable here
+        # doesn't depend on WHICH join strategy runs — the property
+        # that matters at 100 TB where a dim table outgrows the
+        # threshold between runs and the plan silently flips. Catches
+        # order-sensitive consumers downstream of a join (collect_list
+        # without sort_array, first() without ordering) that the
+        # partition axes can miss when the join keeps sides colocated.
+        "broadcast_vs_sortmerge": sweep(
+            "auto-broadcast vs forced-SMJ",
+            session(WIDE, "true"),
+            session(WIDE, "true", auto_bcast="-1"),
+        ),
+        # Leaf-parallelism independence (r14, sixth axis): driver-built
+        # DataFrames (createDataFrame of centroids, quota tables,
+        # learned merges, boundary buckets) slice by
+        # leafNodeDefaultParallelism, which shuffle.partitions does NOT
+        # touch — forcing 1 re-slices every such leaf into a single
+        # partition and exposes any kernel that accumulates across (or
+        # emits relative to) leaf-slice boundaries.
+        "leaf_parallelism_default_vs_1": sweep(
+            "leaf-parallelism default-vs-1",
+            session(WIDE, "true"),
+            session(WIDE, "true", leaf_par="1"),
         ),
     }
     spark.stop()
