@@ -277,6 +277,60 @@ def main() -> None:
         results["p09_x100"] = block
         save()
 
+    # ---- block 4: p09 on the HEAPS fixtures (hit-rate attribution) --
+    # Going-in hypothesis (REFUTED by the measurement — see the note
+    # stored with the block): that the fixed-vocab ~99% hit rate was the
+    # df² fixture artifact and would fall under Heaps vocabulary growth.
+    # In fact the contaminated fraction ROSE (98.4%→99.8%): the eval
+    # split is corpus-proportional and Zipf-frequent 3-grams dominate
+    # coverage at any vocabulary size. Width, not vocab, is the lever.
+    # The block measures the attribution instead of arguing it.
+    if not only or "p09_heaps" in only:
+        from omop_dump_to_parquet_spark import load_catalog
+
+        queries, _ = load_catalog()
+        block = {
+            "note": (
+                "r14: p09 on the Heaps-vocabulary fixtures. "
+                "MEASURED OUTCOME (which refuted the going-in "
+                "prediction): wall ~linear as expected, but the "
+                "contaminated fraction ROSE 98.4%→99.8% — the eval "
+                "split is corpus-proportional and Zipf-frequent "
+                "3-grams dominate coverage at any vocab size, so "
+                "near-total contamination at width 3 is a property "
+                "of SHORT grams on Zipf text; production realism "
+                "comes from the 8-13-gram width, not vocabulary"
+            ),
+            "scales": {},
+        }
+        for scale in (10, 100):
+            sf_dir = os.path.join(root, "heaps", f"x{scale}")
+            n_train = (
+                table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") % 97 != 0)
+                .count()
+            )
+            sec, runs, rows = _median_wall(
+                lambda: queries["p09_decontamination"](spark, sf_dir), gc
+            )
+            block["scales"][f"x{scale}"] = {
+                "sec": sec,
+                "raw": runs,
+                "rows_out": rows,
+                "n_train": n_train,
+                "contaminated_fraction": round(rows / n_train, 4),
+            }
+            print(
+                f"heaps x{scale}: p09 median {sec}s of {runs}; "
+                f"{rows}/{n_train} contaminated "
+                f"({rows / n_train:.1%})",
+                file=sys.stderr,
+            )
+        s = block["scales"]
+        block["step_alpha"] = _step_alpha(s["x10"]["sec"], s["x100"]["sec"])
+        results["p09_heaps_extension"] = block
+        save()
+
     print(
         json.dumps(
             {
@@ -285,6 +339,7 @@ def main() -> None:
                     "d14_kmeans_dispersed_x100",
                     "p08_threshold_draw_x100",
                     "p09_x100",
+                    "p09_heaps_extension",
                 )
                 if k in results
             },
