@@ -720,7 +720,12 @@ def mixture_threshold_draw(
                 bounds.append((s, bpfx, q - cum))
                 break
             cum += n
-        else:  # quota >= n_s: keep the whole source
+        else:
+            # RAW quota > n_s: keep the whole source. Unreachable via
+            # mixture_quotas (which caps q <= n_s, so the loop always
+            # breaks — a full-quota source exits above with the LAST
+            # bucket as its boundary); this guards uncapped callers.
+            # Exercised directly in tests/test_r15_advice.py.
             bounds.append((s, "g", 0))  # "g" > every hex char
     bdf = spark.createDataFrame(
         bounds, "source string, bpfx string, need long"
@@ -755,9 +760,14 @@ def mixture_threshold_draw(
 # compute the identical corpus without a bespoke fixture file. The
 # modulus is COPRIME with the fixture's source stripe (source is
 # src{doc_id % 20}), so the minority rows cycle through ALL twenty
-# sources in 2-3-row slivers — which also makes their quotas hit the
-# whole-source-keep branch while 'web' takes the boundary draw
-# (both code paths certified; asserted in tests). The
+# sources in 2-3-row slivers — which also gives them FULL-SIZE quotas
+# (q = n_s, kept whole) while 'web' takes the boundary draw. Note
+# (r15 advice): under mixture_quotas, q = min(n_s, tgt) <= n_s, so a
+# full-quota source is kept whole via the BOUNDARY path (the prefix
+# loop always breaks); the separate ('g', 0) keep-all branch in
+# mixture_threshold_draw guards RAW quotas > n_s from callers outside
+# mixture_quotas and is exercised directly by a unit test
+# (tests/test_r15_advice.py), not by this id. The
 # oracle states the CONTRACT — the quota-smallest md5 rank hashes per
 # source, via the window form — while the Spark side never computes a
 # global per-source rank: pass 1 is a map-side histogram of 2-hex
@@ -859,6 +869,11 @@ def p08_mixture_skew_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-token-window (xxhash64 over the sliced token array — two longs
 # per posting row, no gram-string assembly; the ORACLE joins on gram
 # TEXT, so row-for-row agreement doubles as the collision check).
+# Error model on an oracle-less production corpus (r15 advice): a
+# 64-bit hash collision can falsely mark a train gram contaminated or
+# merge two distinct grams in n_doc_grams; expected collisions ≈
+# n_train_grams · n_eval_grams / 2^64 (~5·10⁻⁶ even at 10¹² train ×
+# 10⁸ eval grams), and the direction is conservative (over-flagging).
 # The gram index is localCheckpoint'ed once (two consumers: eval
 # side, train side — same re-plan lesson as d11/d07).
 # The eval gram set is BROADCAST: benchmark suites are fixed-size

@@ -216,12 +216,25 @@ _WINDOW = 50
 #         one-row broadcast gram array + array_intersect; P09's
 #         oracle verbatim — the decontamination batch≡stream
 #         certificate, st10's pattern).
+# All five r14 pins (t22, t23, p08, p09, st11) came back green in
+# CORRECTNESS_r14 (rows+schema+hash, err null) — the documented
+# clearing condition — so they are cleared, rotating the twelve
+# r11-vintage ids (q01, q02, q03, q07, q08, q10, q11, q12, q31, s04,
+# m01, m02 — the oldest driver evidence, 3 rounds) into the r15
+# window.
+# r15 pins — new ids this round (zero driver checks would sort them
+# into the window anyway; pinned for audit symmetry with prior rounds):
+#   p10 — NEW: p09's decontamination plan at production gram width 8
+#         over a SPARSE (<10%) contamination regime (the r14 scale
+#         rehearsal proved width-3 on Zipf text is degenerate: 99.8%
+#         of docs flagged; GPT-3/PaLM use 8-13-grams precisely so
+#         collisions are meaningful).
+#   t24 — NEW: model-based quality-classifier inference (the
+#         DCLM/FineWeb-Edu stage): hashed n-gram features → broadcast
+#         integer weight vector → logit, pure map-side, full oracle.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
-    "t22_bpe_merges",
-    "t23_bpe_encode",
-    "p08_mixture_skew_draw",
-    "p09_decontamination",
-    "st11_stream_decontamination",
+    "p10_decontamination_sparse",
+    "t24_quality_classifier",
 )
 
 

@@ -79,6 +79,11 @@ def main() -> None:
         "queries": timings,
         "raw_timings": raw,
         "sf_dir": sf_dir,
+        # r15 advice: a partial run (some headline ids lacking oracles)
+        # must be self-describing IN the artifact, not only on stderr —
+        # otherwise a partial total can silently overwrite a committed
+        # full one. Empty list == every headline id was timed.
+        "skipped": missing,
     }
     # Persist the artifact alongside bench_detail.json so every pair
     # BASELINE.md quotes has BOTH sides committable at the quoting

@@ -324,6 +324,16 @@ def gen_all(out_dir: str, seed: int) -> dict[str, int]:
                 rng.choice(vocab)
             )
         texts[int(i)] = " ".join(words)
+    # t22/t23 domain invariant (r15 advice): '|' is the BPE encode's
+    # word-boundary sentinel — the Spark side raise_errors on it while
+    # the DuckDB oracle would silently treat it as a word boundary, so
+    # the generator must keep both engines in the same domain. The
+    # vocabulary is donor-derived, so this only fires if the driver
+    # fixture itself ever grows a '|' token.
+    assert not any("|" in t for t in texts), (
+        "randomized documents fixture contains the '|' BPE sentinel; "
+        "t22/t23's Spark/oracle contracts diverge on such input"
+    )
     documents = pa.table(
         {
             "doc_id": pa.array(range(n_doc), pa.int64()),
