@@ -932,28 +932,29 @@ FROM hits h JOIN tot t2 ON h.doc_id = t2.doc_id
 """
 
 
-@query("p09_decontamination", oracle=P09_ORACLE)
-def p09_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hashed per-doc-distinct gram index (one checkpoint, two
-    consumers) → broadcast eval-gram LEFT join (map-side mark) → ONE
-    groupBy(doc_id) for both counts (see block comment)."""
+def decontaminate(
+    docs: DataFrame, width: int = P09_NGRAM, eval_mod: int = P09_EVAL_MOD
+) -> DataFrame:
+    """The decontamination kernel, width-parameterized (r14 verdict #3):
+    hashed per-doc-distinct gram index (one checkpoint, two consumers)
+    → broadcast eval-gram LEFT join (map-side mark) → ONE
+    groupBy(doc_id) for both counts (see the P09 block comment; the
+    plan is width-independent). ``docs`` needs (doc_id, text)."""
     from .text import tokens
 
-    docs = table(spark, sf_dir, "documents")
     toks = tokens("text")
     n = F.size(toks)
-    w = P09_NGRAM
     gram_hashes = F.when(
-        n >= w,
+        n >= width,
         F.transform(
-            F.sequence(F.lit(1), n - (w - 1)),
-            lambda i: F.xxhash64(F.slice(toks, i, w)),
+            F.sequence(F.lit(1), n - (width - 1)),
+            lambda i: F.xxhash64(F.slice(toks, i, width)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     g = docs.select(
         "doc_id", F.explode(F.array_distinct(gram_hashes)).alias("gh")
     ).localCheckpoint(eager=True)
-    is_eval = F.col("doc_id") % P09_EVAL_MOD == 0
+    is_eval = F.col("doc_id") % eval_mod == 0
     evalg = (
         g.filter(is_eval).select("gh").distinct().withColumn("m", F.lit(1))
     )
@@ -968,4 +969,143 @@ def p09_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_contaminated"),
         )
         .filter(F.col("n_contaminated") > 0)
+    )
+
+
+@query("p09_decontamination", oracle=P09_ORACLE)
+def p09_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The width-3 catalog pin of :func:`decontaminate` (see block
+    comment; body factored into the shared kernel in r15 for p10 —
+    expression-identical plan, pinned for a fresh driver check per the
+    r6/r13 value-identical-refactor precedent)."""
+    return decontaminate(
+        table(spark, sf_dir, "documents"), P09_NGRAM, P09_EVAL_MOD
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10 — decontamination at PRODUCTION gram width in a SPARSE regime.
+# The r14 Heaps rehearsal measured that width 3 on Zipf text is
+# degenerate — 99.8% of train docs flagged, because Zipf-frequent
+# 3-grams dominate coverage at any vocabulary size (the refuted-
+# hypothesis note in SCALING.md) — so p09's certificate never ran the
+# plan where the broadcast-hit path is SELECTIVE and output is rare,
+# which is the actual production shape: GPT-3 appendix C uses 13-grams
+# and PaLM/Llama 8-10-grams precisely so collisions are meaningful.
+#
+# At width 8 the fixture's natural collision count is zero (8-grams of
+# word-soup text are essentially unique), so contamination is INJECTED
+# deterministically, expression-for-expression identical in both
+# engines (the p08 derived-corpus pattern): docs with
+# doc_id % 19 == 3 (~5%) get the first-8-token span of a donor eval
+# doc appended (donor_id = 97 * (doc_id % n_ev), n_ev = max_id//97+1 —
+# a bounded one-row driver scalar; the donor table is the ~1% eval
+# split, BROADCAST, so the injection adds zero shuffles). Measured on
+# the fixture: ~5.5% of train docs flagged, 1-16 hits each — sparse,
+# mixed output. The kernel is p09's `decontaminate` verbatim at
+# width=8; only the corpus derivation differs, so the 100 TB plan
+# arguments (one corpus shuffle, structural broadcast asymmetry)
+# carry over unchanged, now certified in the selective regime too.
+# ---------------------------------------------------------------------------
+
+P10_NGRAM = 8        # production width (GPT-3: 13, PaLM/Llama: 8-10)
+P10_INJ_MOD = 19     # doc_id % 19 == 3 → ~5% of docs get a planted span
+P10_INJ_RESIDUE = 3
+
+P10_ORACLE = f"""
+WITH mx AS (
+  SELECT MAX(doc_id) // {P09_EVAL_MOD} + 1 AS n_ev FROM documents
+),
+donors AS (
+  SELECT doc_id AS d_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, {P10_NGRAM}),
+                         ' ') AS span
+  FROM documents WHERE doc_id % {P09_EVAL_MOD} = 0
+),
+corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {P10_INJ_MOD} = {P10_INJ_RESIDUE}
+              THEN d.text || ' ' || dn.span
+              ELSE d.text END AS text
+  FROM documents d
+  CROSS JOIN mx
+  LEFT JOIN donors dn ON dn.d_id = {P09_EVAL_MOD} * (d.doc_id % mx.n_ev)
+),
+t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) >= {P10_NGRAM}
+                THEN list_transform(range(1, len(toks) - {P10_NGRAM - 2}),
+                                    i -> array_to_string(
+                                           list_slice(toks, i, i + {P10_NGRAM - 1}), ' '))
+                ELSE [] END)) AS gram
+  FROM t
+),
+ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {P09_EVAL_MOD} = 0
+),
+tr AS (
+  SELECT doc_id, gram FROM g WHERE doc_id % {P09_EVAL_MOD} <> 0
+),
+tot AS (
+  SELECT doc_id, COUNT(*) AS n_doc_grams FROM tr GROUP BY doc_id
+),
+hits AS (
+  SELECT tr.doc_id, COUNT(*) AS n_contaminated
+  FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id
+)
+SELECT h.doc_id,
+       CAST(t2.n_doc_grams AS BIGINT) AS n_doc_grams,
+       CAST(h.n_contaminated AS BIGINT) AS n_contaminated
+FROM hits h JOIN tot t2 ON h.doc_id = t2.doc_id
+"""
+
+
+def p10_injected_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic sparse-contamination corpus p10 decontaminates
+    (shared with the selectivity tests so they measure the certified
+    path): ~5% of docs get a donor eval doc's first-8-token span
+    appended via a BROADCAST left join on the derived donor id."""
+    from .text import tokens
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # bounded driver state: ONE scalar (the p06/p08 counts precedent)
+    n_ev = docs.agg(F.max("doc_id")).first()[0] // P09_EVAL_MOD + 1
+    donors = docs.filter(F.col("doc_id") % P09_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("d_id"),
+        F.array_join(F.slice(tokens("text"), 1, P10_NGRAM), " ").alias(
+            "span"
+        ),
+    )
+    return (
+        docs.join(
+            F.broadcast(donors),
+            F.col("d_id")
+            == F.lit(P09_EVAL_MOD) * (F.col("doc_id") % F.lit(n_ev)),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % P10_INJ_MOD == P10_INJ_RESIDUE,
+                F.concat(F.col("text"), F.lit(" "), F.col("span")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+@query("p10_decontamination_sparse", oracle=P10_ORACLE)
+def p10_decontamination_sparse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """derived sparse-contamination corpus (broadcast donor-span
+    injection) → :func:`decontaminate` at production width 8 (see
+    block comment)."""
+    return decontaminate(
+        p10_injected_corpus(spark, sf_dir), P10_NGRAM, P09_EVAL_MOD
     )

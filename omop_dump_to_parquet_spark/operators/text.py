@@ -1667,3 +1667,128 @@ def t23_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment; learn→apply via the factored bpe_encode)."""
     docs = table(spark, sf_dir, "documents")
     return bpe_encode(docs, learn_bpe_merges(docs))
+
+
+# ---------------------------------------------------------------------------
+# T24 — MODEL-BASED quality-classifier inference: the DCLM / FineWeb-Edu
+# stage (a trained fastText-style linear classifier scores every
+# document; docs above the decision threshold are kept). The catalog's
+# existing quality signals are heuristics (t02 rule blend, t13/t19 LM
+# perplexity stand-ins); nothing ran a trained model — the r14 verdict's
+# "last obvious training-pipeline gap" (#4).
+#
+# Model shape (fastText, Joulin et al. 2016, public): hashed uni+bigram
+# features → weight lookup → sum → sigmoid. The WEIGHT VECTOR is what a
+# training run produces; here it is derived deterministically from the
+# bucket index (w[b] = (b·2654435761) % 2003 − 1001, integers) so the
+# DuckDB oracle can recompute it exactly — the catalog's determinism
+# discipline (cf. s09's integer-lattice codebooks). The Spark side still
+# exercises the PRODUCTION plumbing: the vector rides a ONE-ROW
+# broadcast (models are MBs; the corpus is the 100 TB side — the same
+# structural asymmetry as p09's eval grams), and inference is a pure
+# map-side expression (hash → element_at → aggregate) inside
+# whole-stage codegen: ZERO shuffles, no UDF. Swapping in real trained
+# weights changes only the one-row literal, not the plan.
+#
+# Feature hash = the 60-bit md5 prefix (d05's cross-engine token hash:
+# Spark conv(substr(md5,1,15),16,10) ≡ DuckDB ('0x'||substr)::BIGINT),
+# bucketed mod 256. Output contract: exact-integer (n_features, logit)
+# plus the boolean decision label (sigmoid is monotone, so
+# logit > 0 ⟺ p > 0.5 — the classification is exact without ever
+# materializing a float; consumers needing the probability compute
+# sigmoid(logit/n_features·scale) themselves — the p09 no-ratio rule).
+# ---------------------------------------------------------------------------
+
+T24_DIM = 256            # hashed feature buckets (fastText default 2M;
+#                          256 keeps the oracle expression closed-form)
+T24_W_MULT = 2654435761  # Knuth multiplicative constant
+T24_W_MOD = 2003
+T24_W_SHIFT = 1001       # weights span [-1001, +1001]
+
+
+def t24_weights() -> list[int]:
+    """The 'trained' weight vector — deterministic integers so the
+    oracle recomputes them in closed form; stand-in for a real model
+    file (same length, same broadcast path)."""
+    return [
+        (b * T24_W_MULT) % T24_W_MOD - T24_W_SHIFT for b in range(T24_DIM)
+    ]
+
+
+T24_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+f AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END) AS feats
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         len(feats) AS n_features,
+         list_sum(list_transform(feats, w ->
+           (((('0x' || substr(md5(w), 1, 15))::BIGINT % {T24_DIM})
+             * {T24_W_MULT}) % {T24_W_MOD}) - {T24_W_SHIFT})) AS logit
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_features AS BIGINT) AS n_features,
+       CAST(logit AS BIGINT) AS logit,
+       logit > 0 AS label
+FROM s
+"""
+
+
+def classifier_score(docs: DataFrame, weights: list[int]) -> DataFrame:
+    """fastText-style linear inference over hashed uni+bigram features
+    (see block comment). ``weights`` has ``T24_DIM`` entries and rides
+    a one-row broadcast; everything else is map-side expression."""
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame([(weights,)], "w array<long>")
+    toks = tokens("text")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    bucket = (
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+        % T24_DIM
+    )
+    logit = F.aggregate(
+        F.transform(
+            feats,
+            lambda w: F.element_at(
+                F.col("w"), (bucket(w) + 1).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.crossJoin(F.broadcast(wdf)).select(
+        "doc_id",
+        F.size(feats).cast("long").alias("n_features"),
+        logit.alias("logit"),
+        (logit > 0).alias("label"),
+    )
+
+
+@query("t24_quality_classifier", oracle=T24_ORACLE)
+def t24_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24 — trained-classifier quality inference (see block comment;
+    broadcast weight vector + map-side hashed-feature lookup)."""
+    return classifier_score(
+        table(spark, sf_dir, "documents"), t24_weights()
+    )

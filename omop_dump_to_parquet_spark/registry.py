@@ -232,9 +232,14 @@ _WINDOW = 50
 #   t24 — NEW: model-based quality-classifier inference (the
 #         DCLM/FineWeb-Edu stage): hashed n-gram features → broadcast
 #         integer weight vector → logit, pure map-side, full oracle.
+#   p09 — body factored into the shared width-parameterized
+#         `decontaminate` kernel (p10 reuses it); expression-identical
+#         plan and untouched oracle, pinned anyway per the r6/r13
+#         value-identical-refactor precedent.
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "p10_decontamination_sparse",
     "t24_quality_classifier",
+    "p09_decontamination",
 )
 
 
