@@ -116,7 +116,14 @@ def main() -> None:
     # carried two contradictory numbers at the same commit. Raw
     # per-rep lists stay in bench_detail.json so the variance itself
     # is auditable.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Default 5 reps since r15 (was 3): d04 is BIMODAL on this box
+    # (r14 close pair observed per-rep 7.0-38.9s; two same-session
+    # measurements read 11.2s idle vs 14.6s right after an 11-minute
+    # test suite — BASELINE.md "d04 box-state sensitivity"). A
+    # median-of-3 lets ONE slow-mode rep sit adjacent to the median
+    # and drag the headline; median-of-5 needs three slow reps to
+    # move, which the observed mode frequencies (~1 in 5) make rare.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
     def stat(runs: list[float]) -> float:
         import statistics
@@ -240,6 +247,10 @@ def main() -> None:
             "p08_mixture_skew_draw",
             "p09_decontamination",
             "st11_stream_decontamination",
+            # r15 additions: production-width sparse decontamination,
+            # model-based quality-classifier inference
+            "p10_decontamination_sparse",
+            "t24_quality_classifier",
         ):
             runs = []
             for _ in range(reps):
