@@ -866,9 +866,11 @@ def p08_mixture_skew_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the plan is width-independent).
 #
 # Spark shape (the d11 machinery, re-pointed): grams are hashed
-# per-token-window (xxhash64 over the sliced token array — two longs
-# per posting row, no gram-string assembly; the ORACLE joins on gram
-# TEXT, so row-for-row agreement doubles as the collision check).
+# per-token-window (two-stage since r15: token strings xxhash64'd once
+# per row, then each gram hashes its w-long token-hash window — two
+# longs per posting row, no gram-string assembly, no per-gram string
+# re-hash; the ORACLE joins on gram TEXT, so row-for-row agreement
+# doubles as the collision check).
 # Error model on an oracle-less production corpus (r15 advice): a
 # 64-bit hash collision can falsely mark a train gram contaminated or
 # merge two distinct grams in n_doc_grams; expected collisions ≈
@@ -939,19 +941,33 @@ def decontaminate(
     hashed per-doc-distinct gram index (one checkpoint, two consumers)
     → broadcast eval-gram LEFT join (map-side mark) → ONE
     groupBy(doc_id) for both counts (see the P09 block comment; the
-    plan is width-independent). ``docs`` needs (doc_id, text)."""
+    plan is width-independent). ``docs`` needs (doc_id, text).
+
+    Gram hashing is TWO-STAGE since r15: token strings are hashed once
+    per row in their OWN projection, then each gram hashes the w-long
+    window of token hashes — at width 8 the naive form re-hashes every
+    token string ~8x (measured 3x slower on .scale/x10: ~9s vs ~3s),
+    and the separate select matters: an inline lambda capture of the
+    token-hash array re-evaluates it per gram window (measured as slow
+    as the naive form). Equality semantics are identical (gram-hash
+    equality ⟺ the w token hashes agree; collisions at either stage
+    keep the ~2^-64-per-pair conservative error model in the banner)."""
     from .text import tokens
 
-    toks = tokens("text")
-    n = F.size(toks)
+    staged = docs.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    th = F.col("th")
+    n = F.size(th)
     gram_hashes = F.when(
         n >= width,
         F.transform(
             F.sequence(F.lit(1), n - (width - 1)),
-            lambda i: F.xxhash64(F.slice(toks, i, width)),
+            lambda i: F.xxhash64(F.slice(th, i, width)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    g = docs.select(
+    g = staged.select(
         "doc_id", F.explode(F.array_distinct(gram_hashes)).alias("gh")
     ).localCheckpoint(eager=True)
     is_eval = F.col("doc_id") % eval_mod == 0
