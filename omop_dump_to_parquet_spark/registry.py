@@ -236,10 +236,16 @@ _WINDOW = 50
 #         `decontaminate` kernel (p10 reuses it); expression-identical
 #         plan and untouched oracle, pinned anyway per the r6/r13
 #         value-identical-refactor precedent.
+#   st12 — NEW: t24's classifier inference run UNCHANGED under
+#         readStream with the model static (one-row broadcast weight
+#         vector; stateless map-side, append mode, T24's oracle
+#         verbatim — the batch≡stream certificate for the
+#         model-based quality-filter stage, st10's pattern).
 _FORCE_IN_WINDOW: tuple[str, ...] = (
     "p10_decontamination_sparse",
     "t24_quality_classifier",
     "p09_decontamination",
+    "st12_stream_quality_classifier",
 )
 
 

@@ -1033,3 +1033,49 @@ def st11_stream_decontamination(
     return _run_to_memory(
         build, spark, "st11_out", "append", expect_single_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# ST12 — streaming QUALITY-CLASSIFIER inference: t24's trained-filter
+# stage with the corpus under readStream and the model STATIC — the
+# deployment shape model-based filtering actually has (the classifier
+# is a fixed artifact; documents land continuously and each is scored
+# exactly once, on arrival).
+#
+# The op runs UNCHANGED: ``classifier_score`` is a stateless map-side
+# plan (one-row broadcast weight vector → hashed-feature lookup →
+# aggregate sum), so Structured Streaming executes the same
+# whole-stage-codegen project per micro-batch with no state stores,
+# no watermark, and append mode — st10's pattern, and the oracle is
+# literally T24's SQL: batch ≡ stream, hash-compared.
+#
+# Scale: throughput equals the batch plan's (scan rate); the broadcast
+# is the MODEL (MBs, fixed) while the corpus is the unbounded side —
+# the same structural asymmetry as st11's benchmark grams. At
+# 100 TB/day ingest the score-on-arrival shape avoids ever re-scanning
+# the lake to apply a filter the pipeline already knows.
+# ---------------------------------------------------------------------------
+
+from ..operators.text import T24_ORACLE as _T24_ORACLE
+from ..operators.text import classifier_score as _classifier_score
+from ..operators.text import t24_weights as _t24_weights
+
+
+@query("st12_stream_quality_classifier", oracle=_T24_ORACLE)
+def st12_stream_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST12 — t24's classifier under readStream (see block comment;
+    the op runs unchanged, T24's oracle verbatim — the batch≡stream
+    certificate for the model-based quality-filter stage)."""
+
+    def build(s: SparkSession) -> DataFrame:
+        raw = s.read.parquet(f"{sf_dir}/documents.parquet")
+        stream = s.readStream.schema(raw.schema).parquet(
+            _stage_documents(sf_dir)
+        )
+        return _classifier_score(stream, _t24_weights())
+
+    return _run_to_memory(
+        build, spark, "st12_out", "append", expect_single_batch=True
+    )

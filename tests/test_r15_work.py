@@ -174,6 +174,26 @@ def test_t24_logit_matches_driver_side_recompute(spark, sf_small, catalog):
         assert got[r["doc_id"]] == (len(feats), logit, logit > 0), r["doc_id"]
 
 
+def test_st12_stream_equals_t24_batch(spark, sf_small, catalog):
+    """The batch≡stream certificate, set-exact: st12 (classifier under
+    readStream) and t24 (batch) must produce identical row sets — the
+    op is stateless, so replaying the corpus as one micro-batch IS the
+    batch computation."""
+    queries, _ = catalog
+    batch = {
+        tuple(r)
+        for r in queries["t24_quality_classifier"](spark, sf_small).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in queries["st12_stream_quality_classifier"](
+            spark, sf_small
+        ).collect()
+    }
+    assert batch == stream
+    assert batch
+
+
 def test_t24_label_split_is_mixed(spark, sf_small, catalog):
     """The decision threshold must actually separate the fixture (both
     classes present) — a degenerate all-one-label output would make the
