@@ -2039,3 +2039,254 @@ def d13_edit_distance_linkage(
         "name_b",
         "edit_dist",
     )
+
+
+# ---------------------------------------------------------------------------
+# D15 — FUZZY benchmark decontamination: flag training documents whose
+# token-set Jaccard against ANY held-out eval document is ≥ 0.9 — the
+# doc-level near-duplicate decontamination pass (GPT-3 appendix C's
+# "fuzzy dedup" of eval overlap; The Pile §6.3), complementary to
+# p09/p10's EXACT n-gram collision flagging: a paraphrased or lightly
+# edited eval leak shares no long verbatim gram but keeps a
+# near-identical token set, and only the fuzzy pass catches it.
+#
+# Spark-first plan — ZERO corpus-side exchanges (vs d04's one):
+# cross-corpus LSH is structurally asymmetric (eval suites are MBs;
+# the corpus is the 100 TB side), so instead of d04's agg-built
+# signatures + self-join, every stage becomes a per-row expression on
+# the corpus scan:
+#   1. MinHash signatures computed IN-ROW (``_rowwise_minhash_sig`` —
+#      array_min over transform of TWO-STAGE hashes: token strings
+#      hashed once per row, the 126 functions mix the 64-bit base
+#      with the function index; see its docstring for why this is NOT
+#      the linear composition d04 rejects). d04 needs the explode+agg
+#      form because its SELF-join wants signatures materialized once
+#      for both sides; here the eval side is broadcast, so signatures
+#      are consumed exactly once and computing them map-side deletes
+#      the signature shuffle — at 10^10 docs that shuffle moves
+#      ~1 KB/doc ≈ 10 TB, while the map-side form moves nothing.
+#   2. The 21 band keys in-row (same xxhash64-over-6-rows recipe as
+#      ``band_keys``, applied to the in-row signature array).
+#   3. The EVAL index — (band, bkey) → eval doc, carrying its token
+#      set, set size, and full key array — is BROADCAST (21 rows per
+#      eval doc).
+#   4. Corpus rows posexplode their 21 keys MAP-SIDE and probe the
+#      broadcast index; first-shared-band emission (d04's dedupe
+#      trick, both key arrays are in-row post-join) removes the
+#      distinct() shuffle; the d04 set-size necessary condition
+#      (10·min(nw) ≥ 9·max(nw) for J ≥ 0.9) prunes inside the join.
+#   5. Exact-Jaccard verification map-side: array_intersect of the
+#      two in-row token sets — no re-join with the corpus.
+# Physical plan: Scan → Project → Generate → BroadcastHashJoin →
+# Filter → Project. No ShuffleExchange anywhere (plan-shape-tested) —
+# the whole decontamination is one pass over the corpus, which is the
+# optimal 100 TB shape for this op.
+#
+# Recall: P[miss | J ≥ 0.9] = (1 − 0.9⁶)²¹ ≈ 1.2e-7 per pair with
+# 21×6 banding, and the output is exact-verified, so false positives
+# are structurally zero — the same contract d04 certifies.
+# Eval split: doc_id % 97 == 0 (P09_EVAL_MOD's derivation, kept
+# numerically local to avoid an import cycle; consistency pinned in
+# tests against pipeline.P09_EVAL_MOD).
+# ---------------------------------------------------------------------------
+
+D15_EVAL_MOD = 97  # == pipeline.P09_EVAL_MOD (test-pinned)
+
+D15_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS nw FROM tok GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS eval_id, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.w = b.w
+  WHERE a.doc_id % {D15_EVAL_MOD} <> 0 AND b.doc_id % {D15_EVAL_MOD} = 0
+  GROUP BY 1, 2
+)
+SELECT i.doc_id, i.eval_id,
+       (CAST(n_common AS DOUBLE) / (sa.nw + sb.nw - n_common)) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_id = sa.doc_id
+JOIN sizes sb ON i.eval_id = sb.doc_id
+WHERE (CAST(n_common AS DOUBLE) / (sa.nw + sb.nw - n_common))
+      >= {MINHASH_THRESHOLD}
+"""
+
+
+def _rowwise_minhash_sig(toksh: Column, k: int = MINHASH_K) -> Column:
+    """Per-row MinHash signature as array<long> over PRE-HASHED tokens
+    (``toksh`` = array<long> of per-token xxhash64 base hashes).
+
+    Two-stage hashing (p10's gram-hash precedent): each token string
+    is hashed ONCE per row; the k per-function hashes mix the 64-bit
+    base with the function index. Unlike the linear h₁+i·h₂
+    composition d04's docstring rejects, xxhash64(i, base) is a full
+    avalanche per i — functions stay independent and the j^rows
+    banding math holds; the only new failure channel is a base-hash
+    collision between two distinct tokens (2⁻⁶⁴ per pair, p09's
+    accepted error model). Values intentionally differ from d04's
+    xxhash64(i, token-string) family — d15's output is EXACT-verified,
+    so the signature needs determinism and independence, not
+    cross-operator or cross-engine value equality. Measured: the
+    string-domain family costs a 14s first-evaluation JIT spike at
+    sf0.1 where the long-domain family starts warm (4.5s), same warm
+    throughput."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(toksh, lambda b: F.xxhash64(i, b))
+        ),
+    )
+
+
+def _rowwise_band_keys(
+    sig: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> Column:
+    """Per-row LSH band-key array from an in-row signature —
+    value-identical to ``band_keys`` over h0..h{k-1} columns (same
+    xxhash64 over each band's ``rows`` longs)."""
+    return F.array(
+        *[
+            F.xxhash64(
+                *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def cross_corpus_neardup(
+    train: DataFrame,
+    ev: DataFrame,
+    threshold: float = MINHASH_THRESHOLD,
+) -> DataFrame:
+    """The d15 kernel (see block comment): broadcast-LSH cross-corpus
+    near-dup with in-row signatures, first-shared-band emission and
+    map-side exact-Jaccard verification. ``train``/``ev`` need columns
+    (doc_id, text); returns (doc_id, eval_id, jaccard) with
+    jaccard ≥ threshold. Zero shuffles on the ``train`` side."""
+    from fractions import Fraction
+
+    ratio = Fraction(str(threshold))
+    num, den = ratio.numerator, ratio.denominator
+
+    def prepared(df: DataFrame) -> DataFrame:
+        # Each derivation stage gets its OWN projection: inlining
+        # _rowwise_minhash_sig into _rowwise_band_keys would re-evaluate
+        # the full 126-min expression under every element_at (126×
+        # work — measured 20.6s → 1.3s at sf0.01). CollapseProject
+        # won't merge these selects because each alias is non-cheap
+        # and referenced more than once downstream.
+        toks = F.array_distinct(F.split(F.col("text"), " "))
+        return (
+            df.select(F.col("doc_id"), toks.alias("toks"))
+            .select(
+                "doc_id",
+                "toks",
+                F.transform("toks", lambda t: F.xxhash64(t)).alias(
+                    "toksh"
+                ),
+            )
+            .select(
+                "doc_id",
+                "toks",
+                F.size("toks").alias("nw"),
+                _rowwise_minhash_sig(F.col("toksh")).alias("sig"),
+            )
+            .select(
+                "doc_id",
+                "toks",
+                "nw",
+                _rowwise_band_keys(F.col("sig")).alias("keys"),
+            )
+        )
+
+    ev_idx = (
+        prepared(ev)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.col("toks").alias("etoks"),
+            F.col("nw").alias("enw"),
+            F.col("keys").alias("ekeys"),
+        )
+        .select(
+            "eval_id",
+            "etoks",
+            "enw",
+            "ekeys",
+            F.posexplode("ekeys").alias("band", "bkey"),
+        )
+    )
+    tr = prepared(train).select(
+        "doc_id",
+        "toks",
+        "nw",
+        "keys",
+        F.posexplode("keys").alias("band", "bkey"),
+    )
+    a, e = tr.alias("a"), ev_idx.alias("e")
+    cond = (
+        (F.col("a.band") == F.col("e.band"))
+        & (F.col("a.bkey") == F.col("e.bkey"))
+        # d04's set-size necessary condition for J ≥ num/den — prunes
+        # mid-similarity collisions inside the broadcast join, exact
+        # at the boundary (integer arithmetic)
+        & (F.col("a.nw") * den >= F.col("e.enw") * num)
+        & (F.col("e.enw") * den >= F.col("a.nw") * num)
+    )
+    # first-shared-band emission (d04's dedupe without its capped-map
+    # machinery — cross-corpus buckets are bounded by the eval side):
+    # a pair colliding in several bands is emitted ONLY at its first,
+    # checked in-row against both carried key arrays.
+    earlier = F.when(F.col("a.band") == 0, F.lit(False)).otherwise(
+        F.exists(
+            F.sequence(F.lit(1), F.col("a.band")),
+            lambda i: F.element_at(F.col("a.keys"), i)
+            == F.element_at(F.col("e.ekeys"), i),
+        )
+    )
+    nc = F.size(F.array_intersect(F.col("a.toks"), F.col("e.etoks")))
+    jac = nc.cast("double") / (F.col("a.nw") + F.col("e.enw") - nc)
+    return (
+        a.join(F.broadcast(e), cond)
+        .filter(~earlier)
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("e.eval_id").alias("eval_id"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan ONLY when it yields fewer splits
+    than the session's shuffle width — the map-side dual of
+    ``pin_expansion_parallelism``. A shuffle-free plan (d15) gets its
+    parallelism from input splits; at production scale file count ≫
+    cores so this is a structural no-op, but the single-file KB-sized
+    fixtures plan as ONE split and would serialize the whole per-row
+    signature computation onto one core. The widener shuffles raw
+    (doc_id, text) rows — exactly the tiny case where that is free —
+    and disappears from the plan the moment the input has real
+    splits."""
+    n = get_shuffle_partitions(df.sparkSession)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
+@query("d15_fuzzy_decontamination", oracle=D15_ORACLE)
+def d15_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 — doc-level fuzzy benchmark decontamination (see block
+    comment): training docs within MinHash-verified Jaccard ≥ 0.9 of
+    any eval-split doc, via a broadcast LSH index of the eval side —
+    zero corpus-side shuffles (the fixture-only ``widen_scan``
+    round-robin aside)."""
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % D15_EVAL_MOD == 0)
+    train = widen_scan(docs.filter(F.col("doc_id") % D15_EVAL_MOD != 0))
+    return cross_corpus_neardup(train, ev)

@@ -246,6 +246,7 @@ _FORCE_IN_WINDOW: tuple[str, ...] = (
     "t24_quality_classifier",
     "p09_decontamination",
     "st12_stream_quality_classifier",
+    "d15_fuzzy_decontamination",
 )
 
 
