@@ -247,6 +247,7 @@ _FORCE_IN_WINDOW: tuple[str, ...] = (
     "p09_decontamination",
     "st12_stream_quality_classifier",
     "d15_fuzzy_decontamination",
+    "st13_stream_fuzzy_decontamination",
 )
 
 

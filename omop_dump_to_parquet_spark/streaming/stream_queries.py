@@ -1079,3 +1079,52 @@ def st12_stream_quality_classifier(
     return _run_to_memory(
         build, spark, "st12_out", "append", expect_single_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# ST13 — streaming FUZZY decontamination: d15's doc-level MinHash
+# overlap check with the CORPUS under readStream and the eval-suite
+# LSH index STATIC — the other deployment shape decontamination has
+# (st11 streams the exact-gram check; this streams the fuzzy one).
+# Documents are screened against the benchmark on ARRIVAL, so a leaked
+# eval near-duplicate never reaches the training lake at all.
+#
+# The kernel runs UNCHANGED: cross_corpus_neardup is a stateless
+# map-side plan (in-row signatures → posexplode → broadcast eval index
+# → first-shared-band emission → exact-Jaccard verify), so Structured
+# Streaming executes the identical whole-stage project per micro-batch
+# with no state stores, no watermark, and append mode — and the oracle
+# is literally D15's SQL: batch ≡ stream, hash-compared.
+#
+# Scale: the broadcast is the EVAL INDEX (MBs, fixed — benchmarks are
+# small by construction) while the corpus is the unbounded side — the
+# structural asymmetry st11/st12 certify, now for the fuzzy family.
+# Zero corpus-side exchanges per micro-batch.
+# ---------------------------------------------------------------------------
+
+from ..operators.dedup import D15_EVAL_MOD as _D15_EVAL_MOD
+from ..operators.dedup import D15_ORACLE as _D15_ORACLE
+from ..operators.dedup import cross_corpus_neardup as _cross_corpus_neardup
+
+
+@query("st13_stream_fuzzy_decontamination", oracle=_D15_ORACLE)
+def st13_stream_fuzzy_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST13 — d15's fuzzy decontamination under readStream (see block
+    comment; the kernel runs unchanged against a static broadcast eval
+    index, D15's oracle verbatim — the batch≡stream certificate for
+    the screen-on-arrival shape)."""
+
+    def build(s: SparkSession) -> DataFrame:
+        raw = s.read.parquet(f"{sf_dir}/documents.parquet")
+        ev = raw.filter(F.col("doc_id") % _D15_EVAL_MOD == 0)
+        stream = s.readStream.schema(raw.schema).parquet(
+            _stage_documents(sf_dir)
+        )
+        train = stream.filter(F.col("doc_id") % _D15_EVAL_MOD != 0)
+        return _cross_corpus_neardup(train, ev)
+
+    return _run_to_memory(
+        build, spark, "st13_out", "append", expect_single_batch=True
+    )

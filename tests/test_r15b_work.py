@@ -131,3 +131,25 @@ def test_widen_scan_is_noop_when_wide_enough(spark, sf_small):
     docs = table(spark, sf_small, "documents").repartition(n + 2)
     out = widen_scan(docs)
     assert out is docs
+
+
+def test_st13_stream_equals_d15_batch(spark, sf_small, catalog):
+    """The batch≡stream certificate, set-exact: st13 (fuzzy
+    decontamination under readStream) and d15 (batch) must produce
+    identical row sets — the kernel is stateless, so replaying the
+    corpus as one micro-batch IS the batch computation."""
+    queries, _ = catalog
+    batch = {
+        tuple(r)
+        for r in queries["d15_fuzzy_decontamination"](
+            spark, sf_small
+        ).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in queries["st13_stream_fuzzy_decontamination"](
+            spark, sf_small
+        ).collect()
+    }
+    assert batch == stream
+    assert batch
