@@ -1125,3 +1125,180 @@ def p10_decontamination_sparse(
     return decontaminate(
         p10_injected_corpus(spark, sf_dir), P10_NGRAM, P09_EVAL_MOD
     )
+
+
+# ---------------------------------------------------------------------------
+# P11 — DSIR-style importance scoring (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): score
+# every training document by how much more likely its hashed-n-gram
+# features are under the TARGET distribution (the eval split — the
+# stand-in for "high-quality target domain") than under the RAW corpus
+# distribution:
+#
+#   score(doc) = Σ_{g ∈ feats(doc)} ln( p_tgt(bucket(g)) /
+#                                        p_raw(bucket(g)) )
+#
+# with add-one (Laplace) smoothing over P11_DIM hashed buckets, so
+# every bucket's weight is defined. Features and bucketing are t24's
+# exactly (uni_bigram_feats + md5_bucket — shared definitions), which
+# is faithful to the paper: DSIR hashes unigrams+bigrams into a fixed
+# bucket table.
+#
+# Plan: (1) bucket counts for raw (train split) and target (eval
+# split) — ONE corpus shuffle of 256-key map-side partials (each task
+# emits ≤256 rows regardless of input size; at 100 TB this exchange
+# moves KBs per task); (2) the two count maps fold into a single
+# 256-entry weight array via a 1×1 crossJoin — no collect, stays
+# in-plan; (3) the weight row broadcasts back onto a second corpus
+# scan and each doc scores MAP-SIDE via an in-row aggregate. The
+# corpus is scanned twice and the only exchange is the 256-key
+# partial-agg fold — the optimal shape for a
+# global-statistics + per-row-score op.
+#
+# Determinism — exact-integer discipline (t24's): the per-bucket
+# weight is quantized to NANO units, w = CAST(round(ln(ratio)·1e9)
+# AS BIGINT), where the ratio is built as
+# (CAST(cnt+1 AS DOUBLE) · (other_total + DIM)) on both sides so the
+# float path is expression-identical; per-doc scores are then BIGINT
+# sums — no float accumulation anywhere (|w| ≤ ~1.4e10 · ≤ a few
+# hundred feats per doc ≪ 2⁶³, ANSI-safe).
+# ---------------------------------------------------------------------------
+
+P11_DIM = 256  # == text.T24_DIM (test-pinned); DSIR's bucket table
+
+P11_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+f AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END) AS feats
+  FROM t
+),
+e AS (
+  SELECT doc_id,
+         unnest(list_transform(feats, w ->
+           ('0x' || substr(md5(w), 1, 15))::BIGINT % {P11_DIM})) AS bk
+  FROM f
+),
+raw AS (
+  SELECT bk, COUNT(*) AS cnt FROM e WHERE doc_id % {P09_EVAL_MOD} <> 0
+  GROUP BY bk
+),
+tgt AS (
+  SELECT bk, COUNT(*) AS cnt FROM e WHERE doc_id % {P09_EVAL_MOD} = 0
+  GROUP BY bk
+),
+tot AS (
+  SELECT (SELECT SUM(cnt) FROM raw) AS rtot,
+         (SELECT SUM(cnt) FROM tgt) AS ttot
+),
+w AS (
+  SELECT g.b AS bk,
+         CAST(round(ln( (CAST(COALESCE(tg.cnt, 0) + 1 AS DOUBLE)
+                         * (tot.rtot + {P11_DIM}))
+                      / (CAST(COALESCE(rw.cnt, 0) + 1 AS DOUBLE)
+                         * (tot.ttot + {P11_DIM})) ) * 1e9) AS BIGINT)
+           AS w
+  FROM range(0, {P11_DIM}) g(b)
+  CROSS JOIN tot
+  LEFT JOIN raw rw ON rw.bk = g.b
+  LEFT JOIN tgt tg ON tg.bk = g.b
+)
+SELECT e.doc_id,
+       COUNT(*) AS n_feats,
+       SUM(w.w) AS score_nanos
+FROM e JOIN w ON e.bk = w.bk
+WHERE e.doc_id % {P09_EVAL_MOD} <> 0
+GROUP BY e.doc_id
+"""
+
+
+def dsir_scores(train: DataFrame, ev: DataFrame) -> DataFrame:
+    """The p11 kernel (see block comment): DSIR importance scores for
+    every ``train`` row against the ``ev`` target distribution.
+    Inputs need (doc_id, text); returns (doc_id, n_feats,
+    score_nanos). Factored so tests can drive synthetic corpora
+    through the exact registered plan."""
+    from .text import md5_bucket, tokens, uni_bigram_feats
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", uni_bigram_feats(tokens("text")).alias("feats")
+        ).select(
+            "doc_id",
+            F.transform("feats", lambda w: md5_bucket(w, P11_DIM)).alias(
+                "buckets"
+            ),
+        )
+
+    train, ev = bucketed(train), bucketed(ev)
+
+    def dist(df: DataFrame, mcol: str, tcol: str) -> DataFrame:
+        counts = (
+            df.select(F.explode("buckets").alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return counts.groupBy().agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b", "cnt"))
+            ).alias(mcol),
+            F.sum("cnt").alias(tcol),
+        )
+
+    def smoothed(m: str, other_tot: str) -> "F.Column":
+        # the lambda below closes over this builder; b is the bucket
+        return lambda b: (
+            (
+                F.coalesce(
+                    F.try_element_at(F.col(m), b.cast("long")),
+                    F.lit(0).cast("long"),
+                )
+                + 1
+            ).cast("double")
+            * (F.col(other_tot) + P11_DIM)
+        )
+
+    num, den = smoothed("tm", "rtot"), smoothed("rm", "ttot")
+    weights = (
+        dist(train, "rm", "rtot")
+        .crossJoin(dist(ev, "tm", "ttot"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(P11_DIM - 1)),
+                lambda b: F.round(
+                    F.log(num(b) / den(b)) * F.lit(1e9)
+                ).cast("long"),
+            ).alias("warr")
+        )
+    )
+    score = F.aggregate(
+        F.col("buckets"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(F.col("warr"), (b + 1).cast("int")),
+    )
+    return train.crossJoin(F.broadcast(weights)).select(
+        "doc_id",
+        F.size("buckets").cast("long").alias("n_feats"),
+        score.alias("score_nanos"),
+    )
+
+
+@query("p11_dsir_importance", oracle=P11_ORACLE)
+def p11_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — DSIR importance scores for every training document (see
+    block comment): hashed uni+bigram log-likelihood ratio of the
+    eval-split target distribution vs the raw corpus distribution,
+    Laplace-smoothed over 256 buckets, nano-quantized to exact
+    BIGINTs."""
+    docs = table(spark, sf_dir, "documents")
+    return dsir_scores(
+        docs.filter(F.col("doc_id") % P09_EVAL_MOD != 0),
+        docs.filter(F.col("doc_id") % P09_EVAL_MOD == 0),
+    )

@@ -1745,13 +1745,11 @@ FROM s
 """
 
 
-def classifier_score(docs: DataFrame, weights: list[int]) -> DataFrame:
-    """fastText-style linear inference over hashed uni+bigram features
-    (see block comment). ``weights`` has ``T24_DIM`` entries and rides
-    a one-row broadcast; everything else is map-side expression."""
-    spark = docs.sparkSession
-    wdf = spark.createDataFrame([(weights,)], "w array<long>")
-    toks = tokens("text")
+def uni_bigram_feats(toks: Column) -> Column:
+    """The hashed-classifier feature set: unigrams + space-joined
+    bigrams, in document order — ONE definition shared by t24's
+    inference and p11's importance scoring (oracle twin: the
+    list_concat/list_transform CTE in T24_ORACLE/P11_ORACLE)."""
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -1762,11 +1760,26 @@ def classifier_score(docs: DataFrame, weights: list[int]) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bigrams)
-    bucket = (
-        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-        % T24_DIM
+    return F.concat(toks, bigrams)
+
+
+def md5_bucket(w: Column, dim: int = T24_DIM) -> Column:
+    """d05's 60-bit md5 cross-engine hash, mod ``dim`` — the feature
+    bucketing t24 and p11 share (DuckDB twin:
+    ('0x' || substr(md5(w),1,15))::BIGINT % dim)."""
+    return (
+        F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long") % dim
     )
+
+
+def classifier_score(docs: DataFrame, weights: list[int]) -> DataFrame:
+    """fastText-style linear inference over hashed uni+bigram features
+    (see block comment). ``weights`` has ``T24_DIM`` entries and rides
+    a one-row broadcast; everything else is map-side expression."""
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame([(weights,)], "w array<long>")
+    feats = uni_bigram_feats(tokens("text"))
+    bucket = md5_bucket
     logit = F.aggregate(
         F.transform(
             feats,

@@ -248,6 +248,7 @@ _FORCE_IN_WINDOW: tuple[str, ...] = (
     "st12_stream_quality_classifier",
     "d15_fuzzy_decontamination",
     "st13_stream_fuzzy_decontamination",
+    "p11_dsir_importance",
 )
 
 

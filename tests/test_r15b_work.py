@@ -153,3 +153,63 @@ def test_st13_stream_equals_d15_batch(spark, sf_small, catalog):
     }
     assert batch == stream
     assert batch
+
+
+# --------------------------------------------------------------------------
+# p11 — DSIR importance scoring
+# --------------------------------------------------------------------------
+
+
+def test_p11_matches_oracle(spark, sf_small, duck, catalog):
+    """Differential vs the closed-form SQL (Laplace-smoothed hashed
+    log-ratio, nano-quantized) — exact BIGINT equality, no float
+    tolerance anywhere."""
+    queries, oracles = catalog
+    rows = queries["p11_dsir_importance"](spark, sf_small).collect()
+    got = sorted((r.doc_id, r.n_feats, r.score_nanos) for r in rows)
+    exp = sorted(
+        map(tuple, duck.execute(oracles["p11_dsir_importance"]).fetchall())
+    )
+    assert got == exp
+    assert len(got) == 494  # every train doc scored (500 - 6 eval)
+
+
+def test_p11_dim_matches_t24(spark):
+    """p11 shares t24's feature hashing — pin the bucket-table width
+    so the two can never silently diverge."""
+    from omop_dump_to_parquet_spark.operators.pipeline import P11_DIM
+    from omop_dump_to_parquet_spark.operators.text import T24_DIM
+
+    assert P11_DIM == T24_DIM
+
+
+def test_p11_plan_shape(spark, sf_small, catalog):
+    """No sort-merge join anywhere: the weight row reaches the scoring
+    scan via a broadcast nested-loop (1-row side), and the only
+    exchanges are the two 256-key distribution folds."""
+    queries, _ = catalog
+    plan = (
+        queries["p11_dsir_importance"](spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_p11_target_affinity_mechanism(spark):
+    """The score must rank target-like docs above off-target docs: a
+    target distribution dominated by token 'aa' gives an 'aa aa aa'
+    train doc a higher score than a 'zz zz zz' one (both all-repeat, so
+    n_feats ties — only the distribution term differs)."""
+    from omop_dump_to_parquet_spark.operators.pipeline import dsir_scores
+
+    train = spark.createDataFrame(
+        [(1, "aa aa aa"), (2, "zz zz zz")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(0, "aa aa aa aa aa aa")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.score_nanos for r in dsir_scores(train, ev).collect()}
+    assert got[1] > got[2]
