@@ -251,6 +251,10 @@ def main() -> None:
             # model-based quality-classifier inference
             "p10_decontamination_sparse",
             "t24_quality_classifier",
+            # r15 second leg: fuzzy decontamination (zero-shuffle
+            # broadcast-LSH) and DSIR importance scoring
+            "d15_fuzzy_decontamination",
+            "p11_dsir_importance",
         ):
             runs = []
             for _ in range(reps):
