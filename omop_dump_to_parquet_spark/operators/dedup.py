@@ -2055,18 +2055,21 @@ def d13_edit_distance_linkage(
 # the corpus is the 100 TB side), so instead of d04's agg-built
 # signatures + self-join, every stage becomes a per-row expression on
 # the corpus scan:
-#   1. MinHash signatures computed IN-ROW (``_rowwise_minhash_sig`` —
-#      array_min over transform of TWO-STAGE hashes: token strings
-#      hashed once per row, the 126 functions mix the 64-bit base
-#      with the function index; see its docstring for why this is NOT
-#      the linear composition d04 rejects). d04 needs the explode+agg
-#      form because its SELF-join wants signatures materialized once
-#      for both sides; here the eval side is broadcast, so signatures
-#      are consumed exactly once and computing them map-side deletes
-#      the signature shuffle — at 10^10 docs that shuffle moves
+#   1. MinHash signatures + the 21 band keys computed MAP-SIDE in an
+#      Arrow-vectorized NumPy kernel (``minhash_key_batches``,
+#      closure-local inside ``cross_corpus_neardup``): one
+#      md5-64 base hash per distinct token, then 126 splitmix64-mixed
+#      derived functions with per-row mins via minimum.reduceat —
+#      see the kernel docstring for the hash-family independence
+#      argument and the measured 2 orders of magnitude over the
+#      Catalyst higher-order-function form (interpreted, per-element
+#      boxed allocation: 40 ms/doc and GC-bound at 50-token docs vs
+#      ~0.1 ms/doc vectorized). d04 needs the explode+agg form
+#      because its SELF-join wants signatures materialized once for
+#      both sides; here the eval side is broadcast, so signatures are
+#      consumed exactly once and computing them map-side deletes the
+#      signature shuffle — at 10^10 docs that shuffle moves
 #      ~1 KB/doc ≈ 10 TB, while the map-side form moves nothing.
-#   2. The 21 band keys in-row (same xxhash64-over-6-rows recipe as
-#      ``band_keys``, applied to the in-row signature array).
 #   3. The EVAL index — (band, bkey) → eval doc, carrying its token
 #      set, set size, and full key array — is BROADCAST (21 rows per
 #      eval doc).
@@ -2077,7 +2080,7 @@ def d13_edit_distance_linkage(
 #      (10·min(nw) ≥ 9·max(nw) for J ≥ 0.9) prunes inside the join.
 #   5. Exact-Jaccard verification map-side: array_intersect of the
 #      two in-row token sets — no re-join with the corpus.
-# Physical plan: Scan → Project → Generate → BroadcastHashJoin →
+# Physical plan: Scan → MapInPandas → Generate → BroadcastHashJoin →
 # Filter → Project. No ShuffleExchange anywhere (plan-shape-tested) —
 # the whole decontamination is one pass over the corpus, which is the
 # optimal 100 TB shape for this op.
@@ -2116,48 +2119,6 @@ WHERE (CAST(n_common AS DOUBLE) / (sa.nw + sb.nw - n_common))
 """
 
 
-def _rowwise_minhash_sig(toksh: Column, k: int = MINHASH_K) -> Column:
-    """Per-row MinHash signature as array<long> over PRE-HASHED tokens
-    (``toksh`` = array<long> of per-token xxhash64 base hashes).
-
-    Two-stage hashing (p10's gram-hash precedent): each token string
-    is hashed ONCE per row; the k per-function hashes mix the 64-bit
-    base with the function index. Unlike the linear h₁+i·h₂
-    composition d04's docstring rejects, xxhash64(i, base) is a full
-    avalanche per i — functions stay independent and the j^rows
-    banding math holds; the only new failure channel is a base-hash
-    collision between two distinct tokens (2⁻⁶⁴ per pair, p09's
-    accepted error model). Values intentionally differ from d04's
-    xxhash64(i, token-string) family — d15's output is EXACT-verified,
-    so the signature needs determinism and independence, not
-    cross-operator or cross-engine value equality. Measured: the
-    string-domain family costs a 14s first-evaluation JIT spike at
-    sf0.1 where the long-domain family starts warm (4.5s), same warm
-    throughput."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(toksh, lambda b: F.xxhash64(i, b))
-        ),
-    )
-
-
-def _rowwise_band_keys(
-    sig: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS
-) -> Column:
-    """Per-row LSH band-key array from an in-row signature —
-    value-identical to ``band_keys`` over h0..h{k-1} columns (same
-    xxhash64 over each band's ``rows`` longs)."""
-    return F.array(
-        *[
-            F.xxhash64(
-                *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]
-            )
-            for b in range(bands)
-        ]
-    )
-
-
 def cross_corpus_neardup(
     train: DataFrame,
     ev: DataFrame,
@@ -2172,36 +2133,94 @@ def cross_corpus_neardup(
 
     ratio = Fraction(str(threshold))
     num, den = ratio.numerator, ratio.denominator
+    # closure cells, NOT module globals: the kernel below is pickled
+    # BY VALUE to Python workers that do not have this package on
+    # sys.path (verify-skill contract) — a module-global reference
+    # would make cloudpickle serialize it by reference and fail with
+    # ModuleNotFoundError at the first Arrow batch
+    n_hashes, n_bands, n_rows = MINHASH_K, LSH_BANDS, LSH_ROWS
+
+    def minhash_key_batches(it):
+        """mapInPandas kernel: (doc_id, text) batches → (doc_id, toks,
+        nw, keys): distinct-token set, its size, and the 21 LSH band
+        keys of a 126-function MinHash signature.
+
+        Hash family: base(t) = first 8 little-endian bytes of md5(t);
+        h_i(t) = splitmix64(base(t) XOR salt_i), salt_i =
+        splitmix64(i+1). Each h_i is a full avalanche over (base, i)
+        — functions are independent, so the j^rows banding math holds
+        (unlike the linear h₁+i·h₂ composition d04's docstring
+        rejects); the only shared failure channel is a base-hash
+        collision between two distinct tokens (2⁻⁶⁴ per pair, p09's
+        accepted error model). Deterministic pure-integer ops —
+        partition-independent — and intentionally NOT d04's
+        xxhash64(i, token) values: d15's output is EXACT-verified, so
+        the signature needs determinism and independence, not
+        cross-operator value equality.
+
+        Why a kernel and not Catalyst expressions: the equivalent
+        transform/array_min higher-order-function tree is interpreted
+        with per-element boxed allocation — measured 40 ms/doc
+        (GC-bound) on 50-token docs at x10 vs ~0.1 ms/doc here (md5
+        once per token, NumPy-vectorized mixing, minimum.reduceat row
+        mins) — the documented Pandas-UDF escape hatch."""
+        import hashlib
+
+        import numpy as np
+
+        def mix(x):
+            # splitmix64 finalizer, vectorized over uint64 (wraparound
+            # is numpy's native uint64 behavior — no ANSI overflow)
+            x = x + np.uint64(0x9E3779B97F4A7C15)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
+
+        salts = mix(np.arange(1, n_hashes + 1, dtype=np.uint64))
+        md5 = hashlib.md5
+
+        for pdf in it:
+            # dict.fromkeys == array_distinct (first-occurrence order;
+            # split(" ") keeps empties exactly like Spark's split on
+            # the single-space regex)
+            toks = [
+                list(dict.fromkeys(t.split(" "))) for t in pdf["text"]
+            ]
+            lens = np.fromiter(
+                (len(t) for t in toks), dtype=np.int64, count=len(toks)
+            )
+            starts = np.zeros(len(toks), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            base = np.fromiter(
+                (
+                    int.from_bytes(md5(t.encode()).digest()[:8], "little")
+                    for row in toks
+                    for t in row
+                ),
+                dtype=np.uint64,
+                count=int(lens.sum()),
+            )
+            # one salt at a time keeps peak memory O(n_tokens), not
+            # O(K·n_tokens); reduceat needs non-empty segments — text
+            # is never null and "".split(" ") is [''], so lens ≥ 1
+            sig = np.empty((n_hashes, len(toks)), dtype=np.uint64)
+            for i in range(n_hashes):
+                sig[i] = np.minimum.reduceat(mix(base ^ salts[i]), starts)
+            keys = np.empty((n_bands, len(toks)), dtype=np.uint64)
+            for b in range(n_bands):
+                k = sig[b * n_rows]
+                for r in range(1, n_rows):
+                    k = mix(k ^ sig[b * n_rows + r])
+                keys[b] = k
+            keys_signed = keys.astype(np.int64).T
+            yield pdf.assign(
+                toks=toks, nw=lens.astype("int32"), keys=list(keys_signed)
+            )[["doc_id", "toks", "nw", "keys"]]
 
     def prepared(df: DataFrame) -> DataFrame:
-        # Each derivation stage gets its OWN projection: inlining
-        # _rowwise_minhash_sig into _rowwise_band_keys would re-evaluate
-        # the full 126-min expression under every element_at (126×
-        # work — measured 20.6s → 1.3s at sf0.01). CollapseProject
-        # won't merge these selects because each alias is non-cheap
-        # and referenced more than once downstream.
-        toks = F.array_distinct(F.split(F.col("text"), " "))
-        return (
-            df.select(F.col("doc_id"), toks.alias("toks"))
-            .select(
-                "doc_id",
-                "toks",
-                F.transform("toks", lambda t: F.xxhash64(t)).alias(
-                    "toksh"
-                ),
-            )
-            .select(
-                "doc_id",
-                "toks",
-                F.size("toks").alias("nw"),
-                _rowwise_minhash_sig(F.col("toksh")).alias("sig"),
-            )
-            .select(
-                "doc_id",
-                "toks",
-                "nw",
-                _rowwise_band_keys(F.col("sig")).alias("keys"),
-            )
+        return df.select("doc_id", "text").mapInPandas(
+            minhash_key_batches,
+            "doc_id long, toks array<string>, nw int, keys array<long>",
         )
 
     ev_idx = (

@@ -1224,17 +1224,46 @@ def dsir_scores(train: DataFrame, ev: DataFrame) -> DataFrame:
     every ``train`` row against the ``ev`` target distribution.
     Inputs need (doc_id, text); returns (doc_id, n_feats,
     score_nanos). Factored so tests can drive synthetic corpora
-    through the exact registered plan."""
-    from .text import md5_bucket, tokens, uni_bigram_feats
+    through the exact registered plan.
+
+    Feature bucketing runs in an Arrow mapInPandas kernel rather than
+    the Catalyst expression twin (``text.md5_bucket`` over
+    ``uni_bigram_feats``): the expression path costs ~60 µs per
+    feature (md5 → hex string → substring → conv's BigInteger parse,
+    all allocating, measured at x10), which p11 pays for THREE corpus
+    passes — the kernel's hashlib.md5 + int.from_bytes is ~1 µs and
+    value-IDENTICAL (first 15 hex chars == top 60 bits of the digest:
+    int.from_bytes(digest[:8], 'big') >> 4; equality pinned in
+    tests, and the oracle differential re-proves it end-to-end).
+    t24 keeps the expression form — one pass over fixture-sized
+    inputs is where the no-UDF property is worth its constant."""
+
+    def bucket_batches(it):
+        # closure-local (workers unpickle without the package on
+        # sys.path); 256 == P11_DIM, pinned by test_p11_dim_matches_t24
+        import hashlib
+
+        md5 = hashlib.md5
+
+        def doc_buckets(t: str) -> list[int]:
+            toks = t.split(" ")
+            feats = toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+            return [
+                (int.from_bytes(md5(f.encode()).digest()[:8], "big") >> 4)
+                % 256
+                for f in feats
+            ]
+
+        for pdf in it:
+            yield pdf.assign(buckets=[doc_buckets(t) for t in pdf["text"]])[
+                ["doc_id", "buckets"]
+            ]
 
     def bucketed(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id", uni_bigram_feats(tokens("text")).alias("feats")
-        ).select(
-            "doc_id",
-            F.transform("feats", lambda w: md5_bucket(w, P11_DIM)).alias(
-                "buckets"
-            ),
+        return df.select("doc_id", "text").mapInPandas(
+            bucket_batches, "doc_id long, buckets array<int>"
         )
 
     train, ev = bucketed(train), bucketed(ev)
@@ -1297,8 +1326,10 @@ def p11_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval-split target distribution vs the raw corpus distribution,
     Laplace-smoothed over 256 buckets, nano-quantized to exact
     BIGINTs."""
+    from .dedup import widen_scan
+
     docs = table(spark, sf_dir, "documents")
     return dsir_scores(
-        docs.filter(F.col("doc_id") % P09_EVAL_MOD != 0),
+        widen_scan(docs.filter(F.col("doc_id") % P09_EVAL_MOD != 0)),
         docs.filter(F.col("doc_id") % P09_EVAL_MOD == 0),
     )

@@ -1699,6 +1699,19 @@ def t23_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sigmoid(logit/n_features·scale) themselves — the p09 no-ratio rule).
 # ---------------------------------------------------------------------------
 
+# Scale-cost note (r15b, measured): this expression-only form pays
+# ~60 µs/feature — Catalyst evaluates higher-order functions
+# interpreted with per-element boxed allocation, and md5's
+# hex-string → substring → conv(16,10) BigInteger path allocates per
+# feature. Forced-evaluation x10/x100 rows live in SCALE_REHEARSAL
+# (t24_classifier_x100 — the FIRST recording there was a vacuous
+# column-pruned count(); see the script's _median_wall docstring).
+# The form is kept deliberately: one pass, no Python, and the
+# correctness certificate is the point. A pipeline applying this at
+# 100 TB should lift the bucketing into p11's value-identical Arrow
+# kernel (pipeline.dsir_scores.bucket_batches — equality pinned in
+# test_p11_kernel_buckets_equal_expression_buckets) and keep the
+# broadcast-weights lookup unchanged.
 T24_DIM = 256            # hashed feature buckets (fastText default 2M;
 #                          256 keeps the oracle expression closed-form)
 T24_W_MULT = 2654435761  # Knuth multiplicative constant
@@ -1801,7 +1814,12 @@ def classifier_score(docs: DataFrame, weights: list[int]) -> DataFrame:
 @query("t24_quality_classifier", oracle=T24_ORACLE)
 def t24_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T24 — trained-classifier quality inference (see block comment;
-    broadcast weight vector + map-side hashed-feature lookup)."""
+    broadcast weight vector + map-side hashed-feature lookup).
+    widen_scan: a zero-shuffle plan's parallelism is its input splits;
+    the single-file fixtures plan as 1-2 splits and would serialize
+    the per-row feature hashing — production no-op (r15b)."""
+    from .dedup import widen_scan
+
     return classifier_score(
-        table(spark, sf_dir, "documents"), t24_weights()
+        widen_scan(table(spark, sf_dir, "documents")), t24_weights()
     )

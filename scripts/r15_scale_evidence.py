@@ -30,15 +30,30 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-REPS = 3
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 
 
-def _median_wall(fn, gc) -> tuple[float, list[float], int]:
+def _median_wall(fn, gc, force: str | None = None) -> tuple[float, list[float], int]:
+    """``force``: a column to SUM alongside the row count so Catalyst
+    cannot column-prune the computation under measurement. The first
+    recorded t24 block used a bare count() — of a pure map-side
+    projection, which prunes the ENTIRE classifier and measures the
+    scan (the recorded 0.8s/flat-alpha row was vacuous; re-measured
+    with force='logit' this session)."""
+    from pyspark.sql import functions as F
+
     runs, n = [], None
     for _ in range(REPS):
         gc()
         t0 = time.perf_counter()
-        n = fn().count()
+        df = fn()
+        if force is None:
+            n = df.count()
+        else:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"), F.sum(force).alias("s")
+            ).first()
+            n = row["n"]
         runs.append(round(time.perf_counter() - t0, 3))
     return round(statistics.median(runs), 3), runs, n
 
@@ -129,7 +144,9 @@ def main() -> None:
                 "r15: t24 — broadcast-weights classifier inference "
                 "(hashed uni+bigram features, map-side aggregate, "
                 "zero shuffles); expectation ~linear wall, output "
-                "rows == docs"
+                "rows == docs. RE-MEASURED with forced logit "
+                "evaluation — the first recording was a vacuous "
+                "column-pruned count() (see _median_wall docstring)"
             ),
             "scales": {},
         }
@@ -138,6 +155,7 @@ def main() -> None:
             sec, runs, rows = _median_wall(
                 lambda: queries["t24_quality_classifier"](spark, sf_dir),
                 gc,
+                force="logit",
             )
             block["scales"][f"x{scale}"] = {
                 "sec": sec,

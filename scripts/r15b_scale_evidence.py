@@ -33,12 +33,25 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 
 
-def _median_wall(fn, gc) -> tuple[float, list[float], int]:
+def _median_wall(fn, gc, force: str | None = None) -> tuple[float, list[float], int]:
+    """``force``: a column to SUM alongside the row count so Catalyst
+    cannot column-prune the computation under measurement — a bare
+    count() of a pure-projection plan measures the scan, not the op
+    (this is how t24's first x100 row came out vacuously flat)."""
+    from pyspark.sql import functions as F
+
     runs, n = [], None
     for _ in range(REPS):
         gc()
         t0 = time.perf_counter()
-        n = fn().count()
+        df = fn()
+        if force is None:
+            n = df.count()
+        else:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"), F.sum(force).alias("s")
+            ).first()
+            n = row["n"]
         runs.append(round(time.perf_counter() - t0, 3))
     return round(statistics.median(runs), 3), runs, n
 
@@ -93,6 +106,8 @@ def main() -> None:
                 .filter(F.col("doc_id") % D15_EVAL_MOD == 0)
                 .count()
             )
+            # d15's count() is NOT prunable: every output row exists
+            # only because the join+verify evaluated — no force needed
             sec, runs, rows = _median_wall(
                 lambda: queries["d15_fuzzy_decontamination"](spark, sf_dir),
                 gc,
@@ -129,7 +144,9 @@ def main() -> None:
         for scale in (10, 100):
             sf_dir = os.path.join(root, f"x{scale}")
             sec, runs, rows = _median_wall(
-                lambda: queries["p11_dsir_importance"](spark, sf_dir), gc
+                lambda: queries["p11_dsir_importance"](spark, sf_dir),
+                gc,
+                force="score_nanos",
             )
             block["scales"][f"x{scale}"] = {
                 "sec": sec,

@@ -213,3 +213,42 @@ def test_p11_target_affinity_mechanism(spark):
     )
     got = {r.doc_id: r.score_nanos for r in dsir_scores(train, ev).collect()}
     assert got[1] > got[2]
+
+
+def test_p11_kernel_buckets_equal_expression_buckets(spark, sf_small):
+    """p11's mapInPandas bucketing must be value-identical to the
+    Catalyst expression twin t24 uses (first 15 md5 hex chars == top
+    60 bits of the digest) — pinned here feature-by-feature so the
+    two can never silently diverge."""
+    from omop_dump_to_parquet_spark.operators.pipeline import P11_DIM
+    from omop_dump_to_parquet_spark.operators.text import (
+        md5_bucket,
+        tokens,
+        uni_bigram_feats,
+    )
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    docs = table(spark, sf_small, "documents").limit(50)
+    expr = {
+        r.doc_id: r.buckets
+        for r in docs.select(
+            "doc_id",
+            F.transform(
+                uni_bigram_feats(tokens("text")),
+                lambda w: md5_bucket(w, P11_DIM).cast("int"),
+            ).alias("buckets"),
+        ).collect()
+    }
+
+    import hashlib
+
+    got = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r.text.split(" ")
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        got[r.doc_id] = [
+            (int.from_bytes(hashlib.md5(f.encode()).digest()[:8], "big") >> 4)
+            % P11_DIM
+            for f in feats
+        ]
+    assert got == expr
