@@ -1212,7 +1212,7 @@ w AS (
 )
 SELECT e.doc_id,
        COUNT(*) AS n_feats,
-       SUM(w.w) AS score_nanos
+       CAST(SUM(w.w) AS BIGINT) AS score_nanos
 FROM e JOIN w ON e.bk = w.bk
 WHERE e.doc_id % {P09_EVAL_MOD} <> 0
 GROUP BY e.doc_id
