@@ -33,6 +33,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 FLAG_SEC = 3.0
 
 
+
+def _force_rows(df) -> int:
+    """count() with every output column evaluated (bench.run_once's
+    hash(*) forcing): a bare count() column-prunes cardinality-
+    preserving plans, so a pure-projection id's "constant" was just
+    its scan+session floor (r15b honesty pass — same bug as t24's
+    vacuous x100 row). Maps route through to_json."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
+
+    cols = [
+        F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash(*cols).cast("long")).alias("h"),
+    ).collect()[0]["n"]
+
+
 def main() -> int:
     from omop_dump_to_parquet_spark import load_catalog
     from omop_dump_to_parquet_spark.session import get_spark
@@ -48,7 +68,7 @@ def main() -> int:
         runs = []
         for rep in range(3):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            _force_rows(fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
             if rep > 0:  # rep 0 is session/scan warmup, discarded
                 runs.append(dt)

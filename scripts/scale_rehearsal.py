@@ -98,6 +98,30 @@ REL_OPS = ("q31_array_map_funcs", "q48_theta_error_bound")
 REL_X1 = "/root/testdata/sf0.1"
 
 
+
+def _force_rows(df) -> int:
+    """Row count with EVERY output column evaluated (bench.run_once's
+    forcing recipe): a bare count() lets Catalyst prune computed
+    columns out of cardinality-preserving plans entirely — t23's
+    encode projection (and, before the r15b fix, t24's whole
+    classifier) never ran under the old count()-based timing. hash(*)
+    depends on all columns; maps route through to_json (hash rejects
+    MapType). Cardinality-CHANGING plans (joins, aggregates, explodes,
+    filters, mapInPandas) were already forced by count(), but one
+    recipe for every id beats a per-id prunability argument."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
+
+    cols = [
+        F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash(*cols).cast("long")).alias("h"),
+    ).collect()[0]["n"]
+
+
 def _d13_candidate_counts(spark, sf_dir: str) -> dict:
     """Measured PassJoin candidates vs the analytic candidate counts
     of the two fixed-cardinality blocking schemes on the same data —
@@ -188,7 +212,7 @@ def main() -> None:
             for _ in range(REPS):
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
-                rows = queries[op](spark, sf_dir).count()
+                rows = _force_rows(queries[op](spark, sf_dir))
                 runs.append(round(time.perf_counter() - t0, 3))
                 if op == "d06_dedup_clusters" and LAST_CC_STATS:
                     extra = dict(LAST_CC_STATS)
@@ -272,7 +296,7 @@ def main() -> None:
                 for _ in range(REPS):
                     spark.sparkContext._jvm.System.gc()
                     t0 = time.perf_counter()
-                    rows = queries[op](spark, sf_dir).count()
+                    rows = _force_rows(queries[op](spark, sf_dir))
                     runs.append(round(time.perf_counter() - t0, 3))
                 rel.setdefault(op, {})[sf_label] = {
                     "sec": round(statistics.median(runs), 3),

@@ -93,6 +93,14 @@ def main() -> None:
             for _ in range(REPS):
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
+                # count() is a SUFFICIENT forcing for every id in
+                # this list (r15b audit): each plan is cardinality-
+                # CHANGING at its last stage (joins/aggregates/
+                # explodes/filters/mapInPandas), so Catalyst cannot
+                # prune the computation out of a count() — unlike the
+                # pure-projection ids (t23/t24) whose scripts now
+                # hash-force every column (see scale_rehearsal's
+                # _force_rows and r15_scale_evidence's _median_wall)
                 n = queries[op](spark, sf_dir).count()
                 runs.append(round(time.perf_counter() - t0, 3))
             rows.setdefault(op, {})[f"x{scale}"] = {
