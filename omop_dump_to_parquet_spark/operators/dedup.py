@@ -20,7 +20,11 @@ Scale design (the whole point at 100 TB):
 - bucket-size capping (drop pathologically hot bands) is the standard
   guard and is noted where it applies.
 
-Pure DataFrame/Catalyst expressions throughout — no Python UDFs.
+Pure DataFrame/Catalyst expressions throughout — no row-at-a-time
+Python UDFs. The one Python kernel is d15's Arrow-vectorized
+``minhash_key_batches`` (mapInPandas, NumPy), where the measured
+interpreted-HOF alternative was two orders of magnitude slower — the
+documented escape hatch, not the default.
 """
 
 from __future__ import annotations
@@ -2070,15 +2074,15 @@ def d13_edit_distance_linkage(
 #      consumed exactly once and computing them map-side deletes the
 #      signature shuffle — at 10^10 docs that shuffle moves
 #      ~1 KB/doc ≈ 10 TB, while the map-side form moves nothing.
-#   3. The EVAL index — (band, bkey) → eval doc, carrying its token
+#   2. The EVAL index — (band, bkey) → eval doc, carrying its token
 #      set, set size, and full key array — is BROADCAST (21 rows per
 #      eval doc).
-#   4. Corpus rows posexplode their 21 keys MAP-SIDE and probe the
+#   3. Corpus rows posexplode their 21 keys MAP-SIDE and probe the
 #      broadcast index; first-shared-band emission (d04's dedupe
 #      trick, both key arrays are in-row post-join) removes the
 #      distinct() shuffle; the d04 set-size necessary condition
 #      (10·min(nw) ≥ 9·max(nw) for J ≥ 0.9) prunes inside the join.
-#   5. Exact-Jaccard verification map-side: array_intersect of the
+#   4. Exact-Jaccard verification map-side: array_intersect of the
 #      two in-row token sets — no re-join with the corpus.
 # Physical plan: Scan → MapInPandas → Generate → BroadcastHashJoin →
 # Filter → Project. No ShuffleExchange anywhere (plan-shape-tested) —

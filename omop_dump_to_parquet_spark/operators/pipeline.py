@@ -1140,8 +1140,10 @@ def p10_decontamination_sparse(
 #
 # with add-one (Laplace) smoothing over P11_DIM hashed buckets, so
 # every bucket's weight is defined. Features and bucketing are t24's
-# exactly (uni_bigram_feats + md5_bucket — shared definitions), which
-# is faithful to the paper: DSIR hashes unigrams+bigrams into a fixed
+# VALUES exactly (computed in a vectorized Arrow kernel that is
+# value-identical to uni_bigram_feats + md5_bucket — see the
+# dsir_scores docstring and the pinned equality test), which is
+# faithful to the paper: DSIR hashes unigrams+bigrams into a fixed
 # bucket table.
 #
 # Plan: (1) bucket counts for raw (train split) and target (eval
