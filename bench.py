@@ -91,20 +91,12 @@ def main() -> None:
         # Evaluate EVERY output column, not just the row count — a
         # bare count() lets Catalyst prune computed columns (a window
         # aggregate that doesn't change cardinality would never run).
-        # hash(*) depends on all columns, and the 32-bit hash summed
-        # into a long cannot overflow under ANSI mode until ~2^32 rows.
-        # hash() rejects MapType, so route maps through to_json first.
-        from pyspark.sql.types import MapType
+        # Shared recipe (force.forced_count): hash(*) over all
+        # columns, maps — nested or top-level — via to_json.
+        from omop_dump_to_parquet_spark.force import forced_count
 
-        cols = [
-            F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
-            for f in df.schema.fields
-        ]
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.hash(*cols).cast("long")).alias("h"),
-        ).collect()[0]
-        return time.perf_counter() - t0, row["n"]
+        n = forced_count(df)
+        return time.perf_counter() - t0, n
 
     # A single-shot timing on a shared box is load noise, not a plan
     # measurement (observed 6x swings: 15.6s idle vs 91s under

@@ -2296,6 +2296,15 @@ def widen_scan(df: DataFrame) -> DataFrame:
     (doc_id, text) rows — exactly the tiny case where that is free —
     and disappears from the plan the moment the input has real
     splits."""
+    if df.isStreaming:
+        # ``.rdd`` raises AnalysisException on a streaming DataFrame
+        # (and even on batch it pays a full plan conversion just to
+        # count splits). Streams get their parallelism from the
+        # source's partitioning — microbatch splits per file/topic
+        # partition — so the fixture-widener is meaningless there;
+        # return unchanged so the helper is safe by construction
+        # (r15 advisor).
+        return df
     n = get_shuffle_partitions(df.sparkSession)
     if df.rdd.getNumPartitions() >= n:
         return df

@@ -242,13 +242,10 @@ _WINDOW = 50
 #         verbatim — the batch≡stream certificate for the
 #         model-based quality-filter stage, st10's pattern).
 _FORCE_IN_WINDOW: tuple[str, ...] = (
-    "p10_decontamination_sparse",
-    "t24_quality_classifier",
-    "p09_decontamination",
-    "st12_stream_quality_classifier",
-    "d15_fuzzy_decontamination",
-    "st13_stream_fuzzy_decontamination",
-    "p11_dsir_importance",
+    # r16: the seven r15 pins (p10, t24, p09, st12, d15, st13, p11)
+    # cleared — every one green in CORRECTNESS_r15, the documented
+    # clearing condition — rotating the oldest-evidence ids into the
+    # r16 window. New-in-r16 ids get pinned here as they land.
 )
 
 

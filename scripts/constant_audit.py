@@ -35,22 +35,13 @@ FLAG_SEC = 3.0
 
 
 def _force_rows(df) -> int:
-    """count() with every output column evaluated (bench.run_once's
-    hash(*) forcing): a bare count() column-prunes cardinality-
-    preserving plans, so a pure-projection id's "constant" was just
-    its scan+session floor (r15b honesty pass — same bug as t24's
-    vacuous x100 row). Maps route through to_json."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import MapType
+    """count() with every output column evaluated — delegates to the
+    shared recipe (omop_dump_to_parquet_spark.force.forced_count),
+    which also handles maps NESTED inside struct/array columns; the
+    r15 copy here checked only top-level MapType (r15 advisor)."""
+    from omop_dump_to_parquet_spark.force import forced_count
 
-    cols = [
-        F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
-        for f in df.schema.fields
-    ]
-    return df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.hash(*cols).cast("long")).alias("h"),
-    ).collect()[0]["n"]
+    return forced_count(df)
 
 
 def main() -> int:

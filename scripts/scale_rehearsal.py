@@ -100,26 +100,13 @@ REL_X1 = "/root/testdata/sf0.1"
 
 
 def _force_rows(df) -> int:
-    """Row count with EVERY output column evaluated (bench.run_once's
-    forcing recipe): a bare count() lets Catalyst prune computed
-    columns out of cardinality-preserving plans entirely — t23's
-    encode projection (and, before the r15b fix, t24's whole
-    classifier) never ran under the old count()-based timing. hash(*)
-    depends on all columns; maps route through to_json (hash rejects
-    MapType). Cardinality-CHANGING plans (joins, aggregates, explodes,
-    filters, mapInPandas) were already forced by count(), but one
-    recipe for every id beats a per-id prunability argument."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import MapType
+    """Row count with EVERY output column evaluated — delegates to the
+    shared recipe (omop_dump_to_parquet_spark.force.forced_count),
+    which also handles maps NESTED inside struct/array columns; the
+    r15 copy here checked only top-level MapType (r15 advisor)."""
+    from omop_dump_to_parquet_spark.force import forced_count
 
-    cols = [
-        F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
-        for f in df.schema.fields
-    ]
-    return df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.hash(*cols).cast("long")).alias("h"),
-    ).collect()[0]["n"]
+    return forced_count(df)
 
 
 def _d13_candidate_counts(spark, sf_dir: str) -> dict:
