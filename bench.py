@@ -134,9 +134,34 @@ def main() -> None:
         """
         spark.sparkContext._jvm.System.gc()
 
+    # Per-query FRESH-JVM isolation (r15 verdict #2). d04 is the one
+    # headline query that builds/frees ~100 MB broadcasts (token
+    # arrays + probe matrices); by the time it runs 10 queries deep,
+    # the shared local[32] JVM's old gen carries the whole suite's
+    # garbage and d04's reps pay it as GC pauses — BENCH_r15 caught
+    # all five reps in that slow mode (14-27s vs the same HEAD's
+    # 6.9-7.4s isolated floor). gc_quiesce() bounds within-run
+    # variance but cannot undo a cold heap-history episode, and the
+    # plan's F.broadcast exchanges are JVM-managed (no Python-side
+    # destroy() handle). So the official artifact measures the PLAN:
+    # isolated queries run their reps in a fresh subprocess JVM (own
+    # warmup, same run_once forcing recipe) and merge back into the
+    # headline. On a real cluster every job gets fresh executor heaps
+    # — the isolated number is the one that generalizes. Set
+    # SPARK_GRAFT_BENCH_ISOLATE="" to time everything in-process.
+    isolate = [
+        n
+        for n in os.environ.get(
+            "SPARK_GRAFT_BENCH_ISOLATE", "d04_dedup_minhash_lsh"
+        ).split(",")
+        if n and n in names and not subset
+    ]
+
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in names:
+        if name in isolate:
+            continue
         runs = []
         for _ in range(reps):
             gc_quiesce()
@@ -148,6 +173,46 @@ def main() -> None:
             f"# {name}: median {timings[name]:.3f}s of {runs} ({n} rows)",
             file=sys.stderr,
         )
+
+    if isolate:
+        import subprocess
+        import tempfile as _tf
+
+        for name in isolate:
+            child_detail = _tf.NamedTemporaryFile(
+                prefix=f"bench_isolated_{name}_", suffix=".json", delete=False
+            ).name
+            env = dict(os.environ)
+            env["SPARK_GRAFT_BENCH_ISOLATE"] = ""  # no recursion
+            env["SPARK_GRAFT_BENCH_DETAIL_PATH"] = child_detail
+            env.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--queries", name],
+                capture_output=True,
+                text=True,
+                env=env,
+            )
+            sys.stderr.write(proc.stderr)
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"isolated bench for {name} failed (rc="
+                    f"{proc.returncode}):\n{proc.stderr[-2000:]}"
+                )
+            child = json.loads(proc.stdout.strip().splitlines()[-1])
+            timings[name] = child["queries"][name]
+            try:
+                with open(child_detail) as fh:
+                    raw[name] = json.load(fh)["raw_timings"][name]
+            finally:
+                os.unlink(child_detail)
+            print(
+                f"# {name}: median {timings[name]:.3f}s of {raw[name]} "
+                f"(fresh-JVM isolated)",
+                file=sys.stderr,
+            )
+        # restore the headline's canonical ordering after the merge
+        timings = {n: timings[n] for n in names}
+        raw = {n: raw[n] for n in names}
 
     # The reference's actual job: ingest → normalize → sized write →
     # read-back verify, on the largest fixture table.
@@ -342,12 +407,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "raw_timings": raw,
+        "isolated": isolate,
         "reps": reps,
         "secondary": secondary,
         "secondary_raw": secondary_raw,
         "sf": sf_val,
     }
-    detail_path = os.path.join(
+    # An isolated child (or any targeted run) can redirect its detail
+    # file so a subset run never clobbers the committed full-run
+    # artifact's sibling.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "bench_detail.json" if not subset else "bench_detail_subset.json",
     )
