@@ -312,6 +312,8 @@ def main() -> None:
             # broadcast-LSH) and DSIR importance scoring
             "d15_fuzzy_decontamination",
             "p11_dsir_importance",
+            # r16 addition: exact-substring dedup output
+            "d16_exact_substring_rewrite",
         ):
             runs = []
             for _ in range(reps):

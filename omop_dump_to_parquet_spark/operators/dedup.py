@@ -2322,3 +2322,158 @@ def d15_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % D15_EVAL_MOD == 0)
     train = widen_scan(docs.filter(F.col("doc_id") % D15_EVAL_MOD != 0))
     return cross_corpus_neardup(train, ev)
+
+
+# ---------------------------------------------------------------------------
+# D16 — span-level exact-substring dedup OUTPUT (the production step of
+# Lee et al. 2021's ExactSubstr, "Deduplicating Training Data Makes
+# Language Models Better"): d11 *detects* cross-document copied spans
+# pairwise; d16 *emits the deduplicated corpus* — every width-W token
+# window whose content occurs anywhere else in the corpus (another doc
+# OR earlier in the same doc) is removed except at its one canonical
+# occurrence, and each document's retained-token text is reconstructed
+# map-side. Lee et al. pick an arbitrary single keeper per duplicated
+# substring via a suffix array; the distributed equivalent selects the
+# lexicographic-min (doc_id, pos) occurrence per gram — deterministic,
+# and expressible as one map-side-combinable aggregate. Overlapping
+# removed windows merge naturally through the per-doc deleted-position
+# set (the maximal-span behavior of the suffix-array original).
+#
+# Scale shape (the reason this beats a d11-pairs post-pass): keeper
+# selection needs NO pair expansion at all — a gram with a million
+# occurrences costs one partial-aggregated min, not C(10^6, 2) pairs,
+# so no hot-gram cap is needed and the op is strictly linear in corpus
+# tokens. Exchanges (plan-pinned in tests at fixture scale): (1) the
+# (doc_id, pos, gh) gram index shuffles ONCE on gh for the keeper
+# groupBy — the only corpus-scale hash exchange, and it is the
+# gram-index build itself; the keeper table then broadcasts back onto
+# the un-shuffled occurrence stream (AQE picks BHJ — keepers are
+# |distinct duplicated grams|-sized after the agg). At 100 TB, if the
+# keeper table outgrows broadcast, the join degrades to SMJ reusing
+# the occ exchange the groupBy already paid (same key, ReuseExchange).
+# (2) the marked windows (only the duplicated sliver, ~6% of
+# occurrences on the fixtures; the dup fraction at production)
+# aggregate per doc_id. (3) the rewrite join brings the per-doc
+# deleted-position sets to the text — broadcast at fixture scale; at
+# 100 TB a linear keyed join that a doc_id-bucketed lake makes
+# exchange-free. The corpus TEXT itself crosses an exchange only in
+# case (3) when the deleted-set side outgrows broadcast — never for
+# keeper selection.
+#
+# Determinism: min-struct keeper is order-free; the deleted-position
+# set is a union (collect_set feeds an order-insensitive membership
+# test); retained text is md5'd so the differential compares every
+# byte of every reconstructed document (t21/t23 discipline). The
+# Spark side indexes grams by xxhash64 over the token window; the
+# ORACLE uses gram TEXT — row-for-row agreement doubles as the
+# 64-bit collision check (d11 precedent).
+# ---------------------------------------------------------------------------
+
+D16_SPAN_W = 6
+
+D16_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+occ AS (
+  SELECT doc_id, unnest(range(1, len(toks) - {D16_SPAN_W} + 2)) AS pos, toks
+  FROM t WHERE len(toks) >= {D16_SPAN_W}
+),
+o2 AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(toks, pos, pos + {D16_SPAN_W} - 1), ' ') AS gram
+  FROM occ
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM o2)
+  WHERE rn > 1
+),
+dels AS (SELECT doc_id, unnest(range(pos, pos + {D16_SPAN_W})) AS dp FROM marked),
+dl AS (SELECT doc_id, list(DISTINCT dp) AS del FROM dels GROUP BY doc_id),
+r AS (
+  SELECT t.doc_id,
+         list_transform(
+           list_filter(range(1, len(t.toks) + 1),
+                       i -> dl.del IS NULL OR NOT list_contains(dl.del, i)),
+           i -> t.toks[i]) AS kept,
+         len(t.toks) AS n_tokens
+  FROM t LEFT JOIN dl ON t.doc_id = dl.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       -- array_to_string([]) is NULL in DuckDB but concat_ws of an
+       -- empty array is '' in Spark: coalesce so a fully-removed doc
+       -- hashes as the empty string in both engines
+       md5(coalesce(array_to_string(kept, ' '), '')) AS retained_md5
+FROM r
+"""
+
+
+def exact_substring_rewrite(docs: DataFrame, w: int = D16_SPAN_W) -> DataFrame:
+    """The d16 kernel (see block comment): canonical-keeper selection
+    per duplicated width-``w`` token window, per-doc deleted-position
+    union, map-side text reconstruction. Returns one row per input
+    document: (doc_id, n_tokens, n_removed, retained_md5)."""
+    from .text import tokens
+
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
+    # window start positions are 1-based (F.slice / DuckDB list_slice
+    # convention); every occurrence is kept — no per-doc distinct —
+    # so in-doc repeats dedupe against their own first occurrence
+    wins = F.transform(
+        F.sequence(F.lit(1), n - (w - 1)),
+        lambda i: F.struct(
+            i.alias("pos"), F.xxhash64(F.slice("toks", i, w)).alias("gh")
+        ),
+    )
+    occ = (
+        base.filter(n >= w)
+        .select("doc_id", F.explode(wins).alias("wn"))
+        .select("doc_id", F.col("wn.pos").alias("pos"), F.col("wn.gh").alias("gh"))
+    )
+    # lexicographic-min occurrence per gram: struct ordering is
+    # field-wise, matching the oracle's ORDER BY doc_id, pos. The
+    # partial aggregate combines map-side, so a pathologically hot
+    # gram never concentrates raw rows the way a window-function
+    # formulation would.
+    keep = occ.groupBy("gh").agg(F.min(F.struct("doc_id", "pos")).alias("keep"))
+    marks = (
+        occ.join(keep, "gh")
+        .filter(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    dl = (
+        marks.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias("dp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("dp").alias("del"))
+    )
+    kept = F.filter(
+        "toks",
+        lambda t, i: F.when(F.col("del").isNull(), F.lit(True)).otherwise(
+            ~F.array_contains("del", i + F.lit(1))
+        ),
+    )
+    return base.join(dl, "doc_id", "left").select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("retained_md5"),
+    )
+
+
+@query("d16_exact_substring_rewrite", oracle=D16_ORACLE)
+def d16_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16 — exact-substring dedup output (see block comment): the
+    corpus rewritten with every duplicated width-6 token span removed
+    from all but its canonical occurrence, every reconstructed
+    document md5-verified against the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    return exact_substring_rewrite(widen_scan(docs))

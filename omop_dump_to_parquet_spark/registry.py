@@ -245,7 +245,9 @@ _FORCE_IN_WINDOW: tuple[str, ...] = (
     # r16: the seven r15 pins (p10, t24, p09, st12, d15, st13, p11)
     # cleared — every one green in CORRECTNESS_r15, the documented
     # clearing condition — rotating the oldest-evidence ids into the
-    # r16 window. New-in-r16 ids get pinned here as they land.
+    # r16 window. New-in-r16 ids pinned until the next CORRECTNESS
+    # artifact shows them green.
+    "d16_exact_substring_rewrite",
 )
 
 
