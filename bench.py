@@ -312,8 +312,10 @@ def main() -> None:
             # broadcast-LSH) and DSIR importance scoring
             "d15_fuzzy_decontamination",
             "p11_dsir_importance",
-            # r16 addition: exact-substring dedup output
+            # r16 additions: exact-substring dedup output, HTML
+            # boilerplate extraction
             "d16_exact_substring_rewrite",
+            "t25_html_extract",
         ):
             runs = []
             for _ in range(reps):

@@ -11,7 +11,10 @@ surface.
 All of these are map-side-only column expressions (no shuffle except
 the final optional aggregation), i.e. they scale linearly and stay
 inside whole-stage codegen — the correct shape for a 100 TB corpus
-profiling pass. No Python UDFs anywhere.
+profiling pass. No per-row Python UDFs anywhere; the one Arrow
+mapInPandas kernel is t25's HTML extraction (regex-per-document
+markup removal — the documented escape hatch, same doctrine as
+d15's MinHash kernel and the m-family decoders).
 """
 
 from __future__ import annotations
@@ -1822,4 +1825,217 @@ def t24_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return classifier_score(
         widen_scan(table(spark, sf_dir, "documents")), t24_weights()
+    )
+
+
+# ---------------------------------------------------------------------------
+# T25 — HTML/boilerplate extraction (the CommonCrawl front door; the
+# stage every real pretraining corpus runs before any operator in this
+# catalog sees "clean text" — C4's boilerplate rules, trafilatura in
+# RefinedWeb/FineWeb, resiliparse in DCLM). m09/m11 recipe: one
+# in-plan encoder builds REAL containers from the fixture text — here
+# a full HTML page per document with <head> metadata, a nav bar, a
+# link-only sidebar <div>, the content split into <p> paragraphs
+# inside an <article>, and a footer; entities are LIVE in the bytes
+# (every 7th token's first character becomes a decimal character
+# reference &#NN;, each paragraph opens with &nbsp;, the footer
+# carries &amp;) — then the production kernel extracts the text back:
+# strip <head>, segment leaf blocks, compute per-block LINK DENSITY
+# (non-whitespace chars inside <a> / total non-whitespace chars),
+# drop blocks above 0.5 (the jusText/boilerpipe core rule — nav,
+# sidebar and footer go; paragraphs stay), strip tags, single-pass
+# entity decode (named + numeric — single-pass is the HTML semantic:
+# "&#38;amp;" is "&amp;", not "&"), normalize whitespace.
+#
+# Oracle: the identity roundtrip (m11 discipline) — extraction must
+# return EVERY source document byte-exactly (md5-compared), and the
+# block counts are recomputed structurally by the oracle from the
+# token count (3 boilerplate blocks + ceil(n_tokens/12) paragraphs),
+# so a kernel that drops a paragraph, leaks nav text, misdecodes an
+# entity, or miscounts blocks hash-fails.
+#
+# Scale shape: zero shuffles by construction — scan → encode
+# (Catalyst expressions) → one Arrow mapInPandas pass → project; in
+# production the HTML comes from storage (WARC) and the encoder stage
+# isn't there. The kernel is regex-per-document inside the Arrow
+# batch — the honest cost model for markup removal (C-speed regex
+# engine, bounded by document length, embarrassingly parallel); this
+# and d15's MinHash kernel are the module's two deliberate Arrow
+# escape hatches from the no-Python-UDF rule.
+# ---------------------------------------------------------------------------
+
+T25_PAR_TOKENS = 12  # tokens per <p>
+T25_LINK_DENSITY = 0.5  # drop blocks with more link chars than this
+
+T25_ORACLE = f"""
+SELECT doc_id,
+       CAST(3 + CAST(ceil(len(string_split(text, ' ')) / {T25_PAR_TOKENS}.0)
+                     AS BIGINT) AS INT) AS n_blocks,
+       CAST(3 AS INT) AS n_dropped,
+       md5(text) AS extracted_md5
+FROM documents
+"""
+
+
+def html_wrap(docs: DataFrame) -> DataFrame:
+    """The t25 encoder (see block comment): deterministic full HTML
+    page per document, built entirely with Catalyst expressions —
+    (doc_id, html). Source-text escaping (&<>) is applied even though
+    the fixture charset never needs it; the numeric reference for a
+    marked token's first character is taken BEFORE escaping the
+    remainder, so the single-pass decoder's semantics invert it."""
+    esc = lambda c: F.replace(  # noqa: E731
+        F.replace(F.replace(c, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    toks = tokens("text")
+    n = F.size(toks)
+    enc = F.transform(
+        toks,
+        lambda t, i: F.when(
+            (i + 1) % 7 == F.lit(3),
+            F.concat(
+                F.lit("&#"),
+                F.ascii(t).cast("string"),
+                F.lit(";"),
+                esc(F.substr(t, F.lit(2), F.length(t))),
+            ),
+        ).otherwise(esc(t)),
+    )
+    npar = F.ceil(n / F.lit(float(T25_PAR_TOKENS))).cast("int")
+    pars = F.transform(
+        F.sequence(F.lit(0), npar - 1),
+        lambda c: F.concat(
+            F.lit("<p>&nbsp;"),
+            F.array_join(
+                F.slice(enc, c * T25_PAR_TOKENS + 1, T25_PAR_TOKENS), " "
+            ),
+            F.lit("</p>"),
+        ),
+    )
+    side = F.concat(
+        F.lit('<div class="sidebar">'),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("doc_id") % 3 + 3).cast("int")),
+                lambda k: F.concat(
+                    F.lit('<a href="/rel/'),
+                    k.cast("string"),
+                    F.lit('">Related '),
+                    k.cast("string"),
+                    F.lit("</a>"),
+                ),
+            ),
+            " ",
+        ),
+        F.lit("</div>"),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><meta charset="utf-8"></head><body>'),
+        F.lit(
+            '<nav><a href="/">Home</a> <a href="/docs">Docs</a>'
+            ' <a href="/api">API</a></nav>'
+        ),
+        side,
+        F.lit("<article>"),
+        F.array_join(pars, ""),
+        F.lit("</article>"),
+        F.lit(
+            '<footer><a href="/terms">Terms &amp; Conditions</a>'
+            ' <a href="/privacy">Privacy</a> <a href="/contact">Contact</a>'
+            " Copyright example.org</footer>"
+        ),
+        F.lit("</body></html>"),
+    )
+    return docs.select("doc_id", page.alias("html"))
+
+
+def html_extract(pages: DataFrame) -> DataFrame:
+    """The t25 production kernel (see block comment): boilerplate-
+    aware text extraction from (doc_id, html) — returns (doc_id,
+    n_blocks, n_dropped, extracted). Closure-local (no module
+    globals) so workers unpickle it without this package on their
+    path."""
+
+    def run(batches):
+        import re
+
+        head_re = re.compile(r"<head\b[^>]*>.*?</head>", re.S)
+        # leaf-block scan: the non-greedy body is correct because the
+        # recognized block tags never nest within each other in valid
+        # markup of this shape (<article> is not in the set, so its
+        # <p> children match individually)
+        blk_re = re.compile(
+            r"<(p|nav|div|footer)\b[^>]*>(.*?)</\1>", re.S
+        )
+        link_re = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S)
+        tag_re = re.compile(r"<[^>]+>")
+        # SINGLE-pass entity decode (HTML semantics: the scan resumes
+        # after each replacement, so "&#38;amp;" decodes to "&amp;")
+        ent_re = re.compile(r"&(#\d+|amp|lt|gt|quot|apos|nbsp);")
+        named = {
+            "amp": "&",
+            "lt": "<",
+            "gt": ">",
+            "quot": '"',
+            "apos": "'",
+            "nbsp": " ",
+        }
+
+        def ent(m):
+            g = m.group(1)
+            return chr(int(g[1:])) if g[0] == "#" else named[g]
+
+        def nonws(s):
+            return sum(1 for ch in s if not ch.isspace())
+
+        def extract(html):
+            body = head_re.sub("", html)
+            kept, n_blocks, n_dropped = [], 0, 0
+            for m in blk_re.finditer(body):
+                content = m.group(2)
+                n_blocks += 1
+                link_chars = nonws(
+                    ent_re.sub(ent, " ".join(link_re.findall(content)))
+                )
+                text = ent_re.sub(ent, tag_re.sub(" ", content))
+                total = nonws(text)
+                if total and link_chars / total > T25_LINK_DENSITY:
+                    n_dropped += 1
+                    continue
+                kept.append(text)
+            return n_blocks, n_dropped, " ".join(" ".join(kept).split())
+
+        for pdf in batches:
+            res = pdf["html"].map(extract)
+            out = pdf[["doc_id"]].copy()
+            out["n_blocks"] = res.map(lambda r: r[0]).astype("int32")
+            out["n_dropped"] = res.map(lambda r: r[1]).astype("int32")
+            out["extracted"] = res.map(lambda r: r[2])
+            yield out
+
+    return pages.mapInPandas(
+        run, schema="doc_id long, n_blocks int, n_dropped int, extracted string"
+    )
+
+
+@query("t25_html_extract", oracle=T25_ORACLE)
+def t25_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25 — HTML/boilerplate extraction (see block comment): wrap
+    each fixture doc in a real HTML page in-plan, then recover the
+    text with the link-density extraction kernel; the identity
+    roundtrip md5-compares every byte. widen_scan: fixture-only
+    parallelism for the zero-shuffle plan (r15b)."""
+    from .dedup import widen_scan
+
+    docs = table(spark, sf_dir, "documents")
+    out = html_extract(html_wrap(widen_scan(docs)))
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_dropped",
+        F.md5(F.col("extracted")).alias("extracted_md5"),
     )

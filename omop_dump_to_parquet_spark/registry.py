@@ -248,6 +248,7 @@ _FORCE_IN_WINDOW: tuple[str, ...] = (
     # r16 window. New-in-r16 ids pinned until the next CORRECTNESS
     # artifact shows them green.
     "d16_exact_substring_rewrite",
+    "t25_html_extract",
 )
 
 

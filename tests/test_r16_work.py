@@ -145,3 +145,94 @@ def test_d16_plan_single_corpus_hash_exchange(spark, sf_small, catalog):
     # doc_id (duplicated-window sliver aggregation)
     assert sorted(hash_ex) == ["doc_id", "gh"], hash_ex
     assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+# ---------------------------------------------------------------------------
+# t25 — differential, encoder integrity, kernel semantics
+# ---------------------------------------------------------------------------
+
+
+def test_t25_differential_exact(spark, sf_small, catalog, duck):
+    """Identity roundtrip: every extracted document md5-equals its
+    source text, block counts match the oracle's structural formula."""
+    queries, oracles = catalog
+    got = sorted(
+        tuple(r) for r in queries["t25_html_extract"](spark, sf_small).collect()
+    )
+    exp = sorted(map(tuple, duck.execute(oracles["t25_html_extract"]).fetchall()))
+    assert len(got) == 500
+    assert got == exp
+
+
+def test_t25_encoder_builds_real_markup(spark, sf_small):
+    """The roundtrip is not vacuous: the encoded page really contains
+    boilerplate blocks and live entities that the kernel must remove/
+    decode to recover the source bytes."""
+    from omop_dump_to_parquet_spark.operators.text import html_wrap
+
+    docs = table(spark, sf_small, "documents")
+    row = html_wrap(docs).orderBy("doc_id").first()
+    h = row.html
+    for frag in (
+        "<nav>",
+        '<div class="sidebar">',
+        "<footer>",
+        "<article>",
+        "<p>&nbsp;",
+        "&#",  # numeric character reference in CONTENT
+        "&amp;",  # named entity (footer)
+        "<head>",
+    ):
+        assert frag in h, frag
+    orig = docs.orderBy("doc_id").first().text
+    assert orig not in h  # entities make content != source bytes
+
+
+def test_t25_kernel_on_handbuilt_page(spark):
+    """Known-answer extraction: link-dense blocks dropped, head
+    stripped, tags stripped, entities decoded, whitespace normal."""
+    from omop_dump_to_parquet_spark.operators.text import html_extract
+
+    page = (
+        "<html><head><title>leak me not</title></head><body>"
+        '<nav><a href="/">all links here</a></nav>'
+        "<p>keep &#72;ello &amp; <b>world</b></p>"
+        '<div><a href="/x">link link link</a> tiny</div>'
+        "<footer>mostly <a href='/y'>linked footer text</a></footer>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    r = html_extract(df).collect()[0]
+    assert r.n_blocks == 4  # nav, p, div, footer
+    assert r.n_dropped == 3  # nav (1.0), div (~0.75), footer (~0.6)
+    assert r.extracted == "keep Hello & world"
+
+
+def test_t25_entity_decode_is_single_pass(spark):
+    """HTML semantics: '&#38;amp;' is '&amp;' (the decoder must not
+    rescan its own output), and unknown entities pass through."""
+    from omop_dump_to_parquet_spark.operators.text import html_extract
+
+    df = spark.createDataFrame(
+        [(1, "<p>&#38;amp; stays &unknown; ok</p>")],
+        "doc_id long, html string",
+    )
+    r = html_extract(df).collect()[0]
+    assert r.extracted == "&amp; stays &unknown; ok"
+
+
+def test_t25_plan_zero_shuffles(spark, sf_small, catalog):
+    """Zero shuffles by construction: scan → expressions →
+    mapInPandas → project. Only widen_scan's fixture round-robin may
+    appear; no hash/range exchange, no join, no aggregate."""
+    queries, _ = catalog
+    plan = (
+        queries["t25_html_extract"](spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Aggregate" not in plan, plan
