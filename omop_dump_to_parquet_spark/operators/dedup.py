@@ -2437,8 +2437,22 @@ def exact_substring_rewrite(docs: DataFrame, w: int = D16_SPAN_W) -> DataFrame:
     # field-wise, matching the oracle's ORDER BY doc_id, pos. The
     # partial aggregate combines map-side, so a pathologically hot
     # gram never concentrates raw rows the way a window-function
-    # formulation would.
-    keep = occ.groupBy("gh").agg(F.min(F.struct("doc_id", "pos")).alias("keep"))
+    # formulation would. Keep only DUPLICATED grams (n_occ > 1):
+    # a unique gram's occurrence IS its keeper and can never be
+    # marked, so dropping them shrinks the join's build side from
+    # |distinct grams| (≈ corpus tokens) to the duplicated sliver —
+    # measured at .scale x10: the full keeper table is a ~2.7M-row
+    # broadcast whose build/free churn swung reps 11-38s; the
+    # filtered build side floors the same query at ~7s flat.
+    keep = (
+        occ.groupBy("gh")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("keep"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .select("gh", "keep")
+    )
     marks = (
         occ.join(keep, "gh")
         .filter(

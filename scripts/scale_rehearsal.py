@@ -85,6 +85,12 @@ OPS = (
     # base rows on the standard fixtures.
     "p08_mixture_skew_draw",
     "p09_decontamination",
+    # r16: the two new catalog ids (standing rule) — d16 exact-
+    # substring dedup output (gram-index keeper agg is the only
+    # corpus shuffle), t25 HTML extraction (zero-shuffle Arrow
+    # kernel).
+    "d16_exact_substring_rewrite",
+    "t25_html_extract",
 )
 SCALES = (1, 3, 10)
 

@@ -58,6 +58,11 @@ OPS = (
     # x100 row (α 1.73), while d14's PRODUCTION posture (K∝N 2-level
     # k-means) has its own x100 rows in x100_attribution.
     "s07_kmeans_clusters",
+    # r16: second decade for the new ids — d16 exact-substring
+    # rewrite (gram keeper agg + sliver joins, linear expectation),
+    # t25 HTML extraction (pure map-side Arrow kernel, linear).
+    "d16_exact_substring_rewrite",
+    "t25_html_extract",
     "s13_mmr_diversified",
     "t13_unigram_logprob",
     # r13 late additions: t21 chunking (map-side explode — output
@@ -93,15 +98,16 @@ def main() -> None:
             for _ in range(REPS):
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
-                # count() is a SUFFICIENT forcing for every id in
-                # this list (r15b audit): each plan is cardinality-
-                # CHANGING at its last stage (joins/aggregates/
-                # explodes/filters/mapInPandas), so Catalyst cannot
-                # prune the computation out of a count() — unlike the
-                # pure-projection ids (t23/t24) whose scripts now
-                # hash-force every column (see scale_rehearsal's
-                # _force_rows and r15_scale_evidence's _median_wall)
-                n = queries[op](spark, sf_dir).count()
+                # r16: switched from count() to the shared hash-
+                # forcing recipe. count() WAS sufficient for the
+                # original list (every plan cardinality-changing at
+                # its last stage — r15b audit), but the r16 adds
+                # (d16, t25) are cardinality-preserving rewrites
+                # whose md5 reconstruction a count() would prune;
+                # one recipe everywhere beats a per-id argument.
+                from omop_dump_to_parquet_spark.force import forced_count
+
+                n = forced_count(queries[op](spark, sf_dir))
                 runs.append(round(time.perf_counter() - t0, 3))
             rows.setdefault(op, {})[f"x{scale}"] = {
                 "sec": round(statistics.median(runs), 3),
