@@ -422,11 +422,12 @@ def d03_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exhaustively — validated against D03-style exact enumeration in
 # tests).
 #
-# Scale: signatures are one map-side 128-min aggregation per doc
-# (partial-agg before shuffle); candidate generation shuffles
-# (band_id, band_hash) — uniform keys; the quadratic step happens only
-# within buckets. Hot buckets (boilerplate corpora) get capped — see
-# MAX_BUCKET below.
+# Scale: signatures + band keys are computed MAP-SIDE per doc by the
+# shared NumPy kernel (``minhash_prepared`` — r16; formerly an
+# explode + 126-min aggregation, whose exchange the kernel deletes);
+# candidate generation shuffles (band_id, band_hash) — uniform keys;
+# the quadratic step happens only within buckets. Hot buckets
+# (boilerplate corpora) get capped — see MAX_BUCKET below.
 # ---------------------------------------------------------------------------
 
 MINHASH_K = 126
@@ -621,7 +622,13 @@ def lsh_candidate_pairs(
     """
     if dedupe not in ("first_band", "group_by", "auto"):
         raise ValueError(f"unknown dedupe mode {dedupe!r}")
-    keys = band_keys(bands, rows)
+    # r16: a caller that already carries the band-key array (the
+    # map-side kernel path, ``minhash_prepared``) skips the h0..h{k-1}
+    # recombination; the signature-column form stays for callers that
+    # build signatures as an aggregate (tests, cap_stress, d04's
+    # pre-r16 form). Both forms produce array<long> keys and share
+    # everything downstream.
+    keys = F.col("keys") if "keys" in sigs.columns else band_keys(bands, rows)
     carry = ["nw"] if size_ratio is not None else []
     banded = sigs.select("doc_id", *carry, keys.alias("keys")).select(
         "doc_id", *carry, "keys", F.posexplode("keys").alias("band", "bkey")
@@ -755,6 +762,18 @@ def lsh_candidate_pairs(
     # bands (the WHEN guard also keeps sequence() ascending under
     # ANSI mode). coalesce(=, false): capped (NULL) entries never
     # count as an earlier match.
+    #
+    # r16 measurement note (guide §1: measure, don't assume): this
+    # predicate runs once per RAW band collision (25.2M at sf0.1)
+    # inside the join, and the whole subtree executes INTERPRETED
+    # (the self-join condition embeds HOFs, so whole-stage codegen is
+    # off here). An unrolled static OR chain of element_at
+    # comparisons — 20 clauses, ~7 expression nodes each, which the
+    # optimizer De-Morgans into a 23-clause conjunction — measured
+    # 4× SLOWER than this exists() form (candidates 8.6s → 33.7s
+    # median at sf0.1): per-probe tree-walk overhead of ~140
+    # interpreted nodes beats the cost of allocating one small
+    # sequence array + running one tight HOF loop. Kept exists().
     earlier_band_matches = F.when(F.col("a.band") == 0, F.lit(False)).otherwise(
         F.exists(
             F.sequence(F.lit(1), F.col("a.band")),
@@ -783,36 +802,54 @@ def lsh_candidate_pairs(
     )
 
 
-def d04_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """d04's candidate set: MinHash signatures → LSH band buckets →
-    size-pruned pairs. Shared by the catalog query and bench.py's
-    beyond-broadcast verify measurement so both verify the IDENTICAL
-    candidate set (a drifting copy would invalidate the bench delta).
+def d04_candidate_pairs(
+    docs: DataFrame, grouped: DataFrame | None = None
+) -> DataFrame:
+    """d04's candidate set at REPRESENTATIVE level (r16): one LSH
+    probe row per DISTINCT token set (``d04_grouped``), banded and
+    size-pruned exactly as before. Shared by the catalog query and
+    bench.py's beyond-broadcast verify measurement so both verify the
+    IDENTICAL candidate set (a drifting copy would invalidate the
+    bench delta). ``grouped`` lets the full pipeline pass its
+    materialized group table (see the query body).
+
+    r16 optimization (guide §8: decide with small rows): the fixture
+    — like every web corpus — is dominated by exact token-set
+    duplicate cliques (sf0.1: 5000 docs but only 3935 distinct sets,
+    with one 248-member clique). Pre-r16, every clique member entered
+    every band bucket, so bucket self-joins exploded quadratically in
+    clique size (25.2M raw probe pairs for 3.31M member candidates,
+    all evaluated by the INTERPRETED first-band predicate — the
+    dominant cost AND the dominant variance of the whole query).
+    Collapsing to one representative per distinct set first shrinks
+    that to 7.2M size-pruned probes → 1.65M rep candidates → 28,865
+    verified rep pairs (the fixture's distinct sets are template
+    variants clustered around j≈0.65, where 21×6 banding passes ~80%
+    of pairs — banding cannot prune a mid-similarity-dense rep set
+    harder without giving up the j ≥ 0.9 recall contract, so exact
+    verification carries that load by design); member-level pairs
+    are reconstructed AFTER verification by joining group metadata
+    (``d04_dedup_minhash_lsh``), where every derived pair's jaccard
+    is IDENTICAL to its rep pair's by construction (identical token
+    sets). Signatures + band keys + nw + group folds all come from
+    the shared map-side NumPy kernel (``minhash_prepared``) in ONE
+    pass — no explode, no 126-min-agg groupBy exchange (measured
+    3.5s single-split for the old signature subtree alone). The
+    candidate set may differ from the pre-r16 xxhash64 family in
+    mid-similarity collisions, but d04's OUTPUT is exact-verified and
+    LSH recall at j ≥ 0.9 is a hash-family-independent banding
+    property (P[miss] ≈ 1e-7) — re-certified against the exact
+    all-pairs oracle at sf0.001/0.01/0.1 after the switch.
     """
     from fractions import Fraction
 
-    # No persist on the signature subtree: both self-join sides read
-    # the explicit (band, bkey) repartition in lsh_candidate_pairs, so
-    # ReuseExchange already computes signatures ONCE per run — a cache
-    # adds a columnar-serialization pass and leaks until clearCache()
-    # (measured: persist 4.8s vs plain 4.0s warm at sf0.1, and the
-    # round-1 cache-leak caveat disappears with the cache).
-    nw_df = docs.select(
-        "doc_id",
-        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("nw"),
-    )
-    sigs = minhash_signatures(docs).join(nw_df, "doc_id")
+    if grouped is None:
+        grouped = d04_grouped(docs)
+    reps = grouped.select(F.col("gid").alias("doc_id"), "nw", "keys")
     ratio = Fraction(str(MINHASH_THRESHOLD))
     candidates = lsh_candidate_pairs(
-        sigs, size_ratio=(ratio.numerator, ratio.denominator)
+        reps, size_ratio=(ratio.numerator, ratio.denominator)
     )
-
-    # (An n_bands collision count would be a free Jaccard estimator a
-    # caller could prune on, but with 6-row bands a ≥2-collision cut
-    # costs ~3 true pairs per million at j=0.9, so the verified-output
-    # path keeps every candidate — and first-band emission, which made
-    # the count unavailable, removed the dedupe shuffle that produced
-    # it. The map-side broadcast verify below is cheaper than either.)
     return candidates.select("doc_a", "doc_b")
 
 
@@ -820,11 +857,78 @@ def d04_candidate_pairs(docs: DataFrame) -> DataFrame:
 def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (Broder) 21x6-band LSH candidates + exact-Jaccard
     verification — the production near-dup recipe; quadratic work is
-    confined to band buckets."""
+    confined to band buckets, and (r16) exact token-set duplicates
+    are collapsed to one representative BEFORE banding, with member
+    pairs reconstructed from verified representative pairs (identical
+    token sets ⇒ identical jaccard; within-group pairs are exactly
+    1.0). Output unchanged — hash-exact vs the all-pairs oracle."""
     docs = table(spark, sf_dir, "documents")
-    return verify_jaccard_pairs(
-        docs, d04_candidate_pairs(docs), MINHASH_THRESHOLD
+    # Materialize the kernel output and the (tiny) group table ONCE
+    # per run — eager localCheckpoint, the d11/bench cands_mat
+    # pattern. Without it, every broadcast-join subtree of the
+    # expansion below re-runs the kernel + collapse chain (measured:
+    # 4-6 traversals ≈ the whole query's cost at fixture scale). Both
+    # are per-run materializations computed from the parquet inputs —
+    # nothing persists across runs. At 100 TB `prepared` would be
+    # written to storage instead (guide §8's decision-table pattern);
+    # the group table stays O(distinct sets) metadata either way.
+    prepared = minhash_prepared(docs).localCheckpoint(eager=True)
+    grouped = d04_grouped(docs, prepared).localCheckpoint(eager=True)
+    ver = verify_jaccard_pairs(
+        docs, d04_candidate_pairs(docs, grouped), MINHASH_THRESHOLD
     )
+    members = prepared.select("doc_id", *_GROUP_COLS)
+
+    # Cross-group expansion: verified rep pair → its two groups → all
+    # (member_a, member_b) combinations, carrying the rep pair's
+    # jaccard verbatim (identical token sets ⇒ the per-pair
+    # arithmetic is value-identical). least/greatest restores the
+    # doc_a < doc_b orientation, which group reps cannot provide
+    # (member ids of two groups interleave). All four joins are
+    # group-METADATA joins (broadcast at fixture scale); only the
+    # final output rows are wide.
+    ga = grouped.select(
+        F.col("gid").alias("doc_a"),
+        *[F.col(c).alias(f"{c}_a") for c in _GROUP_COLS],
+    )
+    gb = grouped.select(
+        F.col("gid").alias("doc_b"),
+        *[F.col(c).alias(f"{c}_b") for c in _GROUP_COLS],
+    )
+    ver_g = ver.join(ga, "doc_a").join(gb, "doc_b")
+    ma = members.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in _GROUP_COLS],
+    )
+    mb = members.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in _GROUP_COLS],
+    )
+    cross = (
+        ver_g.join(ma, [f"{c}_a" for c in _GROUP_COLS])
+        .join(mb, [f"{c}_b" for c in _GROUP_COLS])
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+    # Within-group pairs: identical token sets ⇒ jaccard exactly 1.0
+    # (nw/(nw+nw−nw) — the same double the oracle computes). The
+    # self-join is output-bound: it emits exactly the pairs the
+    # oracle's answer contains, which no formulation can avoid.
+    x, y = members.alias("x"), members.alias("y")
+    within = x.join(
+        y,
+        [F.col(f"x.{c}") == F.col(f"y.{c}") for c in _GROUP_COLS]
+        + [F.col("x.doc_id") < F.col("y.doc_id")],
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return cross.unionAll(within)
 
 
 def verify_jaccard_pairs(
@@ -2068,12 +2172,13 @@ def d13_edit_distance_linkage(
 #      argument and the measured 2 orders of magnitude over the
 #      Catalyst higher-order-function form (interpreted, per-element
 #      boxed allocation: 40 ms/doc and GC-bound at 50-token docs vs
-#      ~0.1 ms/doc vectorized). d04 needs the explode+agg form
-#      because its SELF-join wants signatures materialized once for
-#      both sides; here the eval side is broadcast, so signatures are
-#      consumed exactly once and computing them map-side deletes the
-#      signature shuffle — at 10^10 docs that shuffle moves
-#      ~1 KB/doc ≈ 10 TB, while the map-side form moves nothing.
+#      ~0.1 ms/doc vectorized). Since r16, d04 uses the SAME kernel
+#      (``minhash_prepared`` / ``_minhash_kernel``) — its self-join
+#      materializes the kernel output once for both sides via the
+#      pinned (band, bkey) exchange + ReuseExchange, so the former
+#      explode+agg form's signature shuffle is deleted there too; at
+#      10^10 docs that shuffle moved ~1 KB/doc ≈ 10 TB, while the
+#      map-side form moves nothing.
 #   2. The EVAL index — (band, bkey) → eval doc, carrying its token
 #      set, set size, and full key array — is BROADCAST (21 rows per
 #      eval doc).
@@ -2123,31 +2228,29 @@ WHERE (CAST(n_common AS DOUBLE) / (sa.nw + sb.nw - n_common))
 """
 
 
-def cross_corpus_neardup(
-    train: DataFrame,
-    ev: DataFrame,
-    threshold: float = MINHASH_THRESHOLD,
-) -> DataFrame:
-    """The d15 kernel (see block comment): broadcast-LSH cross-corpus
-    near-dup with in-row signatures, first-shared-band emission and
-    map-side exact-Jaccard verification. ``train``/``ev`` need columns
-    (doc_id, text); returns (doc_id, eval_id, jaccard) with
-    jaccard ≥ threshold. Zero shuffles on the ``train`` side."""
-    from fractions import Fraction
+def _minhash_kernel(
+    n_hashes: int, n_bands: int, n_rows: int, emit_toks: bool
+):
+    """Factory for the map-side MinHash kernel shared by d15
+    (``cross_corpus_neardup``, ``emit_toks=True``) and d04's prepared
+    path (``emit_toks=False`` — d04 verifies via a separate token
+    join, so shipping token arrays through the banded shuffle would
+    multiply corpus token bytes by ``n_bands``; see
+    ``d04_candidate_pairs``). One definition so the hash family
+    cannot drift between the two operators.
 
-    ratio = Fraction(str(threshold))
-    num, den = ratio.numerator, ratio.denominator
-    # closure cells, NOT module globals: the kernel below is pickled
-    # BY VALUE to Python workers that do not have this package on
-    # sys.path (verify-skill contract) — a module-global reference
-    # would make cloudpickle serialize it by reference and fail with
-    # ModuleNotFoundError at the first Arrow batch
-    n_hashes, n_bands, n_rows = MINHASH_K, LSH_BANDS, LSH_ROWS
+    The factory args become closure cells, NOT module globals: the
+    kernel below is pickled BY VALUE to Python workers that do not
+    have this package on sys.path (verify-skill contract) — a
+    module-global reference would make cloudpickle serialize it by
+    reference and fail with ModuleNotFoundError at the first Arrow
+    batch."""
 
     def minhash_key_batches(it):
-        """mapInPandas kernel: (doc_id, text) batches → (doc_id, toks,
-        nw, keys): distinct-token set, its size, and the 21 LSH band
-        keys of a 126-function MinHash signature.
+        """mapInPandas kernel: (doc_id, text) batches → (doc_id,
+        [toks,] nw, keys): distinct-token set (when ``emit_toks``),
+        its size, and the 21 LSH band keys of a 126-function MinHash
+        signature.
 
         Hash family: base(t) = first 8 little-endian bytes of md5(t);
         h_i(t) = splitmix64(base(t) XOR salt_i), salt_i =
@@ -2157,10 +2260,9 @@ def cross_corpus_neardup(
         rejects); the only shared failure channel is a base-hash
         collision between two distinct tokens (2⁻⁶⁴ per pair, p09's
         accepted error model). Deterministic pure-integer ops —
-        partition-independent — and intentionally NOT d04's
-        xxhash64(i, token) values: d15's output is EXACT-verified, so
-        the signature needs determinism and independence, not
-        cross-operator value equality.
+        partition-independent. The OUTPUT of every consumer is
+        exact-verified, so the signature needs determinism and
+        independence, not any particular hash family.
 
         Why a kernel and not Catalyst expressions: the equivalent
         transform/array_min higher-order-function tree is interpreted
@@ -2217,9 +2319,95 @@ def cross_corpus_neardup(
                     k = mix(k ^ sig[b * n_rows + r])
                 keys[b] = k
             keys_signed = keys.astype(np.int64).T
-            yield pdf.assign(
-                toks=toks, nw=lens.astype("int32"), keys=list(keys_signed)
-            )[["doc_id", "toks", "nw", "keys"]]
+            out = pdf.assign(
+                nw=lens.astype("int32"), keys=list(keys_signed)
+            )
+            if emit_toks:
+                out = out.assign(toks=toks)
+                yield out[["doc_id", "toks", "nw", "keys"]]
+            else:
+                # d04 path: two order-invariant 64-bit content-SET
+                # folds (xor / wraparound-sum of independently mixed
+                # base hashes) — together with nw they key the exact
+                # token-set duplicate groups d04 collapses before LSH
+                # (see d04 block comment). Two independent folds ⇒ a
+                # false group merge needs a simultaneous collision in
+                # both (~2⁻¹²⁸ per set pair) — far below the repo's
+                # accepted 64-bit token-hash error model.
+                m1 = mix(base ^ np.uint64(0xD04C0FFEE0000001))
+                m2 = mix(base ^ np.uint64(0xD04C0FFEE0000002))
+                g1 = np.bitwise_xor.reduceat(m1, starts).astype(np.int64)
+                g2 = np.add.reduceat(m2, starts).astype(np.int64)
+                out = out.assign(g1=g1, g2=g2)
+                yield out[["doc_id", "nw", "keys", "g1", "g2"]]
+
+    return minhash_key_batches
+
+
+def minhash_prepared(docs: DataFrame) -> DataFrame:
+    """Map-side (doc_id, nw, keys, g1, g2) — nw = |distinct tokens|,
+    keys = the 21 LSH band keys, (g1, g2) = order-invariant token-SET
+    content folds — via the shared NumPy kernel, ONE pass over
+    (doc_id, text) with no aggregation shuffle. This is d04's r16
+    signature path: the former explode → 126-min-agg groupBy form
+    paid one exchange plus 126 xxhash64 per token occurrence inside
+    the (at fixture scale single-split) scan task; here the whole
+    signature+banding computation is a per-row kernel that
+    parallelizes with the scan (``widen_scan`` pins fixture-scale
+    parallelism; a no-op once the input has real splits) and shuffles
+    NOTHING — the first exchange in the d04 plan is the tiny
+    group-collapse aggregation."""
+    kernel = _minhash_kernel(MINHASH_K, LSH_BANDS, LSH_ROWS, emit_toks=False)
+    return widen_scan(docs.select("doc_id", "text")).mapInPandas(
+        kernel, "doc_id long, nw int, keys array<long>, g1 long, g2 long"
+    )
+
+
+#: Group-key columns of ``minhash_prepared`` output: two independent
+#: 64-bit set folds + the set size. Identical token SET ⇔ identical
+#: (nw, g1, g2) up to the documented ~2⁻¹²⁸ double-fold collision.
+_GROUP_COLS = ["nw", "g1", "g2"]
+
+
+def d04_grouped(
+    docs: DataFrame, prepared: DataFrame | None = None
+) -> DataFrame:
+    """One row per DISTINCT token set: (nw, g1, g2, gid, keys) where
+    gid = min doc_id of the group (the LSH representative). One tiny
+    exchange on the uniform content-fold key — the exact-duplicate
+    collapse every production near-dedup runs before MinHash
+    (boilerplate cliques are the dominant duplication mode in web
+    corpora), done here with group METADATA only (guide §8: decide
+    with small rows). ``first(keys)`` is deterministic because every
+    member of a group has the identical signature by construction
+    (same token set ⇒ same base hashes ⇒ same mins). ``prepared``
+    lets the full d04 pipeline pass its materialized kernel output so
+    the kernel is not re-run per consuming subtree."""
+    if prepared is None:
+        prepared = minhash_prepared(docs)
+    return prepared.groupBy(*_GROUP_COLS).agg(
+        F.min("doc_id").alias("gid"),
+        F.first("keys").alias("keys"),
+    )
+
+
+def cross_corpus_neardup(
+    train: DataFrame,
+    ev: DataFrame,
+    threshold: float = MINHASH_THRESHOLD,
+) -> DataFrame:
+    """The d15 kernel (see block comment): broadcast-LSH cross-corpus
+    near-dup with in-row signatures, first-shared-band emission and
+    map-side exact-Jaccard verification. ``train``/``ev`` need columns
+    (doc_id, text); returns (doc_id, eval_id, jaccard) with
+    jaccard ≥ threshold. Zero shuffles on the ``train`` side."""
+    from fractions import Fraction
+
+    ratio = Fraction(str(threshold))
+    num, den = ratio.numerator, ratio.denominator
+    minhash_key_batches = _minhash_kernel(
+        MINHASH_K, LSH_BANDS, LSH_ROWS, emit_toks=True
+    )
 
     def prepared(df: DataFrame) -> DataFrame:
         return df.select("doc_id", "text").mapInPandas(
@@ -2263,7 +2451,10 @@ def cross_corpus_neardup(
     # first-shared-band emission (d04's dedupe without its capped-map
     # machinery — cross-corpus buckets are bounded by the eval side):
     # a pair colliding in several bands is emitted ONLY at its first,
-    # checked in-row against both carried key arrays.
+    # checked in-row against both carried key arrays. (r16: an
+    # unrolled OR-chain variant measured 4× slower on d04's
+    # interpreted self-join — see lsh_candidate_pairs — so the
+    # exists() form stays here too.)
     earlier = F.when(F.col("a.band") == 0, F.lit(False)).otherwise(
         F.exists(
             F.sequence(F.lit(1), F.col("a.band")),

@@ -54,8 +54,22 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
     tax = F.col("l_tax").cast("decimal(4,2)")
+    # widen_scan (r16, guide §2/§6): the fixture's single-row-group
+    # parquet plans as ONE scan split, so the partial aggregation —
+    # the whole decimal-heavy per-row workload — ran on one core.
+    # Round-robin repartition of the FILTERED rows spreads it across
+    # the session width; structurally a no-op at production split
+    # counts, and placed above the filter so PushedFilters still
+    # reach the scan. Group results are order-independent (decimal
+    # sums are exact), so the output is unchanged.
+    from .dedup import widen_scan
+
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-01-01").cast("timestamp"))
+        widen_scan(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("2001-01-01").cast("timestamp")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", 12).alias("sum_qty"),
@@ -125,11 +139,16 @@ def q03_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-agg), and both shuffles land on the same key so the join is
     exchange-free on the build side. Same answer, oracle unchanged.
     """
+    from .dedup import widen_scan
+
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     ext = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
-    per_order = li.groupBy("l_orderkey").agg(
+    # widen_scan (r16): parallelize the per-order partial aggregation
+    # past the fixture's single scan split (q01 note); no-op once the
+    # input has real splits.
+    per_order = widen_scan(li).groupBy("l_orderkey").agg(
         F.sum(ext * (F.lit(1) - disc)).alias("order_revenue")
     )
     return (
@@ -238,6 +257,13 @@ def q07_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region")
     ext = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
+    # widen_scan (r16): at fixture scale every join side fits
+    # broadcast, so the whole probe chain + partial agg ran inside
+    # lineitem's single scan split; widening the probe side
+    # parallelizes it (q01 note; no-op at real split counts).
+    from .dedup import widen_scan
+
+    li = widen_scan(li)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -702,6 +728,9 @@ def q25_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("2000-06-01").cast("timestamp")
     )
+    # (r16: a widen_scan on the filtered fact side measured a wash
+    # here — lineitem is the BUILD side of this fixture-scale plan,
+    # so the extra exchange bought no parallelism. Left alone.)
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("2000-06-01").cast("timestamp")
     )
@@ -863,6 +892,11 @@ def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
     )
+    # (r16: widen_scan on lineitem measured SLOWER here — q30's
+    # fixture-scale plan broadcasts the projected lineitem columns
+    # and probes with ORDERS, so the widener shuffled 600k rows into
+    # a broadcast build for nothing: 1.94s vs 1.36s median. Left
+    # alone.)
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
