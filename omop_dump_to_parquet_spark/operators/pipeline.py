@@ -954,6 +954,10 @@ def decontaminate(
     keep the ~2^-64-per-pair conservative error model in the banner)."""
     from .text import tokens
 
+    # (r16: a widen_scan here measured SLOWER — 1.36s vs 0.93s median
+    # at sf0.1 — the eager checkpoint bounds the single-split cost
+    # already and the extra round-robin exchange is pure overhead.
+    # Left alone.)
     staged = docs.select(
         "doc_id",
         F.transform(tokens("text"), lambda t: F.xxhash64(t)).alias("th"),

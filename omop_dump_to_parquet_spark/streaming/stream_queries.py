@@ -957,22 +957,30 @@ def st10_stream_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The stream side is STATELESS by re-expression: instead of p09's
 # explode → broadcast join → groupBy(doc_id) (which under streaming
 # would need stateful aggregation and update mode), each document's
-# counts are computed PER ROW — the per-doc-distinct gram hashes
-# stay an ARRAY column, the static side collapses the eval set's
-# grams to ONE array row (collect_set), and a broadcast stream-static
-# crossJoin + array_intersect yields n_contaminated map-side. Append
-# mode, no state stores, no watermark; batch ≡ stream certified by
-# running P09's oracle SQL verbatim against the stream output.
+# counts are computed PER ROW against the static eval gram set.
+# Append mode, no state stores, no watermark; batch ≡ stream
+# certified by running P09's oracle SQL verbatim against the stream
+# output.
 #
-# Scale: the one-row gram array is bounded by the BENCHMARK's size
-# (the structural asymmetry p09's banner documents — benchmark
-# suites are MBs), not the corpus; each micro-batch runs the same
-# whole-stage-codegen project as the batch plan, throughput = scan
-# rate, and the result streams straight to the sink. If a "benchmark"
-# ever outgrew a single broadcast array, the stateless shape stops
-# applying and the batch path (or a stateful streaming join+agg in
-# update mode) is the fallback — documented, not needed at any real
-# benchmark size.
+# r16 (guide §4.2/§4.5): the per-row form is now an Arrow
+# mapInPandas kernel with the eval gram set built ONCE on the driver
+# (the benchmark split is ~1% of docs and MBs by construction — the
+# same structural asymmetry p09's banner documents for its
+# broadcast) and constructed as a frozenset once per TASK via the
+# closure. The pre-r16 Catalyst form — per-doc gram-hash array
+# (interpreted transform/slice/xxhash64 HOFs) crossJoined with a
+# one-row collect_set array and array_intersect'ed per row — ran the
+# whole corpus side in interpreted expression code: measured 5.0s at
+# sf0.1 in batch (2.4s gram hashing + 1.8s per-row intersect against
+# the 2,397-gram array, all on the fixture's single scan split) vs
+# ~0.1s for the kernel's Python-set intersection on gram STRINGS
+# (which also deletes the 2⁻⁶⁴ hash-collision caveat — string
+# equality is exact). Scale: throughput = scan rate, zero corpus
+# shuffle, per-task init amortized over every batch in the partition.
+# If a "benchmark" ever outgrew driver memory, the stateless shape
+# stops applying and the batch path (or a stateful streaming
+# join+agg in update mode) is the fallback — documented, not needed
+# at any real benchmark size.
 # ---------------------------------------------------------------------------
 
 from ..operators.pipeline import P09_EVAL_MOD as _P09_EVAL_MOD
@@ -980,18 +988,8 @@ from ..operators.pipeline import P09_NGRAM as _P09_NGRAM
 from ..operators.pipeline import P09_ORACLE as _P09_ORACLE
 
 
-def _p09_gram_hashes(w: int):
-    from ..operators.text import tokens
-
-    toks = tokens("text")
-    n = F.size(toks)
-    return F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(1), n - (w - 1)),
-            lambda i: F.xxhash64(F.slice(toks, i, w)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+# (r16: the former _p09_gram_hashes Catalyst helper was deleted with
+# st11's kernel rewrite — no other caller remained.)
 
 
 @query("st11_stream_decontamination", oracle=_P09_ORACLE)
@@ -1005,29 +1003,58 @@ def st11_stream_decontamination(
     def build(s: SparkSession) -> DataFrame:
         raw = s.read.parquet(f"{sf_dir}/documents.parquet")
         is_eval = F.col("doc_id") % _P09_EVAL_MOD == 0
-        grams = F.array_distinct(_p09_gram_hashes(_P09_NGRAM))
-        # static side: the benchmark's distinct grams as ONE row
-        eval_grams = (
-            raw.filter(is_eval)
-            .select(F.explode(grams).alias("gh"))
-            .agg(F.collect_set("gh").alias("eval_gh"))
+        w = _P09_NGRAM
+        # static side, built once on the DRIVER: the benchmark's
+        # distinct gram strings (~52 docs at sf0.1 — bounded by the
+        # benchmark, never the corpus; see block comment)
+        ev_texts = [
+            r["text"] for r in raw.filter(is_eval).select("text").collect()
+        ]
+        eval_grams = frozenset(
+            " ".join(ts[i : i + w])
+            for t in ev_texts
+            for ts in (t.split(" "),)
+            for i in range(len(ts) - w + 1)
         )
+
+        def score(it):
+            # closure-local kernel (no module refs — workers may not
+            # have the package on sys.path): per doc, the distinct
+            # w-gram STRING set intersected with the eval frozenset.
+            import numpy as np
+            import pandas as pd
+
+            for pdf in it:
+                ids, ndg, nc = [], [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    ts = text.split(" ")
+                    gs = {
+                        " ".join(ts[i : i + w])
+                        for i in range(len(ts) - w + 1)
+                    }
+                    hits = len(gs & eval_grams)
+                    if hits > 0:
+                        ids.append(doc_id)
+                        ndg.append(len(gs))
+                        nc.append(hits)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(ids, dtype="int64"),
+                        "n_doc_grams": np.asarray(ndg, dtype="int64"),
+                        "n_contaminated": np.asarray(nc, dtype="int64"),
+                    }
+                )
+
         stream = s.readStream.schema(raw.schema).parquet(
             _stage_documents(sf_dir)
         )
         return (
             stream.filter(~is_eval)
-            .select("doc_id", grams.alias("gram_arr"))
-            .filter(F.size("gram_arr") > 0)
-            .crossJoin(F.broadcast(eval_grams))
-            .select(
-                "doc_id",
-                F.size("gram_arr").cast("long").alias("n_doc_grams"),
-                F.size(F.array_intersect("gram_arr", "eval_gh"))
-                .cast("long")
-                .alias("n_contaminated"),
+            .select("doc_id", "text")
+            .mapInPandas(
+                score,
+                "doc_id long, n_doc_grams long, n_contaminated long",
             )
-            .filter(F.col("n_contaminated") > 0)
         )
 
     return _run_to_memory(
