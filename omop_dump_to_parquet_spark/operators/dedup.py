@@ -1218,7 +1218,16 @@ def d07_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fractions import Fraction
 
     docs = table(spark, sf_dir, "documents")
-    docs_sh = docs.select(
+    # widen_scan (r16): the interpreted shingle construction below is
+    # the query's dominant per-row cost and ran inside the fixture's
+    # single scan split; widening parallelizes the checkpoint build
+    # (measured 4.0s → 3.5s median at sf0.1) and is a no-op at real
+    # split counts. (The same A/B on d03's plain tokenizer LOST —
+    # 2.96s vs 2.05s — its per-row work is too cheap to pay for the
+    # extra exchange; d03 stays unwidened.)
+    docs_sh = widen_scan(
+        docs.select("doc_id", "lang", "source", "text")
+    ).select(
         "doc_id", "lang", "source",
         word_shingles(F.col("text"), SHINGLE_N).alias("toks"),
     ).localCheckpoint(eager=False)
@@ -1661,8 +1670,11 @@ def d11_verbatim_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posting list, both self-join sides) — without truncation
     # Catalyst re-plans it per consumer: 4 corpus scans. Same
     # lesson as d07's shingle table; reliable checkpoint on a real
-    # cluster.
-    g = docs.select(
+    # cluster. widen_scan (r16): the gram build ran inside the
+    # fixture's single scan split — widening parallelizes the
+    # checkpoint job (measured 2.82s → 1.47s median at sf0.1;
+    # no-op at real split counts).
+    g = widen_scan(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(gram_hashes)).alias("gh")
     ).localCheckpoint(eager=True)
     rare = (
