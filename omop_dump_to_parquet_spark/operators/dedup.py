@@ -875,7 +875,10 @@ def d04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared = minhash_prepared(docs).localCheckpoint(eager=True)
     grouped = d04_grouped(docs, prepared).localCheckpoint(eager=True)
     ver = verify_jaccard_pairs(
-        docs, d04_candidate_pairs(docs, grouped), MINHASH_THRESHOLD
+        docs,
+        d04_candidate_pairs(docs, grouped),
+        MINHASH_THRESHOLD,
+        tok_arr=prepared,
     )
     members = prepared.select("doc_id", *_GROUP_COLS)
 
@@ -937,12 +940,17 @@ def verify_jaccard_pairs(
     threshold: float,
     use_broadcast: bool = True,
     tokens: Column | None = None,
+    tok_arr: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs.
 
     ``tokens`` overrides the default word tokenizer with any
     already-distinct array expression over ``docs`` (must match the
-    tokenizer used for candidate generation).
+    tokenizer used for candidate generation). ``tok_arr`` (r16)
+    instead supplies a PREBUILT (doc_id, toks array<long>, nw) table
+    — e.g. d04's materialized kernel output — skipping the
+    re-tokenization of ``docs`` entirely; its token hashes must come
+    from the same hash family used for candidate generation.
 
     ``use_broadcast=True`` (default): the per-doc distinct-token ARRAY
     table is tiny relative to the pair set (|docs| rows, ~25 tokens
@@ -961,22 +969,25 @@ def verify_jaccard_pairs(
     (P ≈ |vocab|²/2⁶⁵ — vanishing; the differential oracle at sf0.01
     pins exactness).
     """
-    toks = (
-        tokens
-        if tokens is not None
-        else F.array_distinct(F.split(F.col("text"), " "))
-    )
-    # Both join sides are DataFrame-ALIASED views of the SAME tok_arr
-    # plan (no per-side select of renamed columns), so their two
-    # BroadcastExchanges canonicalize identically and ReuseExchange
-    # builds the token-array table ONCE — measured: the former
-    # per-side aliasing built it twice (2× tokenizer evaluation +
-    # 2× broadcast collect).
-    tok_arr = docs.select(
-        "doc_id",
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("toks"),
-        F.size(toks).alias("nw"),
-    )
+    if tok_arr is None:
+        toks = (
+            tokens
+            if tokens is not None
+            else F.array_distinct(F.split(F.col("text"), " "))
+        )
+        # Both join sides are DataFrame-ALIASED views of the SAME
+        # tok_arr plan (no per-side select of renamed columns), so
+        # their two BroadcastExchanges canonicalize identically and
+        # ReuseExchange builds the token-array table ONCE — measured:
+        # the former per-side aliasing built it twice (2× tokenizer
+        # evaluation + 2× broadcast collect).
+        tok_arr = docs.select(
+            "doc_id",
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("toks"),
+            F.size(toks).alias("nw"),
+        )
+    else:
+        tok_arr = tok_arr.select("doc_id", "toks", "nw")
     ta, tb = tok_arr.alias("ta"), tok_arr.alias("tb")
     if use_broadcast:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
@@ -2345,13 +2356,20 @@ def _minhash_kernel(
                 # (see d04 block comment). Two independent folds ⇒ a
                 # false group merge needs a simultaneous collision in
                 # both (~2⁻¹²⁸ per set pair) — far below the repo's
-                # accepted 64-bit token-hash error model.
+                # accepted 64-bit token-hash error model. The base
+                # hashes themselves ride along as the per-doc hashed
+                # token array so the verify stage reads the SAME
+                # materialized table instead of re-tokenizing docs.
                 m1 = mix(base ^ np.uint64(0xD04C0FFEE0000001))
                 m2 = mix(base ^ np.uint64(0xD04C0FFEE0000002))
                 g1 = np.bitwise_xor.reduceat(m1, starts).astype(np.int64)
                 g2 = np.add.reduceat(m2, starts).astype(np.int64)
-                out = out.assign(g1=g1, g2=g2)
-                yield out[["doc_id", "nw", "keys", "g1", "g2"]]
+                out = out.assign(
+                    g1=g1,
+                    g2=g2,
+                    toks=np.split(base.astype(np.int64), starts[1:]),
+                )
+                yield out[["doc_id", "toks", "nw", "keys", "g1", "g2"]]
 
     return minhash_key_batches
 
@@ -2371,7 +2389,9 @@ def minhash_prepared(docs: DataFrame) -> DataFrame:
     group-collapse aggregation."""
     kernel = _minhash_kernel(MINHASH_K, LSH_BANDS, LSH_ROWS, emit_toks=False)
     return widen_scan(docs.select("doc_id", "text")).mapInPandas(
-        kernel, "doc_id long, nw int, keys array<long>, g1 long, g2 long"
+        kernel,
+        "doc_id long, toks array<long>, nw int, keys array<long>, "
+        "g1 long, g2 long",
     )
 
 
