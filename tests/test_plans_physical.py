@@ -168,10 +168,27 @@ def test_d04_band_join_has_no_sort(spark, sf_small):
     """r6 regression guard: the hot-bucket cap is a partial-agg count
     broadcast back as one map row — the r5 count-window formulation
     SORTED every partition of the banded table (the largest
-    intermediate in the query). No Sort node may reappear in d04's
-    plan (the only ordering-sensitive op it ever used was that
-    window), and the cap map must arrive via a broadcast join."""
-    plan = formatted_plan(spark, "d04_dedup_minhash_lsh", sf_small)
+    intermediate in the query). No Sort node may reappear in the
+    CANDIDATE subtree's plan (the banded table is its largest
+    intermediate; r16 scoped the assert here because the member
+    expansion joins added downstream legitimately sort small group
+    METADATA when planned sort-merge), and the cap map must arrive
+    via a broadcast join."""
+    from omop_dump_to_parquet_spark.operators.dedup import (
+        d04_candidate_pairs,
+    )
+    from omop_dump_to_parquet_spark.sources.parquet import table
+
+    docs = table(spark, sf_small, "documents")
+    plan = (
+        d04_candidate_pairs(docs)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
     assert not re.search(r"\(\d+\) Sort", plan), plan
     assert "BroadcastNestedLoopJoin" in plan, plan
 
