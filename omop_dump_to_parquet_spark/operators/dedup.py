@@ -195,26 +195,32 @@ def _ranked_tokens(
     (document-frequency ASC, token ASC) order and the doc's distinct
     token count ``nw`` — the shared substrate of the prefix index and
     the position-filtered probe side (one subtree → one computation
-    via ReuseExchange)."""
+    via ReuseExchange).
+
+    r17 restructure (guide §2.4 — remove shuffles outright): ``nw``
+    rides the rank window as a second Window over the SAME (doc_id)
+    exchange instead of a separate sizes aggregate + doc_id join —
+    one aggregate and one join deleted, zero new exchange, values
+    (df, rn, nw) unchanged expression-for-expression. (An explicit
+    (block, token) repartition shared by the census groupBy and its
+    join was A/B'd and REVERTED — scripts/r17_ab_census.py: at
+    fixture scale the planner broadcasts the census table so the
+    explicit exchange was pure addition, d03 3.10s → 3.44s.)"""
     if tok is None:
         tok = _distinct_tokens(docs, *block_cols)
-    if sizes is None:
-        sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
     dfreq = tok.groupBy(*block_cols, "w").agg(
         F.count(F.lit(1)).alias("df")
     )
-    return (
-        tok.join(dfreq, [*block_cols, "w"])
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(
-                    F.col("df").asc(), F.col("w").asc()
-                )
-            ),
-        )
-        .join(sizes, "doc_id")
+    wdoc = W.partitionBy("doc_id")
+    ranked = tok.join(dfreq, [*block_cols, "w"]).withColumn(
+        "rn",
+        F.row_number().over(
+            wdoc.orderBy(F.col("df").asc(), F.col("w").asc())
+        ),
     )
+    if sizes is not None:
+        return ranked.join(sizes, "doc_id")
+    return ranked.withColumn("nw", F.count(F.lit(1)).over(wdoc))
 
 
 def prefix_index(
@@ -360,8 +366,8 @@ def prefix_filter_candidates(
     """
     docs = _guard_block_population(docs, block_cols, max_block_docs)
     tok = _distinct_tokens(docs, *block_cols, tokens=tokens)
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    ranked = _ranked_tokens(docs, *block_cols, tok=tok, sizes=sizes)
+    # sizes=None (r17): nw rides the rank window — see _ranked_tokens
+    ranked = _ranked_tokens(docs, *block_cols, tok=tok)
     ceil_t_nw = F.floor(
         (F.lit(num) * F.col("nw") + F.lit(den - 1)) / F.lit(den)
     )
@@ -528,8 +534,17 @@ def lsh_candidate_pairs(
     max_bucket: int = MAX_BUCKET,
     dedupe: str = "first_band",
     auto_capped_keys_per_band: int = AUTO_CAPPED_KEYS_PER_BAND,
+    prekeyed: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band.
+
+    ``prekeyed=True`` (r17, explicit — was a column-name sniff, advisor
+    r16): ``sigs`` already carries the band-key array as a ``keys``
+    column (the map-side kernel path, ``minhash_prepared``); the
+    default recombines h0..h{k-1} signature columns via
+    :func:`band_keys`. Explicit because a caller whose signature frame
+    coincidentally carried a ``keys`` column would otherwise silently
+    take the wrong path and produce a wrong candidate set.
 
     ``dedupe`` is the SCALE knob (a parameter, not prose — the d10
     planes / s04 blocks doctrine), choosing how each pair is emitted
@@ -622,13 +637,18 @@ def lsh_candidate_pairs(
     """
     if dedupe not in ("first_band", "group_by", "auto"):
         raise ValueError(f"unknown dedupe mode {dedupe!r}")
-    # r16: a caller that already carries the band-key array (the
-    # map-side kernel path, ``minhash_prepared``) skips the h0..h{k-1}
-    # recombination; the signature-column form stays for callers that
-    # build signatures as an aggregate (tests, cap_stress, d04's
-    # pre-r16 form). Both forms produce array<long> keys and share
-    # everything downstream.
-    keys = F.col("keys") if "keys" in sigs.columns else band_keys(bands, rows)
+    # Both forms produce array<long> keys and share everything
+    # downstream; the signature-column form stays for callers that
+    # build signatures as an aggregate (tests, cap_stress).
+    if prekeyed:
+        if "keys" not in sigs.columns:
+            raise ValueError(
+                "lsh_candidate_pairs(prekeyed=True) requires a 'keys' "
+                "array column (see minhash_prepared)"
+            )
+        keys = F.col("keys")
+    else:
+        keys = band_keys(bands, rows)
     carry = ["nw"] if size_ratio is not None else []
     banded = sigs.select("doc_id", *carry, keys.alias("keys")).select(
         "doc_id", *carry, "keys", F.posexplode("keys").alias("band", "bkey")
@@ -848,7 +868,7 @@ def d04_candidate_pairs(
     reps = grouped.select(F.col("gid").alias("doc_id"), "nw", "keys")
     ratio = Fraction(str(MINHASH_THRESHOLD))
     candidates = lsh_candidate_pairs(
-        reps, size_ratio=(ratio.numerator, ratio.denominator)
+        reps, size_ratio=(ratio.numerator, ratio.denominator), prekeyed=True
     )
     return candidates.select("doc_a", "doc_b")
 
@@ -1063,6 +1083,12 @@ def simhash_chunks(docs: DataFrame) -> DataFrame:
         bit_idx = np.arange(nb, dtype=np.int64)
         pack = 1 << np.arange(n_bits, dtype=np.int64)
         for pdf in it:
+            # NULL-text rows drop like the former Catalyst form
+            # (explode(NULL) emitted nothing); empty batches skip —
+            # reduceat needs ≥1 row (advisor r16)
+            pdf = pdf[pdf["text"].notna()]
+            if not len(pdf):
+                continue
             toks = [
                 list(dict.fromkeys(t.split(" "))) for t in pdf["text"]
             ]
@@ -2347,6 +2373,13 @@ def _minhash_kernel(
         md5 = hashlib.md5
 
         for pdf in it:
+            # NULL-text rows are dropped like the pre-r16 Catalyst
+            # form (split(NULL) → NULL → explode drops the doc), and
+            # an empty Arrow batch is skipped outright — np.split on
+            # a zero-row frame would otherwise raise (advisor r16).
+            pdf = pdf[pdf["text"].notna()]
+            if not len(pdf):
+                continue
             # dict.fromkeys == array_distinct (first-occurrence order;
             # split(" ") keeps empties exactly like Spark's split on
             # the single-space regex)

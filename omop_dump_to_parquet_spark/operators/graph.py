@@ -106,13 +106,20 @@ def connected_components(
     §5), so 50 is generous for any practical graph; hitting it raises
     rather than returning a partial clustering.
 
-    ``checkpoint_fn`` defaults to eager ``localCheckpoint`` — executor-
+    ``checkpoint_fn`` defaults to LAZY ``localCheckpoint`` — executor-
     local, right for a single job; pass ``lambda df: df.checkpoint()``
     with a configured checkpoint dir for fault-tolerant production runs.
+    Lazy (r17, guide §5/§2): the per-round convergence fingerprint is
+    the action that materializes the round's checkpoint — a full
+    count+sum aggregate computes every partition, so the round costs
+    ONE Spark job instead of two (eager materialization + fingerprint).
+    Measured at sf0.1 (d06's 3-round graph, scripts/r17_ab_graph.py):
+    whole-CC jobs 42 → 38 (one per init/round), median 5.29s → 3.66s
+    same-session paired.
     """
     if checkpoint_fn is None:
         def checkpoint_fn(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=False)
 
     e = checkpoint_fn(_canonical_edges(edges, src, dst))
 
@@ -201,7 +208,7 @@ def _d03_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_jaccard_pairs(docs, candidates, JACCARD_THRESHOLD)
 
 
-def _sym_src_edges(pairs: DataFrame) -> DataFrame:
+def _sym_src_edges(pairs: DataFrame, with_deg: bool = False) -> DataFrame:
     """Symmetrized edge list, repartitioned BY src at session width
     and checkpointed — shared by the iterative ops (g01, g02). The
     union would otherwise double the partition count (2×32) and every
@@ -209,9 +216,16 @@ def _sym_src_edges(pairs: DataFrame) -> DataFrame:
     shuffle for the src join; pre-clustering on the join key makes
     every iteration read co-located edges, and the eager
     localCheckpoint truncates the candidate-generation lineage once.
-    Measured at sf0.1 (g01): 1.81s → 0.92s for the PR loop."""
+    Measured at sf0.1 (g01): 1.81s → 0.92s for the PR loop.
+
+    ``with_deg`` (r17, guide §2.4): additionally attach each src's
+    out-degree BEFORE the checkpoint. The degree table is static
+    across PageRank iterations, so joining it once here (groupBy +
+    join both run in-place on the src-partitioned edges — zero extra
+    exchange) deletes one join per iteration from g01's unrolled
+    plan; the per-edge ``pr / deg`` arithmetic is unchanged."""
     n_shuffle = get_shuffle_partitions(pairs.sparkSession)
-    return (
+    sym = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
             pairs.select(
@@ -219,8 +233,11 @@ def _sym_src_edges(pairs: DataFrame) -> DataFrame:
             )
         )
         .repartition(n_shuffle, "src")
-        .localCheckpoint(eager=True)
     )
+    if with_deg:
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        sym = sym.join(deg, "src")
+    return sym.localCheckpoint(eager=True)
 
 
 D06_ORACLE = f"""
@@ -400,13 +417,25 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.deterministic import dsum
 
     pairs = _d03_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    und = _sym_src_edges(pairs)
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    # degrees are static across iterations: attach them to the
+    # checkpointed edge table ONCE (r17) instead of re-joining the
+    # degree table inside every unrolled iteration — one join per
+    # iteration deleted, identical pr/deg arithmetic.
+    und = _sym_src_edges(pairs, with_deg=True)
+    pr = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("pr")
+    )
     for _ in range(PR_ITERS):
+        # SHUFFLE_HASH (r17, guide §3.1/§2.4): und is checkpointed
+        # hash-partitioned on src and pr comes out of groupBy(node) at
+        # the same width, so the hinted join is EXCHANGE-FREE with a
+        # per-partition hash build of the small rank table — no
+        # per-iteration broadcast-build job, no sort of the edge
+        # table. Each iteration's only shuffle is the groupBy(dst).
+        # Same-session paired A/B (scripts/r17_ab_graph.py, loop only,
+        # pairs materialized): 4.66s → 3.76s median.
         contrib = (
-            und.join(pr, und["src"] == pr["node"])
-            .join(deg, "src")
+            und.join(pr.hint("shuffle_hash"), und["src"] == pr["node"])
             .select(
                 F.col("dst").alias("n2"),
                 (F.col("pr") / F.col("deg")).alias("c"),
@@ -483,18 +512,28 @@ def g02_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("community")
     )
     for _ in range(LPA_ITERS):
+        # SHUFFLE_HASH on the co-partitioned label join (see g01), and
+        # the per-node argmax as a SECOND AGGREGATE instead of a
+        # row_number window: min of the (-cnt, community) struct picks
+        # the identical (cnt DESC, community ASC) winner, but the
+        # (n2, community) counts partial-aggregate into one exchange
+        # and the argmax needs no per-partition sort. Same-session
+        # paired A/B (scripts/r17_ab_graph.py): 3.67s → 2.44s median
+        # for the 4-round loop. Oracle unchanged (the unrolled SQL's
+        # row_number and this struct-min define the same winner).
         votes = (
-            und.join(labels, und["src"] == labels["node"])
+            und.join(labels.hint("shuffle_hash"),
+                     und["src"] == labels["node"])
             .groupBy(F.col("dst").alias("n2"), "community")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        wv = W.partitionBy("n2").orderBy(
-            F.col("cnt").desc(), F.col("community")
-        )
+        best = F.min(
+            F.struct((-F.col("cnt")).alias("neg"), F.col("community"))
+        ).alias("b")
         labels = (
-            votes.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select(F.col("n2").alias("node"), "community")
+            votes.groupBy(F.col("n2").alias("node"))
+            .agg(best)
+            .select("node", F.col("b.community").alias("community"))
         )
     return labels
 

@@ -828,6 +828,14 @@ def kmeans_exact(
     list. The SQL twin is :func:`kmeans_oracle_prefix`."""
     from ..functions.deterministic import davg
 
+    # Within-run materialization (r17, guide §5 — the d04/d11
+    # pattern): every Lloyd iteration's update job, the init collect,
+    # and the final assign otherwise each re-scan the parquet and
+    # re-run the array conversion. Lazy localCheckpoint: the init
+    # collect below is the materializing action; iters+1 downstream
+    # passes read the checkpointed rows. Computed from the parquet
+    # inputs on every invocation — nothing persists across runs.
+    emb = emb.localCheckpoint(eager=False)
     # Bounded driver state: k initial centroids, then k×dim means per
     # iteration — the same contract as s05's IVF centroid collect.
     init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
@@ -1427,16 +1435,26 @@ def s09_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("emb")
-    )
+    ).localCheckpoint(eager=False)
+    # Lazy within-run materialization (r17, the d04/d11 pattern): the
+    # collect below materializes it; the kernel scan and the two
+    # re-rank sides then read checkpointed rows instead of re-running
+    # parquet decode + array conversion (4 passes total). Recomputed
+    # from parquet every invocation.
+    # ONE bounded collect for both driver-side row sets (r17, verdict
+    # #6 — collect-per-round floors): the probe ids and the codebook
+    # seed ids are adjacent ranges, so one scan job fetches both and
+    # the split happens driver-side. Identical rows to the former two
+    # filtered collects.
+    head_rows = emb.filter(
+        F.col("vec_id") < N_QUERIES + PQ_TRAIN_N
+    ).collect()
     seed_rows = sorted(
-        emb.filter(
-            (F.col("vec_id") >= N_QUERIES)
-            & (F.col("vec_id") < N_QUERIES + PQ_TRAIN_N)
-        ).collect(),
+        (r for r in head_rows if r["vec_id"] >= N_QUERIES),
         key=lambda r: r["vec_id"],
     )
     probe_rows = sorted(
-        emb.filter(F.col("vec_id") < N_QUERIES).collect(),
+        (r for r in head_rows if r["vec_id"] < N_QUERIES),
         key=lambda r: r["vec_id"],
     )
     # The oracle keys the initial codebook by vec_id − N_QUERIES;

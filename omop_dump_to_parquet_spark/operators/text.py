@@ -1503,7 +1503,13 @@ def learn_bpe_merges(
                 F.lit(f" {best['l']}  {best['r']} "),
                 F.lit(f" {best['l']}{best['r']} "),
             ),
-        ).localCheckpoint()  # truncate iterative lineage (graph.py)
+        ).localCheckpoint(eager=False)  # truncate iterative lineage
+        # lazy (r17, guide §5): the NEXT iteration's pair-count collect
+        # is the action that materializes this checkpoint — one Spark
+        # job per iteration instead of two, and the LAST iteration's
+        # merge pass (whose symbol table no caller reads) is never
+        # computed at all. Identical merges: the collect still sees
+        # the fully-applied replace.
     return merges
 
 
@@ -1532,11 +1538,11 @@ def t22_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below), and a learned pair (l, r) can only match ' l  r ', so
 # merges can never cross a word boundary (BPE's contract) — then
 # each merge is applied in learned order as a literal replace. No
-# join, no shuffle: the learned table arrives as three string
-# literals in the plan (the s07 broadcast-centroid pattern, one
-# plan-compile per learn, not per row). Outputs are content-verified:
-# md5 of the full encoded symbol stream, plus the post-merge symbol
-# count.
+# join, no shuffle: the learned table rides the kernel closure (r17;
+# formerly three string literals in a codegen replace chain — see
+# bpe_encode's docstring for the byte-identity evidence). Outputs are
+# content-verified: md5 of the full encoded symbol stream, plus the
+# post-merge symbol count.
 #
 # The boundary rendering is built from the SAME token array the
 # oracle uses (split(text,' ') → per-word char split → join with
@@ -1560,7 +1566,8 @@ def t22_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: learning = t22 (one corpus scan + Heaps-vocab iterations);
 # encoding = one additional map-side scan at scan parallelism. At
 # 100 TB the encode pass is embarrassingly parallel and
-# sink-streamable; the three replaces stay in whole-stage codegen.
+# sink-streamable; the Arrow kernel amortizes its per-task setup over
+# every batch in the partition (guide §4.5).
 # ---------------------------------------------------------------------------
 
 
@@ -1608,59 +1615,84 @@ def bpe_encode(
 ) -> DataFrame:
     """Apply a learned merge table to every document — t23's transform,
     factored so the property net can drive it at arbitrary merge depth
-    (r13 verdict #6). One map-side pass; merges as plan literals."""
+    (r13 verdict #6). One map-side pass; merges ride the kernel closure.
+
+    r17 (guide §4.2, verdict #3): the encode is a mapInPandas Python
+    kernel — per doc, the same boundary rendering as the former
+    expression chain (' a  b  |  c  d  ', built by joining each word's
+    codepoints with '  ': Python str iteration walks codepoints
+    exactly like the learner's '(?s)(.)' regex and the oracle's
+    string_split), then each merge as ``str.replace`` (left-to-right
+    non-overlapping — Java ``replace`` semantics), then
+    ``hashlib.md5`` over UTF-8 (≡ Spark ``md5``). BYTE-IDENTICAL to
+    the r16 expression chain — asserted row-for-row at sf0.1 before
+    the switch (scripts/r17_ab_bpe.py: 'encode equality: True', 5000
+    rows) and still md5-pinned by the t23 oracle. Same-session paired
+    A/B: 0.736s → 0.639s median (the per-char regexp_replace capture
+    group was the expression chain's cost). NULL text yields NULL
+    metrics exactly like the former chain (size(NULL)/md5(NULL)).
+
+    The '|' sentinel guard keeps both halves: the free driver-side
+    merge-symbol check below, and a row-level raise inside the kernel
+    (was a raise_error branch in the project)."""
     if any("|" in (lft + rgt) for _, lft, rgt, _m, _c in merges):
         # free driver-side half of the sentinel guard (block comment)
         raise ValueError(
             "t23: a learned merge symbol contains the '|' boundary "
             "sentinel; encode would merge across word boundaries"
         )
-    # ' a  b  |  c  d  ' — word boundaries become the '|' symbol.
-    # Built from the shared token array so empty tokens (consecutive
-    # spaces) render exactly as the oracle's string_split path does
-    # (see block comment; single leading space matches the oracle's
-    # t23 inner expression). Each word is char-split with the SAME
-    # '(?s)(.)' regexp learn_bpe_merges uses — not split(w, ''),
-    # whose Java split walks UTF-16 units and would halve a
-    # surrogate-pair character while the learner's regex '.' (and
-    # the oracle's string_split) walk whole codepoints; rtrim drops
-    # the per-word trailing '  ' (words cannot contain spaces).
-    rep = F.concat(
-        F.lit(" "),
-        F.array_join(
-            F.transform(
-                tokens("text"),
-                lambda w: F.rtrim(
-                    F.regexp_replace(w, "(?s)(.)", "$1  ")
-                ),
-            ),
-            "  |  ",
-        ),
-        F.lit("  "),
-    )
-    for _, lft, rgt, merged, _cnt in merges:
-        rep = F.replace(
-            rep, F.lit(f" {lft}  {rgt} "), F.lit(f" {merged} ")
-        )
-    # row-level half of the sentinel guard: zero extra jobs, same
-    # map-side pass (raise_error folds into the project stage)
-    rep = F.when(
-        F.col("text").contains("|"),
-        F.raise_error(
-            F.lit(
-                "t23: document text contains the '|' word-boundary "
-                "sentinel; the encode would be ambiguous"
-            )
-        ),
-    ).otherwise(rep)
-    n_ws = F.size(tokens("text"))
-    return docs.select(
-        "doc_id",
-        n_ws.cast("long").alias("n_ws_tokens"),
-        (
-            F.size(F.split(F.trim(rep), "  ")) - (n_ws - F.lit(1))
-        ).cast("long").alias("n_bpe_symbols"),
-        F.md5(F.trim(rep)).alias("encoded_md5"),
+    pats = [
+        (f" {lft}  {rgt} ", f" {merged} ")
+        for _, lft, rgt, merged, _cnt in merges
+    ]
+
+    def enc(it):
+        # closure-local kernel (no module refs — workers may not have
+        # the package on sys.path, the verify-skill contract)
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "n_ws_tokens": [],
+                "n_bpe_symbols": [],
+                "encoded_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out["doc_id"].append(doc_id)
+                if text is None:
+                    out["n_ws_tokens"].append(None)
+                    out["n_bpe_symbols"].append(None)
+                    out["encoded_md5"].append(None)
+                    continue
+                if "|" in text:
+                    raise RuntimeError(
+                        "t23: document text contains the '|' "
+                        "word-boundary sentinel; the encode would be "
+                        "ambiguous"
+                    )
+                words = text.split(" ")
+                rep = (
+                    " " + "  |  ".join("  ".join(w) for w in words) + "  "
+                )
+                for a, b in pats:
+                    rep = rep.replace(a, b)
+                stripped = rep.strip(" ")
+                out["n_ws_tokens"].append(len(words))
+                out["n_bpe_symbols"].append(
+                    len(stripped.split("  ")) - (len(words) - 1)
+                )
+                out["encoded_md5"].append(
+                    hashlib.md5(stripped.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        enc,
+        "doc_id long, n_ws_tokens long, n_bpe_symbols long, "
+        "encoded_md5 string",
     )
 
 

@@ -987,6 +987,12 @@ from ..operators.pipeline import P09_EVAL_MOD as _P09_EVAL_MOD
 from ..operators.pipeline import P09_NGRAM as _P09_NGRAM
 from ..operators.pipeline import P09_ORACLE as _P09_ORACLE
 
+#: Hard cap on the eval-split documents st11 may collect to the driver
+#: to build its static gram set (r17, verdict #5). Benchmarks are
+#: thousands of documents at most; a fixture drift that makes the
+#: "eval split" corpus-sized must fail loud, not OOM the driver.
+ST11_MAX_EVAL_DOCS = 100_000
+
 
 # (r16: the former _p09_gram_hashes Catalyst helper was deleted with
 # st11's kernel rewrite — no other caller remained.)
@@ -1006,16 +1012,40 @@ def st11_stream_decontamination(
         w = _P09_NGRAM
         # static side, built once on the DRIVER: the benchmark's
         # distinct gram strings (~52 docs at sf0.1 — bounded by the
-        # benchmark, never the corpus; see block comment)
+        # benchmark, never the corpus; see block comment). The collect
+        # is EXPLICITLY bounded (r17, verdict #5): limit(N+1) caps what
+        # can ever reach the driver, and row N+1 arriving means the
+        # "benchmark" outgrew the stateless shape — fail loud and name
+        # the batch fallback rather than OOM the driver.
         ev_texts = [
-            r["text"] for r in raw.filter(is_eval).select("text").collect()
+            r["text"]
+            for r in raw.filter(is_eval)
+            .select("text")
+            .limit(ST11_MAX_EVAL_DOCS + 1)
+            .collect()
         ]
+        if len(ev_texts) > ST11_MAX_EVAL_DOCS:
+            raise ValueError(
+                f"st11: eval split exceeds ST11_MAX_EVAL_DOCS="
+                f"{ST11_MAX_EVAL_DOCS} documents; the driver-built "
+                "gram set no longer qualifies as 'benchmark-sized' — "
+                "run the batch p09 path (broadcast join) or a stateful "
+                "streaming join instead"
+            )
         eval_grams = frozenset(
             " ".join(ts[i : i + w])
             for t in ev_texts
+            if t is not None
             for ts in (t.split(" "),)
             for i in range(len(ts) - w + 1)
         )
+        # one SPARK BROADCAST, not a closure capture (r17, verdict #5 /
+        # advisor r16): a closure-captured set is re-serialized into
+        # every task binary and re-shipped per micro-batch; the
+        # broadcast ships once per executor and the kernel reads
+        # bc.value (guide §3.1's broadcast discipline applied to
+        # Python-side static state).
+        bc = s.sparkContext.broadcast(eval_grams)
 
         def score(it):
             # closure-local kernel (no module refs — workers may not
@@ -1024,15 +1054,21 @@ def st11_stream_decontamination(
             import numpy as np
             import pandas as pd
 
+            grams = bc.value
             for pdf in it:
                 ids, ndg, nc = [], [], []
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    if text is None:
+                        # NULL text: the pre-r16 Catalyst form dropped
+                        # the row (split(NULL) → no grams, no hit) —
+                        # preserve that tolerance (advisor r16).
+                        continue
                     ts = text.split(" ")
                     gs = {
                         " ".join(ts[i : i + w])
                         for i in range(len(ts) - w + 1)
                     }
-                    hits = len(gs & eval_grams)
+                    hits = len(gs & grams)
                     if hits > 0:
                         ids.append(doc_id)
                         ndg.append(len(gs))

@@ -139,6 +139,15 @@ def test_lsh_candidate_pairs_precomputed_keys_branch(spark, sf_small):
     prekeyed = sigs.select("doc_id", D.band_keys().alias("keys"))
     via_keys = {
         (r["doc_a"], r["doc_b"])
-        for r in D.lsh_candidate_pairs(prekeyed).collect()
+        for r in D.lsh_candidate_pairs(prekeyed, prekeyed=True).collect()
     }
     assert via_cols == via_keys and len(via_cols) > 0
+    # the r17 explicit flag fails loud both ways: prekeyed=True without
+    # a keys column, and a stray 'keys' column no longer silently
+    # switches the path (the band_keys recombination requires h0..)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prekeyed=True"):
+        D.lsh_candidate_pairs(sigs, prekeyed=True)
+    with _pytest.raises(Exception):
+        D.lsh_candidate_pairs(prekeyed).collect()  # no h0.. columns
