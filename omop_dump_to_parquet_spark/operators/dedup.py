@@ -366,7 +366,15 @@ def prefix_filter_candidates(
     """
     docs = _guard_block_population(docs, block_cols, max_block_docs)
     tok = _distinct_tokens(docs, *block_cols, tokens=tokens)
-    # sizes=None (r17): nw rides the rank window — see _ranked_tokens
+    # sizes=None (r17): nw rides the rank window — see _ranked_tokens.
+    # (r17 losing A/B, recorded: materializing `ranked` once via lazy
+    # localCheckpoint — isolated phase probes showed the self-join
+    # evaluating the census+rank subtree twice (d07 candidates 4.42s ≈
+    # 2 × ranked 2.10s) — measured WORSE end-to-end: d03 2.87s → 3.28s,
+    # d07 3.63s → 3.50s wash (scripts/r17_ab_census.py run 4). The
+    # materialization is a barrier that serializes what the lazy plan
+    # overlaps, and AQE's runtime exchange reuse already shares the
+    # heavy shuffle between the two sides. Kept lazy.)
     ranked = _ranked_tokens(docs, *block_cols, tok=tok)
     ceil_t_nw = F.floor(
         (F.lit(num) * F.col("nw") + F.lit(den - 1)) / F.lit(den)

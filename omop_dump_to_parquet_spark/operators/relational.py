@@ -730,7 +730,11 @@ def q25_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # (r16: a widen_scan on the filtered fact side measured a wash
     # here — lineitem is the BUILD side of this fixture-scale plan,
-    # so the extra exchange bought no parallelism. Left alone.)
+    # so the extra exchange bought no parallelism. Left alone.
+    # r17, verdict #4: widening the PROBE side (orders) also LOST —
+    # 0.97s plain vs 1.09s widened, scripts/r17_ab_q2530.py — the
+    # probe work on 150k filtered orders rows is smaller than the
+    # exchange it buys; the sub-1s floor is per-job overhead.)
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("2000-06-01").cast("timestamp")
     )
@@ -896,7 +900,12 @@ def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture-scale plan broadcasts the projected lineitem columns
     # and probes with ORDERS, so the widener shuffled 600k rows into
     # a broadcast build for nothing: 1.94s vs 1.36s median. Left
-    # alone.)
+    # alone. r17, verdict #4: widening the PROBE side (orders) ALSO
+    # lost — 1.39s plain vs 1.56s widened, scripts/r17_ab_q2530.py —
+    # so q30's 8→32-core ratio of ~1.2 is per-job overhead plus a
+    # probe too small to amortize an exchange at fixture scale, not
+    # a missing-parallelism bug; at real split counts the probe side
+    # arrives already parallel.)
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")

@@ -833,7 +833,11 @@ def kmeans_exact(
     # and the final assign otherwise each re-scan the parquet and
     # re-run the array conversion. Lazy localCheckpoint: the init
     # collect below is the materializing action; iters+1 downstream
-    # passes read the checkpointed rows. Computed from the parquet
+    # passes read the checkpointed rows. (r17 losing A/B, recorded:
+    # widen_scan before the checkpoint — parallelizing the fixture's
+    # single-split assign/update passes — measured d14 3.31s → 3.66s;
+    # the exchange of the embedding rows costs more than the
+    # parallelism buys at this size.) Computed from the parquet
     # inputs on every invocation — nothing persists across runs.
     emb = emb.localCheckpoint(eager=False)
     # Bounded driver state: k initial centroids, then k×dim means per
