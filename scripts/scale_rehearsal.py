@@ -91,6 +91,12 @@ OPS = (
     # kernel).
     "d16_exact_substring_rewrite",
     "t25_html_extract",
+    # r17: plan-changed ids not already above (standing rule) — g02's
+    # LPA loop (SHUFFLE_HASH + struct-min argmax) and s09's PQ path
+    # (merged collect + checkpointed input). d06/g01/g03/d08/s07/d14/
+    # t22/t23 were changed too and already have rows above.
+    "g02_label_propagation",
+    "s09_ann_pq",
 )
 SCALES = (1, 3, 10)
 
